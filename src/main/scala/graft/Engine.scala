@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table loaders for the graft engine.
+  *
+  * Design notes (100 TB posture):
+  *  - AQE on: runtime partition coalescing, skew-join splitting, and
+  *    dynamic broadcast-join conversion replace hand-tuned plans.
+  *  - `spark.sql.shuffle.partitions` sized to the local core count here;
+  *    on a real cluster this is set to ~2-3x total executor cores and AQE
+  *    coalesces down.
+  *  - All reads are plain parquet scans so Catalyst's predicate pushdown /
+  *    column pruning reach the file source (verified via .explain:
+  *    PushedFilters / ReadSchema).
+  */
+object Engine {
+
+  /** Build a tuned local session. On a cluster the same config block applies
+    * minus `master`. */
+  def session(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
+      // timestamp — read as long (ns since epoch), Tables.events converts.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Lazily-loaded handles on the driver-generated test tables in `dir`.
+  * One parquet file per table (TESTDATA.md). */
+final case class Tables(spark: SparkSession, dir: String) {
+  import org.apache.spark.sql.functions._
+
+  private def load(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  lazy val region: DataFrame   = load("region")
+  lazy val nation: DataFrame   = load("nation")
+  lazy val customer: DataFrame = load("customer")
+  lazy val supplier: DataFrame = load("supplier")
+  lazy val part: DataFrame     = load("part")
+  lazy val orders: DataFrame   = load("orders")
+  lazy val lineitem: DataFrame = load("lineitem")
+
+  /** events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong=true Spark
+    * reads it as Long ns-since-epoch. Convert to a µs TimestampType by
+    * integer-division truncation — matching DuckDB's ns→µs cast semantics
+    * (floor). This is the documented ns→µs semantic delta (SURVEY §1.2). */
+  lazy val events: DataFrame = {
+    val raw = load("events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    else raw
+  }
+
+  lazy val documents: DataFrame  = load("documents")
+  lazy val embeddings: DataFrame = load("embeddings")
+
+  def apply(name: String): DataFrame = name match {
+    case "region"     => region
+    case "nation"     => nation
+    case "customer"   => customer
+    case "supplier"   => supplier
+    case "part"       => part
+    case "orders"     => orders
+    case "lineitem"   => lineitem
+    case "events"     => events
+    case "documents"  => documents
+    case "embeddings" => embeddings
+    case other        => load(other)
+  }
+}

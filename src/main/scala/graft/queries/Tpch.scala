@@ -1,0 +1,322 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** TPC-H-style headline queries q1..q10, adapted to the driver testdata
+  * schema (TESTDATA.md — no partsupp table, subset of columns). These mirror
+  * the shapes of the reference's published benchmark queries
+  * (reference `benchmarking/tpch/answers.py`): scan-heavy aggregation,
+  * multi-way joins with selective filters, semi joins, top-k.
+  *
+  * Scale posture: every query is expressed declaratively so Catalyst pushes
+  * filters/column pruning into the parquet scan; small dimension tables
+  * (region/nation/supplier/customer/part at any SF where they are orders of
+  * magnitude smaller than lineitem) are broadcast; AQE handles skew and
+  * partition coalescing at 100 TB.
+  */
+object Tpch {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Q1: pricing summary report — full lineitem scan + 8 aggregates. */
+  def q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(l_extendedprice) AS sum_base_price,
+      |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+      |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+      |  avg(l_quantity) AS avg_qty,
+      |  avg(l_extendedprice) AS avg_price,
+      |  avg(l_discount) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q2 (adapted, no partsupp): best-balance supplier per region —
+    * dimension joins + windowed arg-max. */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val joined = tt.supplier
+      .join(broadcast(tt.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tt.region), col("n_regionkey") === col("r_regionkey"))
+    val w = Window.partitionBy(col("r_name")).orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    joined
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("r_name"), col("n_name"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy("r_name")
+  }
+
+  val q2Sql: String =
+    """SELECT r_name, n_name, s_suppkey, s_name, s_acctbal FROM (
+      |  SELECT r_name, n_name, s_suppkey, s_name, s_acctbal,
+      |    row_number() OVER (PARTITION BY r_name ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey) sub
+      |WHERE rk = 1 ORDER BY r_name""".stripMargin
+
+  /** Q3: shipping priority — 3-way join, top-10 revenue. */
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    tt.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(tt.orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(tt.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Q4 (adapted): order priority checking — semi join (EXISTS). */
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val o = tt.orders.filter(
+      col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+    val late = tt.lineitem
+    o.join(late,
+        o("o_orderkey") === late("l_orderkey") && late("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q5: local supplier volume — 6-way join through region, with the
+    * customer-nation = supplier-nation co-location predicate. */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.customer
+      .join(tt.orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(tt.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(tt.supplier,
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(tt.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tt.region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val q5Sql: String =
+    """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  /** Q6: forecasting revenue change — pure scan + selective filter + sum.
+    * The filter must reach the parquet scan (PushedFilters). */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  val q6Sql: String =
+    """SELECT sum(l_extendedprice * l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Q7: volume shipping between two nations, by year. */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val n1 = tt.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = tt.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    tt.supplier
+      .join(tt.lineitem, col("s_suppkey") === col("l_suppkey"))
+      .join(tt.orders, col("o_orderkey") === col("l_orderkey"))
+      .join(tt.customer, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    l_extendedprice * (1 - l_discount) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q8 (adapted): market share of NATION_3 suppliers within EUROPE-customer
+    * PROMO-part volume, by order year. */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val supNation = tt.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    tt.lineitem
+      .join(tt.part.filter(col("p_type") === "PROMO"), col("l_partkey") === col("p_partkey"))
+      .join(tt.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(tt.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tt.region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .join(tt.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supNation), col("s_nationkey") === col("s_nk"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy("o_year")
+      .agg((sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(lit(0.0))) /
+            sum(col("volume"))).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    """SELECT o_year,
+      |  sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    l_extendedprice * (1 - l_discount) AS volume,
+      |    ns.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  JOIN region ON nc.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO') all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** Q9 (adapted, no ps_supplycost): product-type profit by supplier nation
+    * and year; cost proxied by 10% of retail price. */
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.lineitem
+      .join(tt.part.filter(col("p_name").contains("red")), col("l_partkey") === col("p_partkey"))
+      .join(tt.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(tt.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(tt.orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .withColumn("amount",
+        col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * lit(0.1) * col("l_quantity"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum("amount").as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """SELECT nation, o_year, sum(amount) AS sum_profit FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity AS amount
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year ORDER BY nation ASC, o_year DESC""".stripMargin
+
+  /** Q10: returned item reporting — top 20 customers by lost revenue. */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.customer
+      .join(tt.orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(tt.lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1" -> (q1 _), "q2" -> (q2 _), "q3" -> (q3 _), "q4" -> (q4 _), "q5" -> (q5 _),
+    "q6" -> (q6 _), "q7" -> (q7 _), "q8" -> (q8 _), "q9" -> (q9 _), "q10" -> (q10 _))
+
+  val oracle: Map[String, String] = Map(
+    "q1" -> q1Sql, "q2" -> q2Sql, "q3" -> q3Sql, "q4" -> q4Sql, "q5" -> q5Sql,
+    "q6" -> q6Sql, "q7" -> q7Sql, "q8" -> q8Sql, "q9" -> q9Sql, "q10" -> q10Sql)
+}

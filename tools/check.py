@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry queries vs the DuckDB oracle.
+
+Mimics the driver's t2 gate: run Verify (spark) to dump parquet results +
+oracle_sql.json, then run each oracle SQL in DuckDB over the same tables and
+compare (columns sorted by name, rows sorted, values hashed with float
+normalization).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    """Coarse normalization used only for row ordering."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return 0.0
+        return float(f"%.6g" % v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(norm(x))) for x in r))
+    return [c for c in sorted(cols)], out
+
+
+def veq(a, b):
+    """Tolerant value equality (floats: rel/abs 1e-7)."""
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return a == b
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return math.isclose(fa, fb, rel_tol=1e-7, abs_tol=1e-7)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(veq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def req(ra, rb):
+    return len(ra) == len(rb) and all(veq(x, y) for x, y in zip(ra, rb))
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = [d[0] for d in got_rel.description]
+            got = got_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            fail += 1
+            continue
+        try:
+            exp_rel = con.execute(sql)
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            fail += 1
+            continue
+        gc, gr = canon(got, got_cols)
+        ec, er = canon(exp, exp_cols)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}")
+            fail += 1
+        elif len(gr) != len(er):
+            print(f"FAIL {name}: rows {len(gr)} != {len(er)}")
+            fail += 1
+        elif not all(req(g, e) for g, e in zip(gr, er)):
+            bad = next(i for i in range(len(gr)) if not req(gr[i], er[i]))
+            print(f"FAIL {name}: value mismatch at row {bad}:\n"
+                  f"  spark:  {gr[bad]}\n  duckdb: {er[bad]}")
+            fail += 1
+        else:
+            ok += 1
+            print(f"ok   {name} ({len(gr)} rows)")
+    print(f"\n{ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
