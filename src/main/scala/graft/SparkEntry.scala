@@ -14,10 +14,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    graft.queries.Tpch.queries
+    graft.queries.Tpch.queries ++
+    graft.queries.Relational.queries ++
+    graft.queries.Aggregates.queries ++
+    graft.queries.Windows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Tpch.oracle
+    graft.queries.Tpch.oracle ++
+    graft.queries.Relational.oracle ++
+    graft.queries.Aggregates.oracle ++
+    graft.queries.Windows.oracle
 }
