@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Tpch.queries ++
     graft.queries.Relational.queries ++
     graft.queries.Aggregates.queries ++
-    graft.queries.Windows.queries
+    graft.queries.Windows.queries ++
+    graft.queries.Functions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     graft.queries.Tpch.oracle ++
     graft.queries.Relational.oracle ++
     graft.queries.Aggregates.oracle ++
-    graft.queries.Windows.oracle
+    graft.queries.Windows.oracle ++
+    graft.queries.Functions.oracle
 }

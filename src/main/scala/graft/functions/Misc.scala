@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Misc namespace — mirrors `daft/functions/misc.py`: hashing (xxhash-style,
+  * seeded), minhash, simhash, uuid, null helpers. MinHash/SimHash are
+  * one-pass Scala UDFs over token arrays (O(tokens·k) primitive ops, no
+  * shuffle) — the scalable building blocks for the dedup pipelines in
+  * `graft.ops.Dedup`. */
+object Misc {
+
+  def hash32(cols: Column*): Column = hash(cols: _*)
+  def hash64(cols: Column*): Column = xxhash64(cols: _*)
+  def uuidCol(): Column = expr("uuid()")
+  def eqNullSafe(a: Column, b: Column): Column = a <=> b
+  def fillNull(c: Column, v: Column): Column = coalesce(c, v)
+  def isIn(c: Column, vs: Any*): Column = c.isin(vs: _*)
+
+  /** 64-bit avalanche hash (splitmix64 finalizer) — deterministic across
+    * JVMs, used as the base hash for minhash/simhash. */
+  @inline private[graft] def mix64(zIn: Long): Long = {
+    var z = zIn
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline private[graft] def stringHash64(s: String, seed: Long): Long = {
+    var h = seed ^ 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < s.length) {
+      h = mix64(h ^ s.charAt(i).toLong)
+      i += 1
+    }
+    mix64(h ^ s.length.toLong)
+  }
+
+  /** MinHash signature: k minimum values of k seeded hash functions over the
+    * token array, computed in one pass (ref misc.py:428). */
+  def minhashSignature(tokens: Seq[String], k: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (tokens == null) return sig
+    val it = tokens.iterator
+    while (it.hasNext) {
+      val t = it.next()
+      if (t != null) {
+        val base = stringHash64(t, seed)
+        var i = 0
+        while (i < k) {
+          // per-permutation hash derived from the base via mixing — a
+          // standard one-hash minhash family
+          val h = mix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over tokens (ref misc.py:462). */
+  def simhash64(tokens: Seq[String], seed: Long): Long = {
+    if (tokens == null) return 0L
+    val acc = new Array[Int](64)
+    val it = tokens.iterator
+    while (it.hasNext) {
+      val t = it.next()
+      if (t != null) {
+        val h = stringHash64(t, seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def minhashUdf(k: Int, seed: Long) =
+    udf { tokens: Seq[String] => minhashSignature(tokens, k, seed) }
+
+  val simhashUdfDefault = udf { tokens: Seq[String] => simhash64(tokens, 0L) }
+
+  def minhash(tokens: Column, k: Int, seed: Long = 1L): Column =
+    minhashUdf(k, seed)(tokens)
+
+  def simhash(tokens: Column): Column = simhashUdfDefault(tokens)
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def simhashHamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

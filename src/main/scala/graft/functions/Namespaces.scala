@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Numeric namespace — mirrors `daft/functions/numeric.py`. Everything is a
+  * Spark builtin except clip and fill_nan (composed). */
+object Num {
+  def absCol(c: Column): Column = abs(c)
+  def ceilCol(c: Column): Column = ceil(c)
+  def floorCol(c: Column): Column = floor(c)
+  def clip(c: Column, lo: Column, hi: Column): Column = greatest(least(c, hi), lo)
+  def sign(c: Column): Column = signum(c)
+  def negate(c: Column): Column = -c
+  def roundCol(c: Column, scale: Int): Column = round(c, scale)
+  def sqrtCol(c: Column): Column = sqrt(c)
+  def cbrtCol(c: Column): Column = cbrt(c)
+  def log2Col(c: Column): Column = log2(c)
+  def log10Col(c: Column): Column = log10(c)
+  def ln(c: Column): Column = log(c)
+  def log1pCol(c: Column): Column = log1p(c)
+  def logBase(base: Double, c: Column): Column = log(base, c)
+  def expCol(c: Column): Column = exp(c)
+  def expm1Col(c: Column): Column = expm1(c)
+  def powCol(a: Column, b: Column): Column = pow(a, b)
+  def pmodCol(a: Column, b: Column): Column = pmod(a, b)
+  def factorialCol(c: Column): Column = factorial(c)
+  def hypotCol(a: Column, b: Column): Column = hypot(a, b)
+  def pi(): Column = lit(math.Pi)
+  def e(): Column = lit(math.E)
+  def binCol(c: Column): Column = bin(c)
+  def convCol(c: Column, from: Int, to: Int): Column = conv(c, from, to)
+  def tryDivide(a: Column, b: Column): Column = try_divide(a, b)
+  def isNan(c: Column): Column = isnan(c)
+  def notNan(c: Column): Column = !isnan(c)
+  def isInf(c: Column): Column = c === Double.PositiveInfinity || c === Double.NegativeInfinity
+  def fillNan(c: Column, v: Column): Column = nanvl(c, v)
+  def between(c: Column, lo: Column, hi: Column): Column = c >= lo && c <= hi
+  // trig + hyperbolic + inverse — direct Spark builtins
+  def sinCol(c: Column): Column = sin(c);   def cosCol(c: Column): Column = cos(c)
+  def tanCol(c: Column): Column = tan(c);   def asinCol(c: Column): Column = asin(c)
+  def acosCol(c: Column): Column = acos(c); def atanCol(c: Column): Column = atan(c)
+  def atan2Col(y: Column, x: Column): Column = atan2(y, x)
+  def sinhCol(c: Column): Column = sinh(c); def coshCol(c: Column): Column = cosh(c)
+  def tanhCol(c: Column): Column = tanh(c)
+  def asinhCol(c: Column): Column = asinh(c)
+  def acoshCol(c: Column): Column = acosh(c)
+  def atanhCol(c: Column): Column = atanh(c)
+  def radiansCol(c: Column): Column = radians(c)
+  def degreesCol(c: Column): Column = degrees(c)
+}
+
+/** Datetime namespace — mirrors `daft/functions/datetime.py` (all Spark
+  * builtins). */
+object Dt {
+  def date(c: Column): Column = to_date(c)
+  def day(c: Column): Column = dayofmonth(c)
+  def hourCol(c: Column): Column = hour(c)
+  def minuteCol(c: Column): Column = minute(c)
+  def secondCol(c: Column): Column = second(c)
+  def monthCol(c: Column): Column = month(c)
+  def quarterCol(c: Column): Column = quarter(c)
+  def yearCol(c: Column): Column = year(c)
+  def dayOfWeek(c: Column): Column = dayofweek(c)
+  def dayOfMonth(c: Column): Column = dayofmonth(c)
+  def dayOfYear(c: Column): Column = dayofyear(c)
+  def weekOfYear(c: Column): Column = weekofyear(c)
+  def unixDate(c: Column): Column = unix_date(to_date(c))
+  def strftime(c: Column, fmt: String): Column = date_format(c, fmt)
+  def toDate(c: Column, fmt: String): Column = to_date(c, fmt)
+  def toDatetime(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+  def dateTrunc(unit: String, c: Column): Column = date_trunc(unit, c)
+  def toUnixEpoch(c: Column): Column = unix_timestamp(c)
+  def fromUnixEpoch(c: Column): Column = from_unixtime(c)
+  def currentDate(): Column = current_date()
+  def currentTimestamp(): Column = current_timestamp()
+  def dateAdd(c: Column, days: Int): Column = date_add(c, days)
+  def dateSub(c: Column, days: Int): Column = date_sub(c, days)
+  def dateDiff(a: Column, b: Column): Column = datediff(a, b)
+  def addMonths(c: Column, n: Int): Column = add_months(c, n)
+  def monthsBetween(a: Column, b: Column): Column = months_between(a, b)
+  def lastDay(c: Column): Column = last_day(c)
+  def nextDay(c: Column, dow: String): Column = next_day(c, dow)
+  def makeDate(y: Column, m: Column, d: Column): Column = make_date(y, m, d)
+  def timestampSeconds(c: Column): Column = timestamp_seconds(c)
+  def timestampMillis(c: Column): Column = timestamp_millis(c)
+  def timestampMicros(c: Column): Column = timestamp_micros(c)
+  def fromUtcTimestamp(c: Column, tz: String): Column = from_utc_timestamp(c, tz)
+  def toUtcTimestamp(c: Column, tz: String): Column = to_utc_timestamp(c, tz)
+  def totalSeconds(interval: Column): Column = interval.cast("long")
+}
+
+/** List namespace — mirrors `daft/functions/list.py` (Spark higher-order
+  * functions). */
+object Lists {
+  def listJoin(c: Column, sep: String): Column = array_join(c, sep)
+  def flattenCol(c: Column): Column = flatten(c)
+  def listCount(c: Column): Column = size(c)
+  def listSum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double"))
+  def listMean(c: Column): Column = listSum(c) / size(c).cast("double")
+  def listMin(c: Column): Column = array_min(c)
+  def listMax(c: Column): Column = array_max(c)
+  def listBoolAnd(c: Column): Column = forall(c, x => x)
+  def listBoolOr(c: Column): Column = exists(c, x => x)
+  def listSort(c: Column): Column = sort_array(c)
+  def listSortDesc(c: Column): Column = sort_array(c, asc = false)
+  def listDistinct(c: Column): Column = array_distinct(c)
+  def listMap(c: Column, f: Column => Column): Column = transform(c, f)
+  def listFilter(c: Column, f: Column => Column): Column = filter(c, f)
+  def listAppend(c: Column, v: Column): Column = array_append(c, v)
+  def listContains(c: Column, v: Column): Column = array_contains(c, v)
+  def seq(from: Column, to: Column, step: Column): Column = sequence(from, to, step)
+  def listSlice(c: Column, start: Int, len: Int): Column = slice(c, start, len)
+  /** Fixed-size chunking of a list (ref list.py chunk). */
+  def chunk(c: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), ((size(c) - 1) / n).cast("int")),
+      i => slice(c, i * n + 1, lit(n)))
+  /** value_counts as a sorted array of (value, count) structs. */
+  def valueCounts(c: Column): Column =
+    sort_array(transform(array_distinct(c),
+      v => struct(v.as("value"),
+        aggregate(c, lit(0L), (acc, x) => acc + when(x === v, 1L).otherwise(0L)).as("count"))))
+}
+
+/** JSON namespace — mirrors `daft/functions/str.py` serialize/jq/json_* via
+  * Spark's JSON builtins. */
+object Json {
+  def jsonGet(c: Column, path: String): Column = get_json_object(c, path)
+  def jsonTuple(c: Column, fields: String*): Column = json_tuple(c, fields: _*)
+  def jsonArrayLength(c: Column): Column = json_array_length(c)
+  def jsonObjectKeys(c: Column): Column = json_object_keys(c)
+  def fromJson(c: Column, schema: org.apache.spark.sql.types.DataType): Column =
+    from_json(c, schema)
+  def toJson(c: Column): Column = to_json(c)
+  def schemaOfJson(sample: String): Column = schema_of_json(sample)
+}
+
+/** Struct/Map namespace — mirrors `daft/functions/struct.py` + map helpers. */
+object Structs {
+  def toStruct(cols: Column*): Column = struct(cols: _*)
+  def get(c: Column, field: String): Column = c.getField(field)
+  def mapGet(m: Column, key: Column): Column = element_at(m, key)
+  def mapKeys(m: Column): Column = map_keys(m)
+  def mapValues(m: Column): Column = map_values(m)
+  def mapFromArrays(k: Column, v: Column): Column = map_from_arrays(k, v)
+  def mapEntries(m: Column): Column = map_entries(m)
+}
+
+/** Partitioning helpers — mirrors `daft/functions/partition.py` (Iceberg-
+  * style transforms). */
+object Partitioning {
+  def days(c: Column): Column = date_trunc("day", c).cast("date")
+  def hours(c: Column): Column = date_trunc("hour", c)
+  def months(c: Column): Column = date_format(c, "yyyy-MM")
+  def years(c: Column): Column = year(c)
+  def bucket(n: Int, c: Column): Column = pmod(hash(c), lit(n))
+  def truncate(w: Int, c: Column): Column = (c.cast("long") / w) * w
+}

@@ -52,14 +52,14 @@ object Aggregates {
         avg("l_quantity").as("mean_qty"),
         min("l_quantity").as("min_qty"),
         max("l_quantity").as("max_qty"),
-        min("l_shipdate").as("min_ship"),
+        min("l_shipdate").cast("date").as("min_ship"),
         max("l_returnflag").as("max_flag"))
       .orderBy("l_linestatus")
 
   val aggBasicSql =
     """SELECT l_linestatus, sum(l_quantity) AS sum_qty, avg(l_quantity) AS mean_qty,
       |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-      |  min(l_shipdate) AS min_ship, max(l_returnflag) AS max_flag
+      |  CAST(min(l_shipdate) AS DATE) AS min_ship, max(l_returnflag) AS max_flag
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   /** Product aggregate (ref AggExpr::Product) via graft's typed Aggregator

@@ -1,0 +1,437 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Binary => GBin, Distance => GDist, Lists => GList, Misc => GMisc, Strings => GStr}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function coverage — SURVEY.md §2.6: the reference's
+  * `daft/functions` namespaces re-expressed over Spark builtins plus graft's
+  * UDF layer for the gaps. Each query exercises one namespace end-to-end
+  * with a DuckDB oracle. */
+object Functions {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  // ---- strings: basics ----
+  def fn_strings_basic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).part
+      .filter(col("p_partkey") <= 500)
+      .select(
+        col("p_partkey"),
+        GStr.lower(col("p_type")).as("lower_t"),
+        GStr.upper(col("p_name")).as("upper_n"),
+        GStr.capitalize(col("p_name")).as("cap_n"),
+        GStr.left(col("p_name"), 3).as("left3"),
+        GStr.right(col("p_name"), 4).as("right4"),
+        GStr.reverseStr(col("p_name")).as("rev_n"),
+        length(col("p_name")).as("len_n"),
+        GStr.lengthBytes(col("p_name")).as("len_bytes"),
+        GStr.lpad(col("p_brand"), 10, "*").as("lpad_b"),
+        GStr.rpad(col("p_brand"), 10, "#").as("rpad_b"),
+        GStr.repeatStr(col("p_type"), 2).as("rep_t"),
+        GStr.contains(col("p_name"), "red").as("has_red"),
+        GStr.startswith(col("p_name"), "small").as("sw_small"),
+        GStr.endswith(col("p_name"), "bolt").as("ew_bolt"),
+        GStr.find(col("p_name"), "i").as("find_i"),
+        GStr.substr(col("p_name"), lit(2), lit(4)).as("sub24"),
+        GStr.concatWs("|", col("p_brand"), col("p_type")).as("joined"))
+      .orderBy("p_partkey")
+
+  val fnStringsBasicSql =
+    """SELECT p_partkey,
+      |  lower(p_type) AS lower_t, upper(p_name) AS upper_n,
+      |  upper(substring(p_name,1,1)) || lower(substring(p_name,2)) AS cap_n,
+      |  substring(p_name,1,3) AS left3,
+      |  CASE WHEN length(p_name) <= 4 THEN p_name
+      |       ELSE substring(p_name, length(p_name)-3) END AS right4,
+      |  reverse(p_name) AS rev_n, length(p_name) AS len_n,
+      |  octet_length(encode(p_name)) AS len_bytes,
+      |  lpad(p_brand, 10, '*') AS lpad_b, rpad(p_brand, 10, '#') AS rpad_b,
+      |  repeat(p_type, 2) AS rep_t,
+      |  contains(p_name, 'red') AS has_red,
+      |  starts_with(p_name, 'small') AS sw_small,
+      |  p_name LIKE '%bolt' AS ew_bolt,
+      |  instr(p_name, 'i') - 1 AS find_i,
+      |  substring(p_name, 2, 4) AS sub24,
+      |  p_brand || '|' || p_type AS joined
+      |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin
+
+  // ---- strings: case converters (graft UDFs; p_name is "<word> <word>") ----
+  def fn_strings_case(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).part
+      .filter(col("p_partkey") <= 300)
+      .select(
+        col("p_partkey"),
+        GStr.camelCase(col("p_name")).as("camel"),
+        GStr.snakeCase(col("p_name")).as("snake"),
+        GStr.kebabCase(col("p_name")).as("kebab"),
+        GStr.titleCase(col("p_name")).as("title"),
+        GStr.normalize(concat(lit("  "), col("p_name"), lit("   x  "))).as("normalized"))
+      .orderBy("p_partkey")
+
+  val fnStringsCaseSql =
+    """SELECT p_partkey,
+      |  split_part(p_name,' ',1) ||
+      |    upper(substring(split_part(p_name,' ',2),1,1)) ||
+      |    substring(split_part(p_name,' ',2),2) AS camel,
+      |  replace(p_name,' ','_') AS snake,
+      |  replace(p_name,' ','-') AS kebab,
+      |  upper(substring(split_part(p_name,' ',1),1,1)) || substring(split_part(p_name,' ',1),2)
+      |    || ' ' ||
+      |  upper(substring(split_part(p_name,' ',2),1,1)) || substring(split_part(p_name,' ',2),2)
+      |    AS title,
+      |  lower(trim(regexp_replace('  ' || p_name || '   x  ', '\s+', ' ', 'g'))) AS normalized
+      |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin
+
+  // ---- strings: distances (graft UDFs vs DuckDB native metrics) ----
+  def fn_strings_distance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).part
+      .filter(col("p_partkey") <= 300)
+      .select(
+        col("p_partkey"),
+        GStr.levenshteinDist(col("p_name"), col("p_type")).as("lev"),
+        GStr.hamming(GStr.left(col("p_name"), 5), GStr.left(col("p_type"), 5)).as("ham5"),
+        GStr.jaro(col("p_name"), col("p_type")).as("jaro_sim"),
+        GStr.jaroWinkler(col("p_name"), col("p_type")).as("jw_sim"),
+        GStr.damerauLevenshtein(col("p_name"), col("p_brand")).as("dam_lev"))
+      .orderBy("p_partkey")
+
+  val fnStringsDistanceSql =
+    """SELECT p_partkey,
+      |  levenshtein(p_name, p_type) AS lev,
+      |  hamming(substring(p_name,1,5), substring(p_type,1,5)) AS ham5,
+      |  jaro_similarity(p_name, p_type) AS jaro_sim,
+      |  jaro_winkler_similarity(p_name, p_type) AS jw_sim,
+      |  damerau_levenshtein(p_name, p_brand) AS dam_lev
+      |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin
+
+  // ---- strings: regex family ----
+  def fn_strings_regex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        GStr.regexpMatch(col("text"), "^[a-z]+ ").as("starts_word"),
+        GStr.regexpExtract(col("text"), "([a-z]+)", 1).as("first_word"),
+        GStr.regexpCount(col("text"), "data").as("n_data"),
+        GStr.regexpReplace(col("text"), "[aeiou]", "_").as("devowel"),
+        size(GStr.regexpExtractAll(col("text"), "\\b[a-z]{5}\\b", 0)).as("n_5letter"),
+        GStr.countMatches(col("text"), "the").as("n_the"))
+      .orderBy("doc_id")
+
+  val fnStringsRegexSql =
+    """SELECT doc_id,
+      |  regexp_matches(text, '^[a-z]+ ') AS starts_word,
+      |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+      |  len(regexp_extract_all(text, 'data')) AS n_data,
+      |  regexp_replace(text, '[aeiou]', '_', 'g') AS devowel,
+      |  len(regexp_extract_all(text, '\b[a-z]{5}\b')) AS n_5letter,
+      |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS INT) AS n_the
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  // ---- numeric ----
+  def fn_numeric(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Num => N}
+    t(s, dir).lineitem
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        N.absCol(col("l_quantity") - 25).as("abs_v"),
+        N.ceilCol(col("l_discount") * 100).as("ceil_v"),
+        N.floorCol(col("l_tax") * 100).as("floor_v"),
+        N.roundCol(col("l_extendedprice") / 1000, 2).as("round_v"),
+        N.sqrtCol(col("l_quantity")).as("sqrt_v"),
+        N.cbrtCol(col("l_quantity")).as("cbrt_v"),
+        N.ln(col("l_extendedprice")).as("ln_v"),
+        N.log10Col(col("l_extendedprice")).as("log10_v"),
+        N.log2Col(col("l_quantity")).as("log2_v"),
+        N.expCol(col("l_discount")).as("exp_v"),
+        N.powCol(col("l_quantity"), lit(2)).as("pow_v"),
+        N.pmodCol(col("l_orderkey"), lit(7)).as("mod_v"),
+        N.sign(col("l_quantity") - 25).as("sign_v"),
+        N.clip(col("l_quantity"), lit(10.0), lit(40.0)).as("clip_v"),
+        N.sinCol(col("l_discount")).as("sin_v"),
+        N.atan2Col(col("l_discount"), col("l_tax") + 0.01).as("atan2_v"),
+        N.degreesCol(col("l_discount")).as("deg_v"),
+        N.hypotCol(col("l_quantity"), col("l_linenumber")).as("hypot_v"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val fnNumericSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_quantity - 25) AS abs_v,
+      |  ceil(l_discount * 100) AS ceil_v,
+      |  floor(l_tax * 100) AS floor_v,
+      |  round(l_extendedprice / 1000, 2) AS round_v,
+      |  sqrt(l_quantity) AS sqrt_v,
+      |  cbrt(l_quantity) AS cbrt_v,
+      |  ln(l_extendedprice) AS ln_v,
+      |  log10(l_extendedprice) AS log10_v,
+      |  log2(l_quantity) AS log2_v,
+      |  exp(l_discount) AS exp_v,
+      |  pow(l_quantity, 2) AS pow_v,
+      |  mod(l_orderkey, 7) AS mod_v,
+      |  CAST(sign(l_quantity - 25) AS DOUBLE) AS sign_v,
+      |  greatest(least(l_quantity, 40.0), 10.0) AS clip_v,
+      |  sin(l_discount) AS sin_v,
+      |  atan2(l_discount, l_tax + 0.01) AS atan2_v,
+      |  degrees(l_discount) AS deg_v,
+      |  sqrt(l_quantity*l_quantity + l_linenumber*l_linenumber) AS hypot_v
+      |FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- datetime ----
+  def fn_datetime(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Dt => D}
+    t(s, dir).events
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        D.yearCol(col("ts")).as("y"),
+        D.monthCol(col("ts")).as("mo"),
+        D.day(col("ts")).as("d"),
+        D.hourCol(col("ts")).as("h"),
+        D.minuteCol(col("ts")).as("mi"),
+        D.secondCol(col("ts")).as("sec"),
+        D.quarterCol(col("ts")).as("q"),
+        D.dayOfWeek(col("ts")).as("dow"),
+        D.dayOfYear(col("ts")).as("doy"),
+        D.weekOfYear(col("ts")).as("woy"),
+        D.dateTrunc("month", col("ts")).cast("date").as("mo_start"),
+        D.strftime(col("ts"), "yyyy-MM-dd HH:mm").as("fmt"),
+        D.toUnixEpoch(col("ts")).as("epoch_s"),
+        D.dateAdd(col("ts"), 30).as("plus30d"),
+        D.lastDay(col("ts")).as("eom"),
+        D.addMonths(col("ts"), 2).as("plus2mo"),
+        D.dateDiff(lit("2024-06-01").cast("date"), col("ts")).as("days_to_jun"))
+      .orderBy("event_id")
+  }
+
+  val fnDatetimeSql =
+    """SELECT event_id,
+      |  year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+      |  hour(ts) AS h, minute(ts) AS mi, CAST(second(ts) AS INT) AS sec,
+      |  quarter(ts) AS q,
+      |  dayofweek(ts) + 1 AS dow,
+      |  dayofyear(ts) AS doy,
+      |  weekofyear(ts) AS woy,
+      |  CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS mo_start,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M') AS fmt,
+      |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+      |  CAST(CAST(ts AS TIMESTAMP) + INTERVAL 30 DAY AS DATE) AS plus30d,
+      |  last_day(CAST(ts AS DATE)) AS eom,
+      |  CAST(CAST(ts AS TIMESTAMP) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+      |  datediff('day', CAST(ts AS DATE), DATE '2024-06-01') AS days_to_jun
+      |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+
+  // ---- lists (higher-order functions) ----
+  def fn_lists(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir).documents
+      .filter(col("doc_id") < 100)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        GList.listCount(col("toks")).as("n_toks"),
+        GList.listJoin(GList.listSlice(col("toks"), 1, 3), "-").as("first3"),
+        GList.listSort(GList.listDistinct(col("toks"))).as("uniq_sorted"),
+        GList.listContains(col("toks"), lit("data")).as("has_data"),
+        GList.listMap(col("toks"), x => upper(x)).as("upper_toks"),
+        GList.listFilter(col("toks"), x => length(x) > 4).as("long_toks"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"),
+        GList.listMin(col("toks")).as("min_tok"),
+        GList.listMax(col("toks")).as("max_tok"),
+        size(GList.chunk(col("toks"), 5)).as("n_chunks"))
+      .orderBy("doc_id")
+  }
+
+  val fnListsSql =
+    """SELECT doc_id,
+      |  len(string_split(text,' ')) AS n_toks,
+      |  array_to_string(string_split(text,' ')[1:3], '-') AS first3,
+      |  list_sort(list_distinct(string_split(text,' '))) AS uniq_sorted,
+      |  list_contains(string_split(text,' '), 'data') AS has_data,
+      |  list_transform(string_split(text,' '), x -> upper(x)) AS upper_toks,
+      |  list_filter(string_split(text,' '), x -> length(x) > 4) AS long_toks,
+      |  list_aggregate(list_transform(string_split(text,' '), x -> CAST(length(x) AS BIGINT)), 'sum') AS total_chars,
+      |  list_aggregate(string_split(text,' '), 'min') AS min_tok,
+      |  list_aggregate(string_split(text,' '), 'max') AS max_tok,
+      |  CAST(ceil(len(string_split(text,' ')) / 5.0) AS INT) AS n_chunks
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  // ---- json ----
+  def fn_json(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Json => J}
+    t(s, dir).events
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        J.jsonGet(col("props"), "$.k").cast("int").as("k_val"),
+        J.jsonObjectKeys(col("props")).as("keys"),
+        J.fromJson(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k_typed"),
+        J.jsonArrayLength(lit("[1,2,3,4]")).as("arr_len"))
+      .orderBy("event_id")
+  }
+
+  val fnJsonSql =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+      |  json_keys(props) AS keys,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+      |  json_array_length('[1,2,3,4]') AS arr_len
+      |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+
+  // ---- binary: encode/decode + compression round-trips ----
+  def fn_binary(s: SparkSession, dir: String): DataFrame = {
+    val bytes = GBin.encodeUtf8(col("p_name"))
+    t(s, dir).part
+      .filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey"),
+        GBin.encodeBase64(bytes).as("b64"),
+        GBin.encodeHex(bytes).as("hexed"),
+        GBin.decodeUtf8(GBin.decodeBase64(GBin.encodeBase64(bytes))).as("b64_roundtrip"),
+        GBin.lengthBytes(col("p_name")).as("n_bytes"),
+        GBin.decodeUtf8(GBin.decompress(GBin.compress(bytes, "gzip"), "gzip")).as("gzip_roundtrip"),
+        GBin.decodeUtf8(GBin.decompress(GBin.compress(bytes, "zlib"), "zlib")).as("zlib_roundtrip"),
+        (GBin.lengthBytes(GBin.compress(bytes, "gzip")) > 0).as("gzip_nonempty"))
+      .orderBy("p_partkey")
+  }
+
+  val fnBinarySql =
+    """SELECT p_partkey,
+      |  base64(encode(p_name)) AS b64,
+      |  hex(encode(p_name)) AS hexed,
+      |  p_name AS b64_roundtrip,
+      |  octet_length(encode(p_name)) AS n_bytes,
+      |  p_name AS gzip_roundtrip,
+      |  p_name AS zlib_roundtrip,
+      |  true AS gzip_nonempty
+      |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin
+
+  // ---- conditional / null expressions (Expr::IfElse/IsIn/Between/...) ----
+  def fn_conditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).orders
+      .filter(col("o_orderkey") < 3000)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"),
+        col("o_orderstatus").isin("F", "P").as("is_done_or_pending"),
+        col("o_totalprice").between(50000, 150000).as("in_band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
+        (col("o_orderstatus") <=> lit("F")).as("nsafe_f"),
+        try_divide(col("o_totalprice"), col("o_custkey") % 3).as("try_div"),
+        col("o_orderkey").cast("string").as("key_str"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_cast"))
+      .orderBy("o_orderkey")
+
+  val fnConditionalSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 300000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS price_band,
+      |  o_orderstatus IN ('F','P') AS is_done_or_pending,
+      |  o_totalprice BETWEEN 50000 AND 150000 AS in_band,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+      |  o_orderstatus IS NOT DISTINCT FROM 'F' AS nsafe_f,
+      |  CASE WHEN o_custkey % 3 = 0 THEN NULL
+      |       ELSE o_totalprice / (o_custkey % 3) END AS try_div,
+      |  CAST(o_orderkey AS VARCHAR) AS key_str,
+      |  try_cast(o_orderpriority AS INT) AS bad_cast
+      |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin
+
+  // ---- hash functions: engine-specific values, injectivity invariants ----
+  def fn_hash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .agg(
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_exact"),
+        (countDistinct(GMisc.hash64(col("l_partkey"), col("l_suppkey"))) ===
+          countDistinct(col("l_partkey"), col("l_suppkey"))).as("h64_injective"),
+        (countDistinct(GMisc.hash32(col("l_partkey"), col("l_suppkey"))) <=
+          countDistinct(col("l_partkey"), col("l_suppkey"))).as("h32_sane"))
+
+  val fnHashSql =
+    """SELECT count(DISTINCT (l_partkey, l_suppkey)) AS nd_exact,
+      |  true AS h64_injective, true AS h32_sane
+      |FROM lineitem""".stripMargin
+
+  // ---- embedding distances (HOFs over array<float>) vs DuckDB list fns ----
+  def fn_embedding_distance(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    val a = e.filter(col("vec_id") < 15)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.filter(col("vec_id") >= 15 && col("vec_id") < 30)
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .select(
+        col("id_a"), col("id_b"),
+        GDist.cosineSimilarity(col("va"), col("vb")).as("cos_sim"),
+        GDist.dotProduct(col("va"), col("vb")).as("dot"),
+        GDist.euclideanDistance(col("va"), col("vb")).as("l2"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val fnEmbeddingDistanceSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos_sim,
+      |  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS dot,
+      |  list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS l2
+      |FROM embeddings a, embeddings b
+      |WHERE a.vec_id < 15 AND b.vec_id >= 15 AND b.vec_id < 30
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- minhash/simhash invariants: exact duplicates collide, signature
+  // length fixed, hamming(simhash self-dup)=0 ----
+  def fn_minhash_simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documents.filter(col("doc_id") < 100)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("mh", GMisc.minhash(col("toks"), 16))
+      .withColumn("sh", GMisc.simhash(col("toks")))
+    val dup = docs.select(col("doc_id").as("doc_id_b"), col("toks").as("toks_b"),
+      col("mh").as("mh_b"), col("sh").as("sh_b"))
+    docs.join(dup, col("doc_id") === col("doc_id_b"))
+      .select(
+        col("doc_id"),
+        size(col("mh")).as("sig_len"),
+        (col("mh") === col("mh_b")).as("mh_self_eq"),
+        GMisc.simhashHamming(col("sh"), col("sh_b")).as("sh_self_dist"))
+      .orderBy("doc_id")
+  }
+
+  val fnMinhashSimhashSql =
+    """SELECT doc_id, 16 AS sig_len, true AS mh_self_eq, CAST(0 AS BIGINT) AS sh_self_dist
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "fn_strings_basic" -> (fn_strings_basic _),
+    "fn_strings_case" -> (fn_strings_case _),
+    "fn_strings_distance" -> (fn_strings_distance _),
+    "fn_strings_regex" -> (fn_strings_regex _),
+    "fn_numeric" -> (fn_numeric _),
+    "fn_datetime" -> (fn_datetime _),
+    "fn_lists" -> (fn_lists _),
+    "fn_json" -> (fn_json _),
+    "fn_binary" -> (fn_binary _),
+    "fn_conditional" -> (fn_conditional _),
+    "fn_hash" -> (fn_hash _),
+    "fn_embedding_distance" -> (fn_embedding_distance _),
+    "fn_minhash_simhash" -> (fn_minhash_simhash _))
+
+  val oracle: Map[String, String] = Map(
+    "fn_strings_basic" -> fnStringsBasicSql,
+    "fn_strings_case" -> fnStringsCaseSql,
+    "fn_strings_distance" -> fnStringsDistanceSql,
+    "fn_strings_regex" -> fnStringsRegexSql,
+    "fn_numeric" -> fnNumericSql,
+    "fn_datetime" -> fnDatetimeSql,
+    "fn_lists" -> fnListsSql,
+    "fn_json" -> fnJsonSql,
+    "fn_binary" -> fnBinarySql,
+    "fn_conditional" -> fnConditionalSql,
+    "fn_hash" -> fnHashSql,
+    "fn_embedding_distance" -> fnEmbeddingDistanceSql,
+    "fn_minhash_simhash" -> fnMinhashSimhashSql)
+}

@@ -88,12 +88,13 @@ object Tpch {
       .filter(col("l_shipdate") > cutoff)
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
 
   val q3Sql: String =
-    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
       |  sum(l_extendedprice * (1 - l_discount)) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -101,7 +102,7 @@ object Tpch {
       |WHERE c_mktsegment = 'BUILDING'
       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
       |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
 
   /** Q4 (adapted): order priority checking — semi join (EXISTS). */

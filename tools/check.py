@@ -40,9 +40,16 @@ def canon(rows, cols):
 
 
 def veq(a, b):
-    """Tolerant value equality (floats: rel/abs 1e-7)."""
+    """Tolerant value equality (floats: rel/abs 1e-7; tz-naive == UTC)."""
+    import datetime as _dt
     if a is None or b is None:
         return a is None and b is None
+    if isinstance(a, _dt.datetime) and isinstance(b, _dt.datetime):
+        if a.tzinfo is not None:
+            a = a.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if b.tzinfo is not None:
+            b = b.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return a == b
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
