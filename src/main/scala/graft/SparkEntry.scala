@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Aggregates.queries ++
     graft.queries.Windows.queries ++
-    graft.queries.Functions.queries
+    graft.queries.Functions.queries ++
+    graft.queries.AsofQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
     graft.queries.Aggregates.oracle ++
     graft.queries.Windows.oracle ++
-    graft.queries.Functions.oracle
+    graft.queries.Functions.oracle ++
+    graft.queries.AsofQueries.oracle
 }
