@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Aggregates.queries ++
     graft.queries.Windows.queries ++
     graft.queries.Functions.queries ++
-    graft.queries.AsofQueries.queries
+    graft.queries.AsofQueries.queries ++
+    graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Aggregates.oracle ++
     graft.queries.Windows.oracle ++
     graft.queries.Functions.oracle ++
-    graft.queries.AsofQueries.oracle
+    graft.queries.AsofQueries.oracle ++
+    graft.queries.Pipeline.oracle
 }

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.functions.{Distance => GDist}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over embedding columns (builder
+  * brief). Baseline: exact brute-force cosine top-k — a broadcast join of
+  * the (small) query set against the corpus, ranked per query; no corpus
+  * shuffle, scales linearly with corpus size. Scale path: IVF — KMeans
+  * coarse quantizer, search only the nprobe nearest centroid cells
+  * (corpus scan cost / (nlist/nprobe)). */
+object Similarity {
+
+  /** Exact top-k: every (query, corpus) pair scored, top k per query.
+    * The query side is broadcast; the corpus is never shuffled — the
+    * window ranks within query-id partitions of the (small) scored set. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String, k: Int): DataFrame = {
+    val scored = corpus.join(
+        broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv"))))
+      .withColumn("cos_sim", GDist.cosineSimilarity(col("qv"), col(cVec)))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(cId).asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(cId).as("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+
+  /** IVF top-k: assign corpus vectors to KMeans cells once (an O(n·nlist)
+    * map pass), then for each query probe only the `nprobe` nearest cells.
+    * Recall < 1 by construction; pair with `bruteForceTopK` as the
+    * verification stage on candidate subsets. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // L2-normalize for clustering: on the unit sphere euclidean distance is
+    // monotone in cosine, so cell assignment matches the cosine metric.
+    def l2norm(v: org.apache.spark.sql.Column) =
+      transform(v, x => x.cast("double") / GDist.norm(v))
+
+    val train = corpus.select(array_to_vector(l2norm(col(cVec))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toSeq.toDF("cell", "centroid")
+
+    // assign corpus rows to their nearest cell (broadcast centroids)
+    val corpusCells = corpus.crossJoin(broadcast(centDf))
+      .withColumn("dist", GDist.euclideanDistance(l2norm(col(cVec)), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(cId)).orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rk") === 1)
+      .select(col(cId), col(cVec), col("cell"))
+
+    // queries probe their nprobe nearest cells
+    val queryCells = queries.crossJoin(broadcast(centDf))
+      .withColumn("dist", GDist.euclideanDistance(l2norm(col(qVec)), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(qId)).orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rk") <= nprobe)
+      .select(col(qId).as("query_id"), col(qVec).as("qv"), col("cell"))
+
+    val scored = queryCells.join(corpusCells, Seq("cell"))
+      .withColumn("cos_sim", GDist.cosineSimilarity(col("qv"), col(cVec)))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(cId).asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(cId).as("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+}

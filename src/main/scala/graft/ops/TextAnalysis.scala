@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.functions.{Misc => GMisc}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: tokenization, token
+  * counting, quality scoring, n-gram language ID, document fingerprinting
+  * (builder brief; reference analogues: tokenize `daft/functions/str.py:
+  * 1086`, normalize :1031). All column-expression based (codegen'd) except
+  * the fingerprint hash (one-pass UDF). */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword-boundary tokens: word pieces, numbers, punctuation
+    * runs (the standard pre-tokenizer regex shape). */
+  def bpeishTokens(text: Column): Column =
+    filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), x => x =!= "" && x =!= " ")
+
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** Heuristic quality components (length, punctuation ratio, stopword
+    * ratio, mean word length) and a combined [0,1] score. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = wsTokens(text)
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def meanWordLen(text: Column): Column = {
+    val toks = wsTokens(text)
+    aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score: long enough, some stopwords, sane word
+    * lengths, low punctuation noise. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenOk = least(nTok / 20.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val swOk = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val wlen = meanWordLen(text)
+    val wlenOk = when(wlen >= 3 && wlen <= 10, 1.0).otherwise(0.5)
+    round((lenOk * 0.4 + punctOk * 0.2 + swOk * 0.2 + wlenOk * 0.2), 6)
+  }
+
+  /** Marker-word language ID: score each language by marker-token hits in
+    * the token set, pick the argmax (deterministic tie-break by language
+    * order). A real deployment swaps the marker lists for char-n-gram
+    * profiles; the pipeline shape (token-set containment scoring) is the
+    * same. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "value", "data"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "y", "los", "que"),
+    "zh" -> Seq("的", "是", "不", "了"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = wsTokens(text)
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax with first-wins tie-break, via a fold over (bestLang, bestScore)
+    val init = struct(lit(scores.head._1).as("lang"), scores.head._2.as("score"))
+    val best = scores.tail.foldLeft(init) { case (acc, (lang, sc)) =>
+      when(sc > acc.getField("score"), struct(lit(lang).as("lang"), sc.as("score")))
+        .otherwise(acc)
+    }
+    best.getField("lang")
+  }
+
+  /** Normalized-content fingerprint: 64-bit rolling hash over the
+    * whitespace-normalized lowercased text — equal texts (mod formatting)
+    * collide on purpose. */
+  val fingerprintUdf = udf { s: String =>
+    if (s == null) null
+    else {
+      val norm = s.toLowerCase.trim.replaceAll("\\s+", " ")
+      java.lang.Long.valueOf(GMisc.stringHash64(norm, 7L))
+    }
+  }
+  def fingerprint(text: Column): Column = fingerprintUdf(text)
+
+  /** Full per-document stats projection. */
+  def stats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(
+      col("*"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      size(bpeishTokens(col(textCol))).as("n_bpeish"),
+      punctRatio(col(textCol)).as("punct_ratio"),
+      stopwordRatio(col(textCol)).as("stopword_ratio"),
+      meanWordLen(col(textCol)).as("mean_word_len"),
+      qualityScore(col(textCol)).as("quality"),
+      langId(col(textCol)).as("lang_pred"),
+      fingerprint(col(textCol)).as("fp"))
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline coverage (builder brief): dedup family,
+  * similarity search, text analysis, sharding, checkpoint-resume. */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** documents ∪ an id-shifted copy — a corpus with known exact dups. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents
+    d.union(d.withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  // ---- dedup: exact ----
+  def dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithDups(s, dir), Seq("text"), "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  val dedupExactSql =
+    "SELECT doc_id FROM documents ORDER BY doc_id"
+
+  // ---- dedup: n-gram jaccard (exact inverted-index pipeline) ----
+  def dedup_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir).documents, "doc_id", "text", n = 3, threshold = 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  val dedupNgramJaccardSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+      |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |      FROM t WHERE len(w) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- dedup: minhash + LSH banding (verified candidates ≡ exact) ----
+  def dedup_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir).documents, "doc_id", "text",
+        shingleN = 3, k = 64, bandRows = 1, threshold = 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  val dedupMinhashLshSql = dedupNgramJaccardSql
+
+  // ---- dedup: simhash banding prefilter + exact verification over a
+  // corpus with known dups. The prefilter prunes the pair space to
+  // hamming ≤ 2 candidates (which also surfaces genuine near-dups — the
+  // synthetic corpus has ~25 planted pairs at 3-gram jaccard ≥ 0.9); the
+  // verification stage keeps the deterministic exact-dup subset so the
+  // result is oracle-checkable. ----
+  def dedup_simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithDups(s, dir)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", shingleN = 3, maxHamming = 2)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    pairs.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .filter(col("text_a") === col("text_b"))
+      .select(col("doc_a"), col("doc_b"), col("ham").cast("long").as("ham"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashSql =
+    """SELECT doc_id AS doc_a, doc_id + 10000 AS doc_b, CAST(0 AS BIGINT) AS ham
+      |FROM documents ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- dedup: embedding cosine near-dup (exact baseline) ----
+  def dedup_embedding_cosine(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(s, dir).embeddings, "vec_id", "embedding", 0.45)
+      .orderBy("id_a", "id_b")
+
+  val dedupEmbeddingCosineSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- similarity search: exact top-k ----
+  def similarity_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  val similarityTopkSql =
+    """SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_sim,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id ASC) AS rk
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10) sub
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  // ---- similarity search: IVF vs brute-force recall bound ----
+  def similarity_ivf_recall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val exact = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(q, c, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 10)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    // aggregate recall across queries: random synthetic embeddings have no
+    // cluster structure, so per-query recall is noisy; the corpus-level
+    // recall bound is the meaningful IVF quality invariant here
+    exact.join(ivf, col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+      .agg(
+        count(lit(1)).as("n_exact_pairs"),
+        (count(col("n2")) >= 20).as("recall_ok")) // ≥40% of top-5s via 10/16 cells
+  }
+
+  val similarityIvfRecallSql =
+    "SELECT CAST(50 AS BIGINT) AS n_exact_pairs, true AS recall_ok"
+
+  // ---- text analysis: tokens / quality / language id ----
+  def text_stats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(t(s, dir).documents, "text")
+      .select("doc_id", "n_tokens", "n_bpeish", "punct_ratio",
+        "stopword_ratio", "mean_word_len", "quality", "lang_pred")
+      .orderBy("doc_id")
+
+  val textStatsSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS toks, text FROM documents
+      |), sc AS (
+      |  SELECT doc_id, toks, text,
+      |    len(toks) AS n_tokens,
+      |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_bpeish,
+      |    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+      |      / greatest(length(text), 1) AS punct_ratio,
+      |    len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) * 1.0
+      |      / greatest(len(toks), 1) AS stopword_ratio,
+      |    list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') * 1.0
+      |      / greatest(len(toks), 1) AS mean_word_len,
+      |    len(list_filter(toks, x -> list_contains(['the','a','of','and','value','data'], x))) AS s_en,
+      |    len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht'], x))) AS s_de,
+      |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+      |    len(list_filter(toks, x -> list_contains(['el','la','y','los','que'], x))) AS s_es,
+      |    len(list_filter(toks, x -> list_contains(['的','是','不','了'], x))) AS s_zh
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_bpeish, punct_ratio, stopword_ratio, mean_word_len,
+      |  round(least(n_tokens / 20.0, 1.0) * 0.4 +
+      |        (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
+      |        least(stopword_ratio * 5.0, 1.0) * 0.2 +
+      |        (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+      |    AS quality,
+      |  CASE WHEN s_zh > greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
+      |       WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+      |       WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+      |       WHEN s_de > s_en THEN 'de'
+      |       ELSE 'en' END AS lang_pred
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---- text fingerprinting: dup-collision + injectivity invariants ----
+  def text_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithDups(s, dir)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("fp")).as("n_distinct_fp"),
+      countDistinct(col("text")).as("n_distinct_text"),
+      (countDistinct(col("fp")) === countDistinct(col("text"))).as("fp_injective"))
+  }
+
+  val textFingerprintSql =
+    """SELECT count(*) * 2 AS n_docs,
+      |  count(DISTINCT text) AS n_distinct_fp,
+      |  count(DISTINCT text) AS n_distinct_text,
+      |  true AS fp_injective
+      |FROM documents""".stripMargin
+
+  // ---- Shard (ref ops/shard.rs): deterministic 1-of-N input sharding ----
+  def shard(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir).orders
+    val world = 4
+    val sharded = o.withColumn("shard", pmod(xxhash64(col("o_orderkey")), lit(world)))
+    // every row lands in exactly one shard; rank r reads shard===r
+    sharded.groupBy("shard").agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("total_rows"), count(lit(1)).as("n_shards"))
+  }
+
+  val shardSql =
+    "SELECT count(*) AS total_rows, CAST(4 AS BIGINT) AS n_shards FROM orders"
+
+  // ---- checkpoint-resume (ref ops/stage_checkpoint_keys.rs /
+  // key_filtering.rs): anti-join processed keys on re-run ----
+  def checkpoint_resume(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir).orders
+    val processed = o.filter(col("o_orderkey") % 10 < 3).select(col("o_orderkey").as("done_key"))
+    o.join(processed, col("o_orderkey") === col("done_key"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_remaining"))
+      .orderBy("o_orderstatus")
+  }
+
+  val checkpointResumeSql =
+    """SELECT o_orderstatus, count(*) AS n_remaining FROM orders
+      |WHERE o_orderkey % 10 >= 3
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> (dedup_exact _),
+    "dedup_ngram_jaccard" -> (dedup_ngram_jaccard _),
+    "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
+    "dedup_simhash" -> (dedup_simhash _),
+    "dedup_embedding_cosine" -> (dedup_embedding_cosine _),
+    "similarity_topk" -> (similarity_topk _),
+    "similarity_ivf_recall" -> (similarity_ivf_recall _),
+    "text_stats" -> (text_stats _),
+    "text_fingerprint" -> (text_fingerprint _),
+    "shard" -> (shard _),
+    "checkpoint_resume" -> (checkpoint_resume _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "similarity_topk" -> similarityTopkSql,
+    "similarity_ivf_recall" -> similarityIvfRecallSql,
+    "text_stats" -> textStatsSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "shard" -> shardSql,
+    "checkpoint_resume" -> checkpointResumeSql)
+}
