@@ -20,7 +20,9 @@ object SparkEntry {
     graft.queries.Windows.queries ++
     graft.queries.Functions.queries ++
     graft.queries.AsofQueries.queries ++
-    graft.queries.Pipeline.queries
+    graft.queries.Pipeline.queries ++
+    graft.queries.Io.queries ++
+    graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +33,7 @@ object SparkEntry {
     graft.queries.Windows.oracle ++
     graft.queries.Functions.oracle ++
     graft.queries.AsofQueries.oracle ++
-    graft.queries.Pipeline.oracle
+    graft.queries.Pipeline.oracle ++
+    graft.queries.Io.oracle ++
+    graft.queries.Advanced.oracle
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Multimodal
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal plumbing, actor-style stateful UDFs, and Structured
+  * Streaming coverage. */
+object Advanced {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Multimodal pipeline: text → binary payload → per-partition lazy
+    * decoder (STUB pixels, real plumbing) → resize → tensor metadata. */
+  def multimodal_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val withBytes = t(s, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val decoded = Multimodal.decodeImages(withBytes, "payload", "img")
+    decoded
+      .withColumn("img_small", Multimodal.resize(col("img"), 64, 64))
+      .withColumn("tensor", Multimodal.toTensor(col("img_small")))
+      .select(
+        col("doc_id"),
+        col("img.height").as("h"),
+        col("img.width").as("w"),
+        col("img.mode").as("mode"),
+        col("img.channels").as("channels"),
+        col("img_small.height").as("h2"),
+        col("img_small.width").as("w2"),
+        aggregate(col("tensor.shape"), lit(1L), (acc, x) => acc * x).as("tensor_elems"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalPipelineSql =
+    """SELECT doc_id,
+      |  64 + (octet_length(encode(text)) % 512) AS h,
+      |  64 + ((octet_length(encode(text)) * 7) % 512) AS w,
+      |  'RGB' AS mode, 3 AS channels,
+      |  64 AS h2, 64 AS w2,
+      |  CAST(64 * 64 * 3 AS BIGINT) AS tensor_elems
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Actor-style stateful UDF (ref §2.7 @daft.cls actor pools): a
+    * per-partition lazily-initialized "model" applied row-wise via
+    * mapPartitions — state constructed once per partition, not per row. */
+  def udf_stateful(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir).events.select("event_id", "event_type", "value")
+    val schema = StructType(events.schema.fields :+ StructField("score", DoubleType))
+    val enc = Encoders.row(schema)
+    val scored = events.mapPartitions { rows =>
+      // stands in for loading a model/tokenizer once per executor core
+      lazy val model: Map[String, Double] = Map(
+        "click" -> 1.0, "view" -> 0.5, "purchase" -> 5.0,
+        "signup" -> 3.0, "error" -> -1.0)
+      rows.map { r =>
+        val w = model.getOrElse(r.getString(1), 0.0)
+        Row.fromSeq(r.toSeq :+ (r.getDouble(2) * w))
+      }
+    }(enc)
+    scored.select("event_id", "score").orderBy("event_id")
+  }
+
+  val udfStatefulSql =
+    """SELECT event_id,
+      |  value * (CASE event_type WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+      |           WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
+      |           WHEN 'error' THEN -1.0 ELSE 0.0 END) AS score
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Row-wise generator UDF → rows (ref §2.7 generator funcs → UDTF):
+    * repeat each order key priority-many times via explode over a
+    * computed sequence. */
+  def udf_generator(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).orders
+      .filter(col("o_orderkey") < 200)
+      .withColumn("n_copies", substring(col("o_orderpriority"), 1, 1).cast("int"))
+      .select(col("o_orderkey"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+      .orderBy("o_orderkey", "copy_idx")
+
+  val udfGeneratorSql =
+    """SELECT o_orderkey, unnest(range(1, CAST(substring(o_orderpriority,1,1) AS INT) + 1)) AS copy_idx
+      |FROM orders WHERE o_orderkey < 200
+      |ORDER BY o_orderkey, copy_idx""".stripMargin
+
+  /** Structured Streaming: watermarked tumbling-window counts (superset of
+    * the reference, which has no streaming engine — SURVEY §2.9). */
+  def streaming_window(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming
+      .windowedCounts(s, dir, s"graft_win_${math.abs(dir.hashCode)}")
+      .orderBy("day", "hr", "event_type")
+
+  val streamingWindowSql =
+    """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |  hour(CAST(ts AS TIMESTAMP)) AS hr,
+      |  event_type, count(*) AS n, sum(value) AS total_value
+      |FROM events
+      |GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""".stripMargin
+
+  /** Structured Streaming: gap-based sessionization with
+    * flatMapGroupsWithState (30-minute silence closes a session). */
+  def streaming_sessions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.sessionize(s, dir, gapMinutes = 30)
+      .orderBy("user_id")
+
+  val streamingSessionsSql =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(1 + sum(CASE WHEN prev IS NOT NULL AND tus - prev > 30*60*1000000 THEN 1 ELSE 0 END) AS INT)
+      |    AS n_sessions,
+      |  CAST(count(*) AS INT) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "multimodal_pipeline" -> (multimodal_pipeline _),
+    "udf_stateful" -> (udf_stateful _),
+    "udf_generator" -> (udf_generator _),
+    "streaming_window" -> (streaming_window _),
+    "streaming_sessions" -> (streaming_sessions _))
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_pipeline" -> multimodalPipelineSql,
+    "udf_stateful" -> udfStatefulSql,
+    "udf_generator" -> udfGeneratorSql,
+    "streaming_window" -> streamingWindowSql,
+    "streaming_sessions" -> streamingSessionsSql)
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources & sinks coverage (SURVEY §2.8): csv/json/parquet round-trips,
+  * hive-partitioned writes with partition pruning on read-back, glob file
+  * listing, and the SQL entry point (§3.2). Writes go under /tmp/graft_io
+  * (overwrite mode — driver may run Verify repeatedly). */
+object Io {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+  private val ioDir = "/tmp/graft_io"
+
+  /** CSV write → schema-inferring read → aggregate (read_csv/write_csv). */
+  def io_csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir).lineitem
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    src.write.mode("overwrite").option("header", "true").csv(s"$ioDir/lineitem_csv")
+    s.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$ioDir/lineitem_csv")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"),
+           sum("l_extendedprice").as("price"))
+      .orderBy("l_returnflag")
+  }
+
+  val ioCsvRoundtripSql =
+    """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty,
+      |  sum(l_extendedprice) AS price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Line-delimited JSON write → read (read_json/write_json). */
+  def io_json_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir).orders
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src.write.mode("overwrite").json(s"$ioDir/orders_json")
+    s.read.json(s"$ioDir/orders_json")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val ioJsonRoundtripSql =
+    """SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Hive-style partitioned parquet write (ref daft-writers partition.rs),
+    * then a read-back that prunes to one partition. */
+  def io_partitioned_write(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir).lineitem
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag")
+      .parquet(s"$ioDir/lineitem_part")
+    // partition pruning: only the l_returnflag=R directory is scanned
+    s.read.parquet(s"$ioDir/lineitem_part")
+      .filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("n_r"), sum("l_quantity").as("qty_r"))
+  }
+
+  val ioPartitionedWriteSql =
+    """SELECT count(*) AS n_r, sum(l_quantity) AS qty_r
+      |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
+
+  /** Glob listing → table (ref from_glob_path; Spark binaryFile source). */
+  def io_glob_files(s: SparkSession, dir: String): DataFrame = {
+    val files = s.read.format("binaryFile").load(s"$dir/*.parquet")
+      .select(element_at(split(col("path"), "/"), -1).as("fname"), col("length"))
+    files.agg(
+      count(lit(1)).as("n_files"),
+      concat_ws(",", sort_array(collect_list(col("fname")))).as("names"),
+      bool_and(col("length") > 0).as("all_nonempty"))
+  }
+
+  val ioGlobFilesSql =
+    """SELECT CAST(10 AS BIGINT) AS n_files,
+      |  'customer.parquet,documents.parquet,embeddings.parquet,events.parquet,lineitem.parquet,nation.parquet,orders.parquet,part.parquet,region.parquet,supplier.parquet' AS names,
+      |  true AS all_nonempty""".stripMargin
+
+  /** SQL entry point (§3.2): temp views + spark.sql with CTE, join,
+    * window — same logical IR as the DataFrame API. */
+  def sql_entry(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.orders.createOrReplaceTempView("v_orders")
+    tt.customer.createOrReplaceTempView("v_customer")
+    s.sql(
+      """WITH cust_orders AS (
+        |  SELECT c_mktsegment, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM v_orders JOIN v_customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, round(sum(o_totalprice), 2) AS top3_sum
+        |FROM cust_orders WHERE rk <= 3
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val sqlEntrySql =
+    """WITH cust_orders AS (
+      |  SELECT c_mktsegment, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment, round(sum(o_totalprice), 2) AS top3_sum
+      |FROM cust_orders WHERE rk <= 3
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "io_csv_roundtrip" -> (io_csv_roundtrip _),
+    "io_json_roundtrip" -> (io_json_roundtrip _),
+    "io_partitioned_write" -> (io_partitioned_write _),
+    "io_glob_files" -> (io_glob_files _),
+    "sql_entry" -> (sql_entry _))
+
+  val oracle: Map[String, String] = Map(
+    "io_csv_roundtrip" -> ioCsvRoundtripSql,
+    "io_json_roundtrip" -> ioJsonRoundtripSql,
+    "io_partitioned_write" -> ioPartitionedWriteSql,
+    "io_glob_files" -> ioGlobFilesSql,
+    "sql_entry" -> sqlEntrySql)
+}

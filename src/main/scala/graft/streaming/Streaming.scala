@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer — a superset of the reference (SURVEY §2.9:
+  * Daft has no watermark/trigger engine; its "streaming" is pipelined batch).
+  * Here: watermarked tumbling-window aggregation and gap-based
+  * sessionization via flatMapGroupsWithState, driven from the bounded
+  * events table so results are oracle-checkable. */
+object Streaming {
+
+  /** Stage the single events.parquet file into a directory so it can serve
+    * as a file-stream source. */
+  private def stageDir(sfDir: String): String = {
+    val out = Paths.get(s"/tmp/graft_stream/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Files.createDirectories(out)
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      out.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    out.toString
+  }
+
+  // raw file schema (ts is TIMESTAMP(NANOS) => read as long ns with
+  // nanosAsLong, converted to a µs timestamp below)
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling 1-hour windows per event_type with a watermark; complete
+    * output mode over the bounded source yields the full history. */
+  def windowedCounts(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    val dir = stageDir(sfDir)
+    val events = spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(
+        col("window.start").cast("date").as("day"),
+        hour(col("window.start")).as("hr"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  case class Ev(user_id: Long, tsMicros: Long)
+
+  /** Gap-based sessionization with flatMapGroupsWithState (ref §2.9 —
+    * KeyValueGroupedDataset custom state): sessions close after a 30-minute
+    * silence; emits (user_id, n_sessions, n_events). */
+  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val dir = stageDir(sfDir)
+    val gapMicros = gapMinutes * 60L * 1000000L
+
+    val events = spark.readStream.schema(rawSchema).parquet(dir)
+      .select(col("user_id"), floor(col("ts") / 1000L).cast("long").as("tsMicros"))
+      .as[Ev]
+
+    // count closed+open sessions per user over the whole bounded stream
+    val counts = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], (Long, Int, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[List[Long]]) =>
+          val all = (state.getOption.getOrElse(Nil) ++ rows.map(_.tsMicros)).sorted
+          state.update(all)
+          val sessions =
+            if (all.isEmpty) 0
+            else 1 + all.zip(all.tail).count { case (a, b) => b - a > gapMicros }
+          Iterator((uid, sessions, all.size))
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+
+    val name = s"graft_sessions_${System.nanoTime()}"
+    val q = counts.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
