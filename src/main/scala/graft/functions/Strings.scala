@@ -108,7 +108,7 @@ object Strings {
   def hamming(a: Column, b: Column): Column = hammingUdf(a, b)
 
   /** Jaro similarity (standard: match window = max(len)/2 - 1). */
-  private[functions] def jaroSim(a: String, b: String): Double = {
+  private[graft] def jaroSim(a: String, b: String): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
     if (a.isEmpty || b.isEmpty) return 0.0
     val window = math.max(0, math.max(a.length, b.length) / 2 - 1)

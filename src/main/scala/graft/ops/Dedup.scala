@@ -129,7 +129,7 @@ object Dedup {
     val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", GDist.cosineSimilarity(col("va"), col("vb")))
+      .withColumn("cos_sim", GDist.cosineSimilarityNative(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }

@@ -20,7 +20,7 @@ object Similarity {
       qId: String, qVec: String, cId: String, cVec: String, k: Int): DataFrame = {
     val scored = corpus.join(
         broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv"))))
-      .withColumn("cos_sim", GDist.cosineSimilarity(col("qv"), col(cVec)))
+      .withColumn("cos_sim", GDist.cosineSimilarityNative(col("qv"), col(cVec)))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(cId).asc)
     scored
       .withColumn("rk", row_number().over(w))
@@ -67,7 +67,7 @@ object Similarity {
       .select(col(qId).as("query_id"), col(qVec).as("qv"), col("cell"))
 
     val scored = queryCells.join(corpusCells, Seq("cell"))
-      .withColumn("cos_sim", GDist.cosineSimilarity(col("qv"), col(cVec)))
+      .withColumn("cos_sim", GDist.cosineSimilarityNative(col("qv"), col(cVec)))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(cId).asc)
     scored
       .withColumn("rk", row_number().over(w))

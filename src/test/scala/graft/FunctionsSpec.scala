@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.{Distance => GDist, Misc => GMisc, Strings => GStr}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("jaro similarity matches known values") {
+    assert(math.abs(GStr.jaroSim("martha", "marhta") - 0.9444444444444445) < 1e-12)
+    assert(GStr.jaroSim("", "") == 1.0)
+    assert(GStr.jaroSim("abc", "") == 0.0)
+    assert(GStr.jaroSim("abc", "abc") == 1.0)
+  }
+
+  test("string distance UDFs on a DataFrame") {
+    val df = Seq(("martha", "marhta"), ("ca", "abc"), ("abc", "abd"))
+      .toDF("a", "b")
+      .select(
+        GStr.jaroWinkler($"a", $"b").as("jw"),
+        GStr.damerauLevenshtein($"a", $"b").as("dl"),
+        GStr.hamming($"a", $"b").as("ham"))
+      .collect()
+    assert(math.abs(df(0).getDouble(0) - 0.9611111111111111) < 1e-12) // martha/marhta
+    assert(df(1).getLong(1) == 2) // ca->abc full damerau-levenshtein
+    assert(df(2).getLong(2) == 1) // abc vs abd
+    assert(df(1).isNullAt(2))     // hamming undefined for unequal lengths
+  }
+
+  test("case converters") {
+    val r = Seq("hello worldFoo x9").toDF("s")
+      .select(
+        GStr.camelCase($"s"), GStr.snakeCase($"s"),
+        GStr.kebabCase($"s"), GStr.titleCase($"s"))
+      .head()
+    assert(r.getString(0) == "helloWorldFooX9")
+    assert(r.getString(1) == "hello_world_foo_x9")
+    assert(r.getString(2) == "hello-world-foo-x9")
+    assert(r.getString(3) == "Hello World Foo X9")
+  }
+
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(0.5f, -0.25f, 8.0f), Array(1.5f, 0.75f, -2.0f)))
+      .toDF("a", "b")
+      .select(
+        GDist.cosineSimilarity($"a", $"b").as("hof"),
+        GDist.cosineSimilarityNative($"a", $"b").as("native"))
+      .collect()
+    df.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // known value: cos((1,2,3),(3,2,1)) = 10/14
+    assert(math.abs(df(0).getDouble(1) - 10.0 / 14.0) < 1e-15)
+  }
+
+  test("minhash signatures: identical inputs collide, k respected") {
+    val s1 = GMisc.minhashSignature(Seq("a b c", "b c d"), 32, 1L)
+    val s2 = GMisc.minhashSignature(Seq("b c d", "a b c"), 32, 1L) // order-insensitive
+    assert(s1.length == 32 && s1.sameElements(s2))
+    val s3 = GMisc.minhashSignature(Seq("x y z"), 32, 1L)
+    assert(!s1.sameElements(s3))
+  }
+
+  test("simhash: identical token sets collide; hamming of disjoint sets > 0") {
+    val a = GMisc.simhash64(Seq("a", "b", "c"), 0L)
+    val b = GMisc.simhash64(Seq("c", "b", "a"), 0L)
+    assert(a == b)
+    val c = GMisc.simhash64(Seq("x", "y", "z", "w", "v"), 0L)
+    assert(java.lang.Long.bitCount(a ^ c) > 0)
+  }
+
+  test("binary codecs round-trip") {
+    val payload = "graft engine éü payload".getBytes("UTF-8")
+    val df = Seq(Tuple1(payload)).toDF("b")
+    for (codec <- Seq("gzip", "zlib", "deflate")) {
+      val rt = df.select(
+        graft.functions.Binary.decompress(
+          graft.functions.Binary.compress($"b", codec), codec).as("rt"))
+        .head().getAs[Array[Byte]]("rt")
+      assert(rt.sameElements(payload), s"codec $codec failed round-trip")
+    }
+  }
+}

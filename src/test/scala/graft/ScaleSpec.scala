@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-posture checks: plans must keep the shapes that survive a 100×
+  * scale-up — filters/projections pushed into the parquet scan, small
+  * dimensions broadcast, whole-stage codegen on the hot paths. The
+  * reference gets these from its own optimizer (SURVEY §4); we assert
+  * Catalyst actually produces them for our plans. */
+class ScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: filter + projection pushed down to the parquet scan") {
+    val plan = executedPlan(queries.Tpch.q6(spark, dir))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("l_shipdate"), "shipdate filter should reach the scan")
+    // projection pruning: schema read must not include unused columns
+    assert(!plan.contains("l_orderkey"), "q6 must not read l_orderkey")
+  }
+
+  test("q3: dimension join is broadcast, not shuffled") {
+    val plan = executedPlan(queries.Tpch.q3(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q1: two-phase hash aggregation with map-side partial combine") {
+    val plan = executedPlan(queries.Tpch.q1(spark, dir))
+    assert(plan.contains("HashAggregate"), "hash aggregate expected")
+    assert(plan.contains("partial_sum"), "map-side partial aggregation expected")
+  }
+
+  test("top_n compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = executedPlan(queries.Relational.top_n(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("native cosine expression stays inside whole-stage codegen") {
+    val e = Tables(spark, dir).embeddings
+    val df = e.select(
+      graft.functions.Distance.cosineSimilarityNative(col("embedding"), col("embedding")).as("c"))
+    // whole-stage-codegen stages print as "*(n)" in the executed plan
+    val plan = executedPlan(df)
+    assert(plan.contains("*(1) Project [cosinesimilarityexpr"),
+      s"expected the native expression inside a codegen stage:\n$plan")
+  }
+
+  test("shuffle partitions are configured for local core count, not 200") {
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 64)
+    assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
+  }
+}
