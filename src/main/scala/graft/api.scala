@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-facing facade — the reference's `daft` top-level module re-expressed
+  * for Spark. A reference user maps their program 1:1:
+  *
+  * {{{
+  * import graft.Graft
+  * import graft.implicits._
+  *
+  * val spark = Graft.session()
+  * val df = Graft.readParquet(spark, "/data/lineitem.parquet")
+  * df.where(col("l_quantity") > 10)
+  *   .groupBy("l_returnflag").agg(sum("l_quantity"))
+  *
+  * // operators the reference has and Spark lacks:
+  * left.asofJoin(right, "ts", "p_ts", Seq("user_id"), Seq("p_user"))
+  * docs.dedupExact(Seq("text"), keepBy = "doc_id")
+  * docs.minhashDedup("doc_id", "text", shingleN = 3, threshold = 0.8)
+  * corpus.similarTopK(queries, "vec_id", "embedding", k = 10)
+  * }}}
+  */
+object Graft {
+  def session(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = Engine.session(cores)
+    graft.expressions.CosineSimilarityExpr.register(s)
+    s
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+  def fromGlobPath(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("length"), col("modificationTime"))
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+}
+
+/** Extension methods putting the reference's DataFrame verbs (and graft's
+  * custom operators) directly on Spark DataFrames. */
+object implicits {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ---- reference verbs that are thin renames ----
+    def exclude(cols: String*): DataFrame = df.drop(cols: _*)
+    def withColumnsRenamedMap(m: Map[String, String]): DataFrame = df.withColumnsRenamed(m)
+    def concatDf(other: DataFrame): DataFrame = df.union(other)
+    def intoPartitions(n: Int): DataFrame = df.coalesce(n)
+    def shufflePartitions(n: Int): DataFrame = df.repartition(n)
+
+    /** Daft `dedup` on a column subset, keeping the first row by `keepBy`. */
+    def dedupExact(dupCols: Seq[String], keepBy: String): DataFrame =
+      ops.Dedup.exact(df, dupCols, keepBy)
+
+    /** Daft `join_asof`. */
+    def asofJoin(right: DataFrame, leftOn: String, rightOn: String,
+        leftBy: Seq[String] = Nil, rightBy: Seq[String] = Nil,
+        strategy: ops.AsofJoin.Strategy = ops.AsofJoin.Backward,
+        toleranceMicros: Option[Long] = None): DataFrame =
+      ops.AsofJoin.join(df, right, leftOn, rightOn, leftBy, rightBy, strategy, toleranceMicros)
+
+    /** MinHash+LSH near-dup pairs over a text column. */
+    def minhashDedup(idCol: String, textCol: String, shingleN: Int = 3,
+        k: Int = 64, bandRows: Int = 1, threshold: Double = 0.8): DataFrame =
+      ops.Dedup.minhashLshPairs(df, idCol, textCol, shingleN, k, bandRows, threshold)
+
+    /** Exact n-gram jaccard near-dup pairs (inverted index). */
+    def ngramDedup(idCol: String, textCol: String, n: Int = 3,
+        threshold: Double = 0.8): DataFrame =
+      ops.Dedup.ngramJaccardPairs(df, idCol, textCol, n, threshold)
+
+    /** Brute-force cosine top-k of `queries` against this corpus. */
+    def similarTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+      ops.Similarity.bruteForceTopK(queries, df, idCol, vecCol, idCol, vecCol, k)
+
+    /** 1-of-N deterministic shard (ref ops/shard.rs). */
+    def shard(worldSize: Int, rank: Int, keyCol: String): DataFrame =
+      df.filter(pmod(xxhash64(col(keyCol)), lit(worldSize)) === rank)
+
+    /** Per-column summary stats (ref describe/summarize). */
+    def summarizeCols(cols: String*): DataFrame = {
+      val parts = cols.map { c =>
+        df.agg(
+          lit(c).as("column"),
+          count(col(c)).as("cnt"),
+          (count(lit(1)) - count(col(c))).as("nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_str"),
+          max(col(c)).cast("string").as("max_str"))
+      }
+      parts.reduce(_ union _)
+    }
+  }
+
+  implicit class GraftColumnOps(private val c: Column) extends AnyVal {
+    def jaroWinkler(other: Column): Column = functions.Strings.jaroWinkler(c, other)
+    def cosineSim(other: Column): Column = functions.Distance.cosineSimilarityNative(c, other)
+    def tokenCount: Column = ops.TextAnalysis.tokenCount(c)
+    def qualityScore: Column = ops.TextAnalysis.qualityScore(c)
+    def langId: Column = ops.TextAnalysis.langId(c)
+    def fingerprint: Column = ops.TextAnalysis.fingerprint(c)
+    def minhash(k: Int, seed: Long = 1L): Column = functions.Misc.minhash(c, k, seed)
+    def simhash: Column = functions.Misc.simhash(c)
+  }
+}

@@ -116,7 +116,31 @@ object Advanced {
       |  CAST(count(*) AS INT) AS n_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Tokenize encode/decode round-trip over a corpus-built vocabulary
+    * (ref str.py tokenize_encode/decode). */
+  def tokenize_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Tokenize
+    val docs = t(s, dir).documents
+    val vocab = Tokenize.buildVocab(docs, "text")
+    val enc = Tokenize.encode(docs, "doc_id", "text", vocab)
+    val dec = Tokenize.decode(enc, "doc_id", "ids", vocab)
+    docs.select(col("doc_id"), col("text"))
+      .join(enc, "doc_id")
+      .join(dec, "doc_id")
+      .select(
+        col("doc_id"),
+        size(col("ids")).as("n_ids"),
+        (col("decoded") === col("text")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
+  val tokenizeRoundtripSql =
+    """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ids,
+      |  true AS roundtrip_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tokenize_roundtrip" -> (tokenize_roundtrip _),
     "multimodal_pipeline" -> (multimodal_pipeline _),
     "udf_stateful" -> (udf_stateful _),
     "udf_generator" -> (udf_generator _),
@@ -124,6 +148,7 @@ object Advanced {
     "streaming_sessions" -> (streaming_sessions _))
 
   val oracle: Map[String, String] = Map(
+    "tokenize_roundtrip" -> tokenizeRoundtripSql,
     "multimodal_pipeline" -> multimodalPipelineSql,
     "udf_stateful" -> udfStatefulSql,
     "udf_generator" -> udfGeneratorSql,

@@ -1,0 +1,51 @@
+package graft
+
+import graft.implicits._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The user-facing facade: a reference user's verbs through graft.implicits. */
+class ApiSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("facade session registers the SQL cosine function") {
+    graft.expressions.CosineSimilarityExpr.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c")
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("DataFrame extension verbs compose") {
+    val docs = Tables(spark, dir).documents
+    val deduped = docs.union(docs.withColumn("doc_id", col("doc_id") + 10000))
+      .dedupExact(Seq("text"), keepBy = "doc_id")
+    assert(deduped.count() == docs.count())
+
+    val sharded = (0 until 4).map(r => Tables(spark, dir).orders.shard(4, r, "o_orderkey"))
+    assert(sharded.map(_.count()).sum == Tables(spark, dir).orders.count())
+
+    val summary = docs.summarizeCols("doc_id", "lang")
+    assert(summary.count() == 2)
+  }
+
+  test("asofJoin through the implicit API") {
+    val e = Tables(spark, dir).events
+    val clicks = e.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("puser"), col("ts").as("pts"))
+    val joined = clicks.asofJoin(purchases, "ts", "pts", Seq("user_id"), Seq("puser"))
+    assert(joined.count() == clicks.count())
+  }
+
+  test("tokenize round-trips through a corpus vocab") {
+    val docs = Tables(spark, dir).documents.limit(50)
+    val vocab = ops.Tokenize.buildVocab(docs, "text")
+    val enc = ops.Tokenize.encode(docs, "doc_id", "text", vocab)
+    val dec = ops.Tokenize.decode(enc, "doc_id", "ids", vocab)
+    val bad = docs.join(dec, "doc_id").filter(col("decoded") =!= col("text")).count()
+    assert(bad == 0)
+  }
+}
