@@ -96,37 +96,119 @@ object AsofJoin {
         val rs = rIt.toArray
         java.util.Arrays.sort(ls, Ordering.by((r: Row) => r.getLong(nLeft + 1)))
         java.util.Arrays.sort(rs, Ordering.by((r: Row) => r.getLong(nRight + 1)))
-        val rTimes = rs.map(_.getLong(nRight + 1))
-        val nullRight = Seq.fill(nRight)(null)
-        var j = 0 // index of first right with t > current threshold (backward)
-        val out = ls.iterator.map { lRow =>
-          val t = lRow.getLong(nLeft + 1)
-          // advance: j = count of right rows with rTime <= t
-          while (j < rs.length && rTimes(j) <= t) j += 1
-          val backIdx = j - 1                       // last <= t, or -1
-          val fwdIdx = if (j < rs.length) j else -1 // first > t
-          // forward means >=, so an exact match (== t) is backIdx as well
-          val fwdGeIdx =
-            if (backIdx >= 0 && rTimes(backIdx) == t) backIdx else fwdIdx
-          val pick: Int = strat match {
-            case Backward => backIdx
-            case Forward  => fwdGeIdx
-            case Nearest =>
-              (backIdx, fwdIdx) match {
-                case (-1, f)  => f
-                case (b, -1)  => b
-                case (b, f) =>
-                  if (t - rTimes(b) <= rTimes(f) - t) b else f
-              }
-          }
-          val withinTol = pick >= 0 && tol.forall(m => math.abs(t - rTimes(pick)) <= m)
-          val rightVals =
-            if (withinTol) rs(pick).toSeq.take(nRight) else nullRight
-          Row.fromSeq(lRow.toSeq.take(nLeft) ++ rightVals)
-        }
-        out
+        mergeSorted(ls, rs, nLeft, nRight, strat, tol)
       }
     }(outEnc)
       .toDF()
+  }
+
+  /** Two-pointer merge of time-sorted left/right row arrays (shared by the
+    * by-key and global paths). */
+  private def mergeSorted(
+      ls: Array[Row], rs: Array[Row], nLeft: Int, nRight: Int,
+      strat: Strategy, tol: Option[Long]): Iterator[Row] = {
+    val rTimes = rs.map(_.getLong(nRight + 1))
+    val nullRight = Seq.fill(nRight)(null)
+    var j = 0 // count of right rows with rTime <= current left t
+    ls.iterator.map { lRow =>
+      val t = lRow.getLong(nLeft + 1)
+      while (j < rs.length && rTimes(j) <= t) j += 1
+      val backIdx = j - 1                       // last <= t, or -1
+      val fwdIdx = if (j < rs.length) j else -1 // first > t
+      // forward means >=, so an exact match (== t) is backIdx as well
+      val fwdGeIdx =
+        if (backIdx >= 0 && rTimes(backIdx) == t) backIdx else fwdIdx
+      val pick: Int = strat match {
+        case Backward => backIdx
+        case Forward  => fwdGeIdx
+        case Nearest =>
+          (backIdx, fwdIdx) match {
+            case (-1, f) => f
+            case (b, -1) => b
+            case (b, f)  => if (t - rTimes(b) <= rTimes(f) - t) b else f
+          }
+      }
+      val withinTol = pick >= 0 && tol.forall(m => math.abs(t - rTimes(pick)) <= m)
+      val rightVals =
+        if (withinTol) rs(pick).toSeq.take(nRight) else nullRight
+      Row.fromSeq(lRow.toSeq.take(nLeft) ++ rightVals)
+    }
+  }
+
+  /** Global as-of join (no by-keys) that does NOT collapse to one group —
+    * the range-partitioned upgrade path (SURVEY §7.3 hard-part #1):
+    *
+    *  1. Range-partition the union of both sides on the time key, sorted
+    *     within partitions — co-locates every left row with the right rows
+    *     of its time range.
+    *  2. First pass computes per-partition right-row boundary summaries
+    *     (earliest/latest right row of each partition) — N_partitions rows
+    *     collected to the driver (tiny) and broadcast back.
+    *  3. Second pass merges each partition with the carried-in neighbor
+    *     rows, so backward matches before the partition's first right row,
+    *     forward matches after its last, and nearest across boundaries are
+    *     all exact.
+    */
+  def joinGlobal(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: String,
+      rightOn: String,
+      strategy: Strategy = Backward,
+      toleranceMicros: Option[Long] = None,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = left.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val nLeft = left.schema.size
+    val nRight = right.schema.size
+    val rightOut = StructType(right.schema.map(_.copy(nullable = true)))
+    val outSchema = StructType(left.schema.fields ++ rightOut.fields)
+
+    // tag sides and align schemas: (t, side, leftFields..., rightFields...)
+    val lCols = left.schema.fieldNames.map(col) ++ rightOut.fieldNames.map(n => lit(null).cast(rightOut(n).dataType).as(n))
+    val rCols = left.schema.fieldNames.map(n => lit(null).cast(left.schema(n).dataType).as(n)) ++ right.schema.fieldNames.map(col)
+    val lTagged = left.select((Seq(timeExpr(left, leftOn).as("__graft_t"), lit(0).as("__graft_side")) ++ lCols): _*)
+    val rTagged = right.select((Seq(timeExpr(right, rightOn).as("__graft_t"), lit(1).as("__graft_side")) ++ rCols): _*)
+    val union = lTagged.unionByName(rTagged)
+      .repartitionByRange(parts, col("__graft_t"))
+      .sortWithinPartitions("__graft_t", "__graft_side")
+
+    val taggedSchema = union.schema
+    val enc = Encoders.row(taggedSchema)
+    val unionDs = union.as(enc)
+
+    // pass 1: per-partition first/last RIGHT rows (whole tagged rows)
+    val summaries: Array[(Int, Row, Row)] = unionDs.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var first: Row = null
+        var last: Row = null
+        it.foreach { r =>
+          if (r.getInt(1) == 1) { if (first == null) first = r; last = r }
+        }
+        if (first == null) Iterator.empty else Iterator((pid, first, last))
+      }
+      .collect()
+    val bcSummaries = spark.sparkContext.broadcast(summaries)
+    val strat = strategy
+    val tol = toleranceMicros
+
+    val merged = unionDs.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rows = it.toArray
+      val sums = bcSummaries.value
+      // carry-ins: latest right row from any earlier partition, earliest
+      // right row from any later partition
+      val before = sums.filter(_._1 < pid).sortBy(_._1).lastOption.map(_._3)
+      val after = sums.filter(_._1 > pid).sortBy(_._1).headOption.map(_._2)
+      val localRights = rows.filter(_.getInt(1) == 1)
+      val rs = (before.toArray ++ localRights ++ after.toArray)
+        .map(r => Row.fromSeq(r.toSeq.drop(2 + nLeft) :+ "" :+ r.getLong(0)))
+      val ls = rows.filter(_.getInt(1) == 0)
+        .map(r => Row.fromSeq(r.toSeq.slice(2, 2 + nLeft) :+ "" :+ r.getLong(0)))
+      mergeSorted(ls, rs, nLeft, nRight, strat, tol)
+    }
+    spark.createDataFrame(merged, outSchema)
   }
 }

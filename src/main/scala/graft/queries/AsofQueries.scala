@@ -92,13 +92,31 @@ object AsofQueries {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** Global (no by-keys) as-of join via the range-partitioned two-pass
+    * implementation — does not collapse to one partition. */
+  def asof_global(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = sides(s, dir)
+    AsofJoin.joinGlobal(clicks, purchases, "ts", "p_ts", AsofJoin.Backward)
+      .select("event_id", "p_event_id")
+      .orderBy("event_id")
+  }
+
+  val asofGlobalSql =
+    """SELECT l.event_id, r.event_id AS p_event_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "asof_global" -> (asof_global _),
     "asof_backward" -> (asof_backward _),
     "asof_forward" -> (asof_forward _),
     "asof_nearest" -> (asof_nearest _),
     "asof_tolerance" -> (asof_tolerance _))
 
   val oracle: Map[String, String] = Map(
+    "asof_global" -> asofGlobalSql,
     "asof_backward" -> asofBackwardSql,
     "asof_forward" -> asofForwardSql,
     "asof_nearest" -> asofNearestSql,

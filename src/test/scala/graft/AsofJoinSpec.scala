@@ -63,6 +63,39 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  for (strategy <- Seq(AsofJoin.Backward, AsofJoin.Forward, AsofJoin.Nearest)) {
+    test(s"global asof $strategy (range-partitioned) matches brute force") {
+      val noKeyLeft = leftRows.map { case (id, _, t) => (id, 0L, t) }
+      val noKeyRight = rightRows.map { case (id, _, t) => (id, 0L, t) }
+      val got = AsofJoin.joinGlobal(
+          mkDf(noKeyLeft, "l"), mkDf(noKeyRight, "r"), "lt", "rt", strategy,
+          numPartitions = 7)
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(5)).map(_.asInstanceOf[Long]))
+        .toMap
+      val expect = noKeyLeft.map { case (id, _, t) =>
+        val pick = strategy match {
+          case AsofJoin.Backward =>
+            val le = noKeyRight.filter(_._3 <= t)
+            if (le.isEmpty) None else Some(le.map(_._3).max)
+          case AsofJoin.Forward =>
+            val ge = noKeyRight.filter(_._3 >= t)
+            if (ge.isEmpty) None else Some(ge.map(_._3).min)
+          case AsofJoin.Nearest =>
+            if (noKeyRight.isEmpty) None
+            else {
+              val minDiff = noKeyRight.map(c => math.abs(c._3 - t)).min
+              Some(noKeyRight.filter(c => math.abs(c._3 - t) == minDiff).map(_._3).min)
+            }
+        }
+        id -> pick
+      }.toMap
+      assert(got.size == noKeyLeft.size)
+      val diffs = expect.collect { case (id, e) if got(id) != e => (id, e, got(id)) }
+      assert(diffs.isEmpty, s"mismatches: ${diffs.take(5)}")
+    }
+  }
+
   test("asof tolerance nulls far matches") {
     val got = AsofJoin.join(
         mkDf(leftRows, "l"), mkDf(rightRows, "r"), "lt", "rt",
