@@ -139,7 +139,25 @@ object Advanced {
       |  true AS roundtrip_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** VLLMProject analog: prefix-routed micro-batched generation with a
+    * deterministic stub client (ref ops/vllm.rs). */
+  def llm_generate(s: SparkSession, dir: String): DataFrame = {
+    val prompts = t(s, dir).documents
+      .select(col("doc_id"), concat(lit("summarize: "), col("text")).as("prompt"))
+    graft.ops.LlmInference.generate(prompts, "prompt", "response", maxBatchSize = 16)
+      .select(col("doc_id"), col("response"))
+      .orderBy("doc_id")
+  }
+
+  val llmGenerateSql =
+    """SELECT doc_id,
+      |  array_to_string(string_split_regex(trim('summarize: ' || text), '\s+')[1:5], ' ')
+      |    || ' [' || len(string_split_regex(trim('summarize: ' || text), '\s+')) || ' tokens]'
+      |    AS response
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_generate" -> (llm_generate _),
     "tokenize_roundtrip" -> (tokenize_roundtrip _),
     "multimodal_pipeline" -> (multimodal_pipeline _),
     "udf_stateful" -> (udf_stateful _),
@@ -148,6 +166,7 @@ object Advanced {
     "streaming_sessions" -> (streaming_sessions _))
 
   val oracle: Map[String, String] = Map(
+    "llm_generate" -> llmGenerateSql,
     "tokenize_roundtrip" -> tokenizeRoundtripSql,
     "multimodal_pipeline" -> multimodalPipelineSql,
     "udf_stateful" -> udfStatefulSql,
