@@ -9,20 +9,26 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.session(cpus)
 
+    // Drain through the noop sink: unlike count(), this computes every
+    // output column (count() would let Catalyst prune the aggregate
+    // expressions and under-measure the query).
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     val headline = (1 to 10).map(i => s"q$i")
     // JVM/codegen warmup on the smallest SF so measured numbers reflect
     // steady-state execution, not first-query classloading.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       headline.foreach { n =>
-        try SparkEntry.queries(n)(spark, warmDir).count()
+        try drain(SparkEntry.queries(n)(spark, warmDir))
         catch { case _: Throwable => () }
       }
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try drain(fn(spark, sfDir))
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -405,7 +405,35 @@ object Functions {
     """SELECT doc_id, 16 AS sig_len, true AS mh_self_eq, CAST(0 AS BIGINT) AS sh_self_dist
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  /** URL parsing (ref daft/functions/url.py parse_url; download/upload need
+    * network IO — see Multimodal notes). Synthetic URLs built from table
+    * columns, parsed with Spark's parse_url. */
+  def fn_url(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).customer
+      .filter(col("c_custkey") <= 300)
+      .withColumn("url",
+        concat(lit("https://shop.example.com/seg/"), lower(col("c_mktsegment")),
+          lit("/cust?(id)="), col("c_custkey"), lit("&n="), col("c_nationkey")))
+      .select(
+        col("c_custkey"),
+        parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("n")).as("q_n"))
+      .orderBy("c_custkey")
+
+  val fnUrlSql =
+    """SELECT c_custkey,
+      |  'https' AS proto,
+      |  'shop.example.com' AS host,
+      |  '/seg/' || lower(c_mktsegment) || '/cust' AS path,
+      |  '(id)=' || c_custkey || '&n=' || c_nationkey AS query,
+      |  CAST(c_nationkey AS VARCHAR) AS q_n
+      |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fn_url" -> (fn_url _),
     "fn_strings_basic" -> (fn_strings_basic _),
     "fn_strings_case" -> (fn_strings_case _),
     "fn_strings_distance" -> (fn_strings_distance _),
@@ -421,6 +449,7 @@ object Functions {
     "fn_minhash_simhash" -> (fn_minhash_simhash _))
 
   val oracle: Map[String, String] = Map(
+    "fn_url" -> fnUrlSql,
     "fn_strings_basic" -> fnStringsBasicSql,
     "fn_strings_case" -> fnStringsCaseSql,
     "fn_strings_distance" -> fnStringsDistanceSql,
