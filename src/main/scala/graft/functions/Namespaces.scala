@@ -156,5 +156,6 @@ object Partitioning {
   def months(c: Column): Column = date_format(c, "yyyy-MM")
   def years(c: Column): Column = year(c)
   def bucket(n: Int, c: Column): Column = pmod(hash(c), lit(n))
-  def truncate(w: Int, c: Column): Column = (c.cast("long") / w) * w
+  def truncate(w: Int, c: Column): Column =
+    (floor(c.cast("double") / w) * w).cast("long")
 }

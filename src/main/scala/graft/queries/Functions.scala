@@ -432,7 +432,64 @@ object Functions {
       |  CAST(c_nationkey AS VARCHAR) AS q_n
       |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
 
+  /** Struct/Map namespace (ref daft/functions/struct.py + map helpers):
+    * construction, field/key access, keys/values extraction. */
+  def fn_struct_map(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Structs => St}
+    t(s, dir).part
+      .filter(col("p_partkey") <= 300)
+      .withColumn("m", St.mapFromArrays(
+        array(lit("brand"), lit("type")), array(col("p_brand"), col("p_type"))))
+      .withColumn("st", St.toStruct(col("p_size").as("size"), col("p_retailprice").as("price")))
+      .select(
+        col("p_partkey"),
+        St.mapGet(col("m"), lit("brand")).as("brand_val"),
+        array_join(St.mapKeys(col("m")), ",").as("keys_joined"),
+        array_join(St.mapValues(col("m")), ",").as("vals_joined"),
+        St.get(col("st"), "size").as("size_field"),
+        (St.get(col("st"), "price") * 2).as("price_x2"))
+      .orderBy("p_partkey")
+  }
+
+  val fnStructMapSql =
+    """SELECT p_partkey,
+      |  map(['brand','type'], [p_brand, p_type])['brand'][1] AS brand_val,
+      |  'brand,type' AS keys_joined,
+      |  p_brand || ',' || p_type AS vals_joined,
+      |  p_size AS size_field,
+      |  p_retailprice * 2 AS price_x2
+      |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin
+
+  /** Partitioning transforms (ref daft/functions/partition.py: days/months/
+    * years, iceberg bucket/truncate). Bucket values are hash-specific, so
+    * the checked invariant is range + totality; the rest is exact. */
+  def fn_partitioning(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Partitioning => P}
+    t(s, dir).orders
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        P.days(col("o_orderdate")).as("p_day"),
+        P.months(col("o_orderdate")).as("p_month"),
+        P.years(col("o_orderdate")).as("p_year"),
+        P.truncate(1000, col("o_totalprice")).as("p_price_trunc"),
+        (P.bucket(16, col("o_custkey")) >= 0 && P.bucket(16, col("o_custkey")) < 16)
+          .as("bucket_in_range"))
+      .orderBy("o_orderkey")
+  }
+
+  val fnPartitioningSql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS p_day,
+      |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS p_month,
+      |  year(o_orderdate) AS p_year,
+      |  CAST(floor(o_totalprice / 1000) * 1000 AS BIGINT) AS p_price_trunc,
+      |  true AS bucket_in_range
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fn_partitioning" -> (fn_partitioning _),
+    "fn_struct_map" -> (fn_struct_map _),
     "fn_url" -> (fn_url _),
     "fn_strings_basic" -> (fn_strings_basic _),
     "fn_strings_case" -> (fn_strings_case _),
@@ -449,6 +506,8 @@ object Functions {
     "fn_minhash_simhash" -> (fn_minhash_simhash _))
 
   val oracle: Map[String, String] = Map(
+    "fn_partitioning" -> fnPartitioningSql,
+    "fn_struct_map" -> fnStructMapSql,
     "fn_url" -> fnUrlSql,
     "fn_strings_basic" -> fnStringsBasicSql,
     "fn_strings_case" -> fnStringsCaseSql,
