@@ -15,6 +15,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     graft.queries.Tpch.queries ++
+    graft.queries.Tpch2.queries ++
     graft.queries.Relational.queries ++
     graft.queries.Aggregates.queries ++
     graft.queries.Windows.queries ++
@@ -28,6 +29,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Tpch.oracle ++
+    graft.queries.Tpch2.oracle ++
     graft.queries.Relational.oracle ++
     graft.queries.Aggregates.oracle ++
     graft.queries.Windows.oracle ++

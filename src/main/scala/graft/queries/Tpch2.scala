@@ -1,0 +1,340 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** TPC-H q11..q22, adapted to the testdata schema (no partsupp, no
+  * commit/receipt dates, no phone/comment columns — substitutions noted
+  * per query). Mirrors the reference's full TPC-H test corpus
+  * (`benchmarking/tpch/answers.py`, `tests/assets/tpch-sqlite-queries/`). */
+object Tpch2 {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Q11 (adapted): high-value parts supplied by NATION_5 suppliers —
+    * value > 0.1% of that nation's total (scalar subquery over the same
+    * aggregate). */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val base = tt.lineitem
+      .join(tt.supplier.filter(col("s_nationkey") === 5), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice")).as("value"))
+    val total = base.agg(sum("value").as("tot"))
+    base.crossJoin(broadcast(total))
+      .filter(col("value") > col("tot") * 0.001)
+      .select("l_partkey", "value")
+      .orderBy(col("value").desc, col("l_partkey").asc)
+  }
+
+  val q11Sql =
+    """SELECT l_partkey, sum(l_extendedprice) AS value
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_nationkey = 5
+      |GROUP BY l_partkey
+      |HAVING sum(l_extendedprice) > (
+      |  SELECT sum(l_extendedprice) * 0.001
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey = 5)
+      |ORDER BY value DESC, l_partkey ASC""".stripMargin
+
+  /** Q12 (adapted: priority classes instead of ship modes): late-shipment
+    * counts by line status, split urgent/non-urgent. */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.orders
+      .join(tt.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+              col("l_shipdate") > col("o_orderdate"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12Sql =
+    """SELECT l_linestatus,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Q13: customer order-count distribution (left join, nested agg). */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val perCust = tt.customer
+      .join(tt.orders.filter(col("o_orderpriority") =!= "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q14: promo revenue share in a month. */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.lineitem
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(tt.part, col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("promo_revenue"))
+  }
+
+  val q14Sql =
+    """SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |  / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+  /** Q15: top supplier(s) by quarterly revenue (revenue = max revenue). */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val revenue = tt.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+    val maxRev = revenue.agg(max("total_revenue").as("mr"))
+    revenue.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("mr"))
+      .join(tt.supplier, col("supplier_no") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM revenue JOIN supplier ON supplier_no = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q16 (adapted, no partsupp): distinct supplier counts per
+    * (brand, type, size-band), excluding one brand. */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.lineitem
+      .join(tt.part.filter(col("p_brand") =!= "Brand#3"),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("size_band", floor(col("p_size") / 10).cast("int"))
+      .groupBy("p_brand", "p_type", "size_band")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_type").asc,
+        col("size_band").asc)
+  }
+
+  val q16Sql =
+    """SELECT p_brand, p_type, CAST(floor(p_size / 10) AS INT) AS size_band,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#3'
+      |GROUP BY p_brand, p_type, CAST(floor(p_size / 10) AS INT)
+      |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, size_band ASC""".stripMargin
+
+  /** Q17: small-quantity-order revenue for one brand (correlated avg). */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val brandParts = tt.part.filter(col("p_brand") === "Brand#5").select("p_partkey")
+    val li = tt.lineitem.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("ap"))
+      .agg((avg("l_quantity") * 0.5).as("half_avg"))
+    li.join(avgQty, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg((sum("l_extendedprice") / 7.0).as("avg_yearly"))
+  }
+
+  val q17Sql =
+    """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#5'
+      |  AND l_quantity < (
+      |    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = lineitem.l_partkey)
+      |ORDER BY avg_yearly""".stripMargin
+
+  /** Q18: large-volume customers (order qty > 300). */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val bigOrders = tt.lineitem
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 300)
+    tt.customer
+      .join(tt.orders, col("c_custkey") === col("o_custkey"))
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  o_totalprice, total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+      |  ON o_orderkey = big.l_orderkey
+      |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  /** Q19: disjunctive brand/size/quantity predicate revenue. */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.lineitem
+      .join(tt.part, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 30))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  val q19Sql =
+    """SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  /** Q20 (adapted, no partsupp): suppliers from one nation who shipped
+    * 'red' parts with total quantity > 100 (nested semi joins). */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val redParts = tt.part.filter(col("p_name").contains("red")).select("p_partkey")
+    val bigSuppliers = tt.lineitem
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > 100)
+      .select("l_suppkey")
+    tt.supplier
+      .join(broadcast(tt.nation.filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(bigSuppliers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  val q20Sql =
+    """SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_7'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+      |    GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q21 (adapted, no receipt/commit dates): suppliers whose lines shipped
+    * >90 days after order date on completed orders where some other
+    * supplier shipped on time (exists + not-exists pattern). */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val li = tt.lineitem.join(
+      tt.orders.filter(col("o_orderstatus") === "F"),
+      col("l_orderkey") === col("o_orderkey"))
+    val late = li.filter(col("l_shipdate") > date_add(col("o_orderdate"), 90))
+      .select(col("l_orderkey").as("lk"), col("l_suppkey").as("ls")).distinct()
+    val onTime = li.filter(col("l_shipdate") <= date_add(col("o_orderdate"), 90))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("os")).distinct()
+    // late supplier with at least one *different* on-time supplier in the order
+    val culprits = late.join(onTime,
+        col("lk") === col("ok") && col("ls") =!= col("os"), "left_semi")
+    culprits
+      .join(tt.supplier, col("ls") === col("s_suppkey"))
+      .groupBy(col("s_name"), col("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(25)
+  }
+
+  val q21Sql =
+    """WITH f AS (
+      |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'),
+      |late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM f
+      |         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+      |ontime AS (SELECT DISTINCT l_orderkey, l_suppkey FROM f
+      |           WHERE l_shipdate <= o_orderdate + INTERVAL 90 DAY)
+      |SELECT s_name, s_suppkey, count(*) AS numwait
+      |FROM late JOIN supplier ON late.l_suppkey = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM ontime
+      |  WHERE ontime.l_orderkey = late.l_orderkey
+      |    AND ontime.l_suppkey <> late.l_suppkey)
+      |GROUP BY s_name, s_suppkey
+      |ORDER BY numwait DESC, s_suppkey ASC LIMIT 25""".stripMargin
+
+  /** Q22 (adapted: nationkey bands instead of phone country codes):
+    * well-funded customers with no orders. */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val eligible = tt.customer.filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+    val avgBal = eligible.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal").as("ab"))
+    eligible.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(tt.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), sum("c_acctbal").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val q22Sql =
+    """SELECT c_nationkey AS cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+      |FROM customer
+      |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+      |  AND c_acctbal > (
+      |    SELECT avg(c_acctbal) FROM customer
+      |    WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9))
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q11" -> (q11 _), "q12" -> (q12 _), "q13" -> (q13 _), "q14" -> (q14 _),
+    "q15" -> (q15 _), "q16" -> (q16 _), "q17" -> (q17 _), "q18" -> (q18 _),
+    "q19" -> (q19 _), "q20" -> (q20 _), "q21" -> (q21 _), "q22" -> (q22 _))
+
+  val oracle: Map[String, String] = Map(
+    "q11" -> q11Sql, "q12" -> q12Sql, "q13" -> q13Sql, "q14" -> q14Sql,
+    "q15" -> q15Sql, "q16" -> q16Sql, "q17" -> q17Sql, "q18" -> q18Sql,
+    "q19" -> q19Sql, "q20" -> q20Sql, "q21" -> q21Sql, "q22" -> q22Sql)
+}
