@@ -51,6 +51,33 @@ class ScaleSpec extends AnyFunSuite {
       s"expected the native expression inside a codegen stage:\n$plan")
   }
 
+  test("minhash LSH dedup never materializes a cartesian product") {
+    val plan = executedPlan(queries.Pipeline.dedup_minhash_lsh(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "candidate generation must go through the band-bucket join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on (band, bucket)")
+  }
+
+  test("ngram jaccard dedup joins through the inverted index, not all pairs") {
+    val plan = executedPlan(queries.Pipeline.dedup_ngram_jaccard(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("as-of join shuffles each side once on the by-keys") {
+    val plan = executedPlan(queries.AsofQueries.asof_backward(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    // cogroup compiles to two hash-partitioned exchanges feeding CoGroup
+    assert(plan.contains("CoGroup"), s"expected CoGroup:\n$plan")
+  }
+
+  test("brute-force similarity broadcasts the query side") {
+    val plan = executedPlan(queries.Pipeline.similarity_topk(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must be broadcast, corpus never shuffled for scoring:\n$plan")
+  }
+
   test("shuffle partitions are configured for local core count, not 200") {
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 64)
     assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
