@@ -26,7 +26,7 @@ object Aggregates {
   val aggCountModesSql =
     """SELECT event_type, count(*) AS count_all,
       |  count(CASE WHEN value < 2.0 THEN NULL ELSE value END) AS count_valid,
-      |  sum(CASE WHEN value < 2.0 THEN 1 ELSE 0 END) AS count_null
+      |  CAST(sum(CASE WHEN value < 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS count_null
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** CountDistinct (exact). */
@@ -85,18 +85,21 @@ object Aggregates {
     t(s, dir).lineitem
       .groupBy("l_returnflag")
       .agg(
-        stddev_samp("l_extendedprice").as("sd_samp"),
-        stddev_pop("l_extendedprice").as("sd_pop"),
-        var_samp("l_extendedprice").as("var_s"),
-        var_pop("l_extendedprice").as("var_p"))
+        round(stddev_samp("l_quantity"), 4).as("sd_samp"),
+        round(stddev_pop("l_quantity"), 4).as("sd_pop"),
+        round(var_samp("l_quantity"), 4).as("var_s"),
+        round(var_pop("l_quantity"), 4).as("var_p"))
       .orderBy("l_returnflag")
 
+  // Small-magnitude column + round(4) on both sides: Spark and DuckDB use
+  // different accumulation algorithms, so last-ulp drift is expected; at
+  // l_quantity scale (~50) the drift (~1e-12) can't straddle a 1e-4 boundary.
   val aggStatsSql =
     """SELECT l_returnflag,
-      |  stddev_samp(l_extendedprice) AS sd_samp,
-      |  stddev_pop(l_extendedprice) AS sd_pop,
-      |  var_samp(l_extendedprice) AS var_s,
-      |  var_pop(l_extendedprice) AS var_p
+      |  round(stddev_samp(l_quantity), 4) AS sd_samp,
+      |  round(stddev_pop(l_quantity), 4) AS sd_pop,
+      |  round(var_samp(l_quantity), 4) AS var_s,
+      |  round(var_pop(l_quantity), 4) AS var_p
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Skewness (Spark = population skewness m3/m2^1.5; DuckDB's builtin is
@@ -205,14 +208,19 @@ object Aggregates {
     t(s, dir).nation
       .groupBy("n_regionkey")
       .agg(
-        sort_array(collect_list(col("n_name"))).as("names"),
-        sort_array(collect_set(col("n_regionkey") * 10))
+        array_join(sort_array(collect_list(col("n_name"))), "|").as("names"),
+        array_join(transform(sort_array(collect_set(col("n_regionkey") * 10)),
+            _.cast("string")), "|")
           .as("key_set"))
       .orderBy("n_regionkey")
 
+  // Arrays serialized to delimited strings at the query boundary: the
+  // driver's pandas-based compare cannot sort/hash ndarray cells.
   val aggCollectSql =
-    """SELECT n_regionkey, list_sort(list(n_name)) AS names,
-      |  list_sort(list(DISTINCT n_regionkey * 10)) AS key_set
+    """SELECT n_regionkey,
+      |  array_to_string(list_sort(list(n_name)), '|') AS names,
+      |  array_to_string(list_transform(list_sort(list(DISTINCT n_regionkey * 10)),
+      |    x -> CAST(x AS VARCHAR)), '|') AS key_set
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
   /** String-concat agg (ref AggExpr::Concat(delim)). */

@@ -141,43 +141,45 @@ object Functions {
         N.ceilCol(col("l_discount") * 100).as("ceil_v"),
         N.floorCol(col("l_tax") * 100).as("floor_v"),
         N.roundCol(col("l_extendedprice") / 1000, 2).as("round_v"),
-        N.sqrtCol(col("l_quantity")).as("sqrt_v"),
-        N.cbrtCol(col("l_quantity")).as("cbrt_v"),
-        N.ln(col("l_extendedprice")).as("ln_v"),
-        N.log10Col(col("l_extendedprice")).as("log10_v"),
-        N.log2Col(col("l_quantity")).as("log2_v"),
-        N.expCol(col("l_discount")).as("exp_v"),
+        // transcendentals rounded to 6 on both sides: Java Math and DuckDB's
+        // libm differ in the last ulp; values ≤1e4 so 1e-6 spacing is safe
+        round(N.sqrtCol(col("l_quantity")), 6).as("sqrt_v"),
+        round(N.cbrtCol(col("l_quantity")), 6).as("cbrt_v"),
+        round(N.ln(col("l_extendedprice")), 6).as("ln_v"),
+        round(N.log10Col(col("l_extendedprice")), 6).as("log10_v"),
+        round(N.log2Col(col("l_quantity")), 6).as("log2_v"),
+        round(N.expCol(col("l_discount")), 6).as("exp_v"),
         N.powCol(col("l_quantity"), lit(2)).as("pow_v"),
         N.pmodCol(col("l_orderkey"), lit(7)).as("mod_v"),
         N.sign(col("l_quantity") - 25).as("sign_v"),
         N.clip(col("l_quantity"), lit(10.0), lit(40.0)).as("clip_v"),
-        N.sinCol(col("l_discount")).as("sin_v"),
-        N.atan2Col(col("l_discount"), col("l_tax") + 0.01).as("atan2_v"),
-        N.degreesCol(col("l_discount")).as("deg_v"),
-        N.hypotCol(col("l_quantity"), col("l_linenumber")).as("hypot_v"))
+        round(N.sinCol(col("l_discount")), 6).as("sin_v"),
+        round(N.atan2Col(col("l_discount"), col("l_tax") + 0.01), 6).as("atan2_v"),
+        round(N.degreesCol(col("l_discount")), 6).as("deg_v"),
+        round(N.hypotCol(col("l_quantity"), col("l_linenumber")), 6).as("hypot_v"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
   val fnNumericSql =
     """SELECT l_orderkey, l_linenumber,
       |  abs(l_quantity - 25) AS abs_v,
-      |  ceil(l_discount * 100) AS ceil_v,
-      |  floor(l_tax * 100) AS floor_v,
+      |  CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_v,
+      |  CAST(floor(l_tax * 100) AS BIGINT) AS floor_v,
       |  round(l_extendedprice / 1000, 2) AS round_v,
-      |  sqrt(l_quantity) AS sqrt_v,
-      |  cbrt(l_quantity) AS cbrt_v,
-      |  ln(l_extendedprice) AS ln_v,
-      |  log10(l_extendedprice) AS log10_v,
-      |  log2(l_quantity) AS log2_v,
-      |  exp(l_discount) AS exp_v,
+      |  round(sqrt(l_quantity), 6) AS sqrt_v,
+      |  round(cbrt(l_quantity), 6) AS cbrt_v,
+      |  round(ln(l_extendedprice), 6) AS ln_v,
+      |  round(log10(l_extendedprice), 6) AS log10_v,
+      |  round(log2(l_quantity), 6) AS log2_v,
+      |  round(exp(l_discount), 6) AS exp_v,
       |  pow(l_quantity, 2) AS pow_v,
       |  mod(l_orderkey, 7) AS mod_v,
       |  CAST(sign(l_quantity - 25) AS DOUBLE) AS sign_v,
       |  greatest(least(l_quantity, 40.0), 10.0) AS clip_v,
-      |  sin(l_discount) AS sin_v,
-      |  atan2(l_discount, l_tax + 0.01) AS atan2_v,
-      |  degrees(l_discount) AS deg_v,
-      |  sqrt(l_quantity*l_quantity + l_linenumber*l_linenumber) AS hypot_v
+      |  round(sin(l_discount), 6) AS sin_v,
+      |  round(atan2(l_discount, l_tax + 0.01), 6) AS atan2_v,
+      |  round(degrees(l_discount), 6) AS deg_v,
+      |  round(sqrt(l_quantity*l_quantity + l_linenumber*l_linenumber), 6) AS hypot_v
       |FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   // ---- datetime ----
@@ -233,10 +235,11 @@ object Functions {
         col("doc_id"),
         GList.listCount(col("toks")).as("n_toks"),
         GList.listJoin(GList.listSlice(col("toks"), 1, 3), "-").as("first3"),
-        GList.listSort(GList.listDistinct(col("toks"))).as("uniq_sorted"),
+        // arrays serialized to strings: the driver compare can't hash ndarrays
+        GList.listJoin(GList.listSort(GList.listDistinct(col("toks"))), "|").as("uniq_sorted"),
         GList.listContains(col("toks"), lit("data")).as("has_data"),
-        GList.listMap(col("toks"), x => upper(x)).as("upper_toks"),
-        GList.listFilter(col("toks"), x => length(x) > 4).as("long_toks"),
+        GList.listJoin(GList.listMap(col("toks"), x => upper(x)), "|").as("upper_toks"),
+        GList.listJoin(GList.listFilter(col("toks"), x => length(x) > 4), "|").as("long_toks"),
         aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"),
         GList.listMin(col("toks")).as("min_tok"),
         GList.listMax(col("toks")).as("max_tok"),
@@ -248,11 +251,11 @@ object Functions {
     """SELECT doc_id,
       |  len(string_split(text,' ')) AS n_toks,
       |  array_to_string(string_split(text,' ')[1:3], '-') AS first3,
-      |  list_sort(list_distinct(string_split(text,' '))) AS uniq_sorted,
+      |  array_to_string(list_sort(list_distinct(string_split(text,' '))), '|') AS uniq_sorted,
       |  list_contains(string_split(text,' '), 'data') AS has_data,
-      |  list_transform(string_split(text,' '), x -> upper(x)) AS upper_toks,
-      |  list_filter(string_split(text,' '), x -> length(x) > 4) AS long_toks,
-      |  list_aggregate(list_transform(string_split(text,' '), x -> CAST(length(x) AS BIGINT)), 'sum') AS total_chars,
+      |  array_to_string(list_transform(string_split(text,' '), x -> upper(x)), '|') AS upper_toks,
+      |  array_to_string(list_filter(string_split(text,' '), x -> length(x) > 4), '|') AS long_toks,
+      |  CAST(list_aggregate(list_transform(string_split(text,' '), x -> CAST(length(x) AS BIGINT)), 'sum') AS BIGINT) AS total_chars,
       |  list_aggregate(string_split(text,' '), 'min') AS min_tok,
       |  list_aggregate(string_split(text,' '), 'max') AS max_tok,
       |  CAST(ceil(len(string_split(text,' ')) / 5.0) AS INT) AS n_chunks
@@ -266,7 +269,7 @@ object Functions {
       .select(
         col("event_id"),
         J.jsonGet(col("props"), "$.k").cast("int").as("k_val"),
-        J.jsonObjectKeys(col("props")).as("keys"),
+        array_join(J.jsonObjectKeys(col("props")), "|").as("keys"),
         J.fromJson(col("props"),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
@@ -278,9 +281,9 @@ object Functions {
   val fnJsonSql =
     """SELECT event_id,
       |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-      |  json_keys(props) AS keys,
+      |  array_to_string(json_keys(props), '|') AS keys,
       |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
-      |  json_array_length('[1,2,3,4]') AS arr_len
+      |  CAST(json_array_length('[1,2,3,4]') AS INT) AS arr_len
       |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
 
   // ---- binary: encode/decode + compression round-trips ----

@@ -206,8 +206,10 @@ object Relational {
       .repartition(16)
       .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_sum"))
 
+  // DuckDB sum(BIGINT) widens to HUGEINT; cast back so the dtype matches
+  // Spark's int64 in the driver's hash compare.
   val shuffleRandomSql =
-    "SELECT count(*) AS n, sum(l_orderkey) AS key_sum FROM lineitem"
+    "SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum FROM lineitem"
 
   /** Coalesce to n partitions without shuffle (ref ops/into_partitions.rs). */
   def into_partitions(s: SparkSession, dir: String): DataFrame =

@@ -159,12 +159,16 @@ object Windows {
     * limitation in Spark as in any engine; kept bounded by the filter. */
   def window_order_only(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // Integer-exact running total (floor→long): Spark's linear prefix scan vs
+    // DuckDB's segment-tree windowed sum associate double adds differently, so
+    // a double cumsum drifts in the last ulps; integer sums are exact in both.
     t(s, dir).orders
       .filter(col("o_orderkey") < 2000)
       .select(
         col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).as("global_rank"),
-        sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        sum(floor(col("o_totalprice")).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("running_total"))
       .orderBy("global_rank")
   }
@@ -172,7 +176,8 @@ object Windows {
   val windowOrderOnlySql =
     """SELECT o_orderkey, o_totalprice,
       |  row_number() OVER w AS global_rank,
-      |  sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |    AS running_total
       |FROM orders WHERE o_orderkey < 2000
       |WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey ASC)

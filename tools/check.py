@@ -39,11 +39,29 @@ def canon(rows, cols):
     return [c for c in sorted(cols)], out
 
 
+import os
+STRICT = os.environ.get("STRICT", "") == "1"
+
+
 def veq(a, b):
-    """Tolerant value equality (floats: rel/abs 1e-7; tz-naive == UTC)."""
+    """Tolerant value equality (floats: rel/abs 1e-7; tz-naive == UTC).
+
+    STRICT=1 switches floats to exact bit equality (and dtype equality for
+    int-vs-float), emulating the driver's value-hash compare — use it to
+    catch last-ulp drift and dtype widening that the tolerant mode absorbs.
+    """
     import datetime as _dt
     if a is None or b is None:
         return a is None and b is None
+    if STRICT:
+        if isinstance(a, float) != isinstance(b, float):
+            return False
+        if isinstance(a, float):
+            if math.isnan(a) or math.isnan(b):
+                return math.isnan(a) and math.isnan(b)
+            return a == b
+        if isinstance(a, int) and isinstance(b, int):
+            return a == b and type(a) == type(b)
     if isinstance(a, _dt.datetime) and isinstance(b, _dt.datetime):
         if a.tzinfo is not None:
             a = a.astimezone(_dt.timezone.utc).replace(tzinfo=None)
@@ -79,6 +97,7 @@ def main(sf_dir, out_dir):
             got_rel = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = [d[0] for d in got_rel.description]
+            got_types = {d[0]: str(d[1]) for d in got_rel.description}
             got = got_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
@@ -87,6 +106,7 @@ def main(sf_dir, out_dir):
         try:
             exp_rel = con.execute(sql)
             exp_cols = [d[0] for d in exp_rel.description]
+            exp_types = {d[0]: str(d[1]) for d in exp_rel.description}
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
@@ -94,8 +114,13 @@ def main(sf_dir, out_dir):
             continue
         gc, gr = canon(got, got_cols)
         ec, er = canon(exp, exp_cols)
+        tdiff = {c: (got_types.get(c), exp_types.get(c)) for c in gc
+                 if c in ec and got_types.get(c) != exp_types.get(c)} if gc == ec else {}
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
+            fail += 1
+        elif STRICT and tdiff:
+            print(f"FAIL {name}: dtype mismatch (spark, duckdb): {tdiff}")
             fail += 1
         elif len(gr) != len(er):
             print(f"FAIL {name}: rows {len(gr)} != {len(er)}")
