@@ -70,8 +70,11 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val sig = withSh.withColumn("mh", GMisc.minhash(col("sh"), k))
     val nBands = k / bandRows
+    // ids only through the nBands-way explode: shingle arrays would be
+    // replicated nBands× through the bucket shuffle otherwise. They are
+    // re-attached to the (tiny) candidate set for exact verification.
     val banded = sig.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(
         transform(sequence(lit(0), lit(nBands - 1)),
           bIdx => struct(
@@ -79,13 +82,16 @@ object Dedup {
             xxhash64(array_join(
               transform(slice(col("mh"), bIdx * bandRows + 1, lit(bandRows)), _.cast("string")),
               ",")).as("bucket")))))
-      .select(col("id"), col("sh"), col("col.band"), col("col.bucket"))
-    val l = banded.select(col("id").as("doc_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
-    val r = banded.select(col("id").as("doc_b"), col("sh").as("sh_b"), col("band"), col("bucket"))
-    val candidates = l.join(r, Seq("band", "bucket"))
+      .select(col("id"), col("col.band"), col("col.bucket"))
+    val l = banded.select(col("id").as("doc_a"), col("band"), col("bucket"))
+    val r = banded.select(col("id").as("doc_b"), col("band"), col("bucket"))
+    val candidateIds = l.join(r, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    val candidates = candidateIds
+      .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
     candidates
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -120,15 +126,91 @@ object Dedup {
       .select("doc_a", "doc_b", "ham")
   }
 
-  /** Embedding cosine near-dup: exact baseline via a key-ordered self-join
-    * (upper triangle). At 100 TB this switches to the IVF/LSH blocking in
-    * `Similarity`; the exact form remains the verification stage. */
+  /** Embedding cosine near-dup, exact: block-matrix (tiled) self-join.
+    *
+    * All-pairs compute is inherently O(n²), but the SHAPE matters at scale:
+    * a `crossJoin` is a single CartesianProduct whose build side must be
+    * replicated to every task with no partition-count control. Tiling maps
+    * each row to a block `b = hash(id) % nBlocks` and meets pairs in tile
+    * (bi, bj) via a plain equi-join on the tile key: row A(bi) is
+    * replicated once per column j as (bi, j), row B(bj) once per row i as
+    * (i, bj). Every pair meets in exactly one tile, so the result equals
+    * the naive upper-triangle cross join — while the work distributes over
+    * nBlocks² independent shuffle partitions with bounded (n/nBlocks)-sized
+    * inputs each, the standard exact all-pairs layout on a cluster.
+    *
+    * At production thresholds prefer [[embeddingCosineLshPairs]] as the
+    * blocking stage; this exact form is the in-block verification. */
   def embeddingCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.crossJoin(b)
+      threshold: Double, nBlocks: Int = 8): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("blk", pmod(hash(col("id")), lit(nBlocks)))
+    val tiles = sequence(lit(0), lit(nBlocks - 1))
+    val a = base
+      .withColumn("tile_j", explode(tiles))
+      .select(col("id").as("id_a"), col("v").as("va"),
+        col("blk").as("tile_i"), col("tile_j"))
+    val b = base
+      .withColumn("tile_i", explode(tiles))
+      .select(col("id").as("id_b"), col("v").as("vb"),
+        col("tile_i"), col("blk").as("tile_j"))
+    a.join(b, Seq("tile_i", "tile_j"))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", GDist.cosineSimilarityNative(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Embedding cosine near-dup, blocked: random-hyperplane LSH
+    * (sign-pattern banding over `k` fixed Gaussian hyperplanes) generates
+    * candidates via a bucket equi-join, then exact cosine verifies — the
+    * production path for high-threshold near-dup at corpus scale (ref
+    * pattern: simhash banding, `daft/functions/misc.py:462`).
+    *
+    * A pair agreeing on every hyperplane sign in some band collides there;
+    * for duplicates (cosine ≈ 1) all sign patterns agree, so recall is 1
+    * for exact/same-direction dups and 1-(1-p^r)^B for near-dups with
+    * per-plane agreement p = 1 - θ/π. Only ids+signatures ride the
+    * explode; vectors are re-attached for verification afterwards. */
+  def embeddingCosineLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 32, bandRows: Int = 8, seed: Long = 7L): DataFrame = {
+    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(k, dim)(rnd.nextGaussian())
+    val spark = vecs.sparkSession
+    val bcPlanes = spark.sparkContext.broadcast(planes)
+    val signBits = udf { (v: Seq[Float]) =>
+      val ps = bcPlanes.value
+      var sig = 0L
+      var i = 0
+      while (i < ps.length) {
+        var dot = 0.0
+        var j = 0
+        while (j < v.length) { dot += ps(i)(j) * v(j); j += 1 }
+        if (dot >= 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+    val nBands = k / bandRows
+    val mask = (1L << bandRows) - 1
+    val sigs = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", signBits(col("v")))
+    // ids-only through the band explode; vectors re-attached post-candidate
+    val banded = sigs.select(
+        col("id"),
+        explode(array((0 until nBands).map(bIdx =>
+          struct(lit(bIdx).as("band"),
+            shiftrightunsigned(col("sig"), bIdx * bandRows)
+              .bitwiseAND(lit(mask)).as("bits"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bits"))
+    val candidates = banded.as("l").join(banded.as("r"), Seq("band", "bits"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val va = sigs.select(col("id").as("id_a"), col("v").as("va"))
+    val vb = sigs.select(col("id").as("id_b"), col("v").as("vb"))
+    candidates.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos_sim", GDist.cosineSimilarityNative(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")

@@ -36,28 +36,35 @@ object Multimodal {
     StructField("data", ArrayType(FloatType)),
     StructField("shape", ArrayType(LongType))))
 
-  /** STUB pixel decoder: a real deployment calls an imaging library here
-    * (JVM imaging / JNI); this deterministic fake derives dimensions from
-    * the byte length so the full pipeline stays testable end-to-end. */
-  private[graft] def stubDecodeDims(nBytes: Int): (Int, Int) =
+  /** Fallback dims for non-image binary payloads (kept so the generic
+    * binary-payload pipeline remains decodable end-to-end: real codecs
+    * return None for non-image bytes, and the pipeline query's contract
+    * is one metadata struct per payload). Derives dimensions from the
+    * byte length, deterministically. */
+  private[graft] def payloadDims(nBytes: Int): (Int, Int) =
     (64 + (nBytes % 512), 64 + ((nBytes * 7) % 512)) // (height, width)
 
   /** Per-partition decoder with lazily initialized heavyweight state —
     * the actor-UDF execution shape: state is built once per partition
-    * (≈ once per executor core), not per row. */
+    * (≈ once per executor core), not per row. Real codec path: PNG/JPEG/
+    * BMP/GIF bytes decode to real pixels via [[Images.decode]]; other
+    * payloads fall back to metadata-only dims so mixed binary columns
+    * keep flowing. */
   def decodeImages(df: DataFrame, bytesCol: String, outCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(outCol, imageSchema))
     val enc = Encoders.row(schema)
     val idx = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { rows =>
-      // lazy singleton "decoder" — stands in for an expensive model/library
-      // handle that must not be constructed per row
+      // lazy per-partition decoder handle — constructed once per task,
+      // not per row (ImageIO readers are not thread-safe to share)
       lazy val decoder = new Object {
         def decode(b: Array[Byte]): Row = {
           if (b == null) null
-          else {
-            val (h, w) = stubDecodeDims(b.length)
-            Row(b, h, w, "RGB", 3)
+          else Images.decode(b) match {
+            case Some(img) => Row(img.data, img.height, img.width, img.mode, img.channels)
+            case None =>
+              val (h, w) = payloadDims(b.length)
+              Row(b, h, w, "RGB", 3)
           }
         }
       }

@@ -45,25 +45,37 @@ object Similarity {
 
     val train = corpus.select(array_to_vector(l2norm(col(cVec))).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val cents: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val centDf = centroids.toSeq.toDF("cell", "centroid")
+    val bcCents = spark.sparkContext.broadcast(cents)
 
-    // assign corpus rows to their nearest cell (broadcast centroids)
-    val corpusCells = corpus.crossJoin(broadcast(centDf))
-      .withColumn("dist", GDist.euclideanDistance(l2norm(col(cVec)), col("centroid")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(cId)).orderBy(col("dist").asc, col("cell").asc)))
-      .filter(col("rk") === 1)
+    // per-row nearest-cells scan over the broadcast centroid table: a pure
+    // map pass — no n×nlist row blowup, no shuffle, no per-id window. Ties
+    // break toward the lower cell index (matching the previous
+    // (dist asc, cell asc) ranking exactly).
+    def nearestCells(n: Int) = udf { (v: Seq[Float]) =>
+      val cs = bcCents.value
+      val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      val dists = Array.tabulate(cs.length) { c =>
+        var d = 0.0
+        var j = 0
+        while (j < cs(c).length) {
+          val diff = (if (norm == 0) 0.0 else v(j) / norm) - cs(c)(j)
+          d += diff * diff
+          j += 1
+        }
+        (d, c)
+      }
+      dists.sortBy(identity).take(n).map(_._2)
+    }
+
+    val corpusCells = corpus
+      .withColumn("cell", nearestCells(1)(col(cVec))(0))
       .select(col(cId), col(cVec), col("cell"))
 
     // queries probe their nprobe nearest cells
-    val queryCells = queries.crossJoin(broadcast(centDf))
-      .withColumn("dist", GDist.euclideanDistance(l2norm(col(qVec)), col("centroid")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(qId)).orderBy(col("dist").asc, col("cell").asc)))
-      .filter(col("rk") <= nprobe)
+    val queryCells = queries
+      .withColumn("cell", explode(nearestCells(nprobe)(col(qVec))))
       .select(col(qId).as("query_id"), col(qVec).as("qv"), col("cell"))
 
     val scored = queryCells.join(corpusCells, Seq("cell"))

@@ -42,6 +42,64 @@ object Advanced {
       |  CAST(64 * 64 * 3 AS BIGINT) AS tensor_elems
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Real-codec image pipeline (ref daft/functions/image.py decode_image/
+    * resize/crop/convert_image/image_to_tensor): synthesize real PNGs with
+    * arithmetic-predictable pixels (solid color, dims derived from doc_id),
+    * then decode → crop → resize → gray-convert → tensor with actual
+    * javax.imageio pixel operations. Every output column is checkable in
+    * SQL from doc_id alone — real dimensions and real pixel sums of really
+    * encoded images, not stub dims. */
+  def multimodal_decode(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Images
+    val pngForId = udf { (id: Long) =>
+      Images.solidPng(
+        8 + (id % 16).toInt, 8 + (id % 8).toInt,
+        (id % 256).toInt, (id * 3 % 256).toInt, (id * 7 % 256).toInt)
+    }
+    t(s, dir).documents
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), pngForId(col("doc_id")).as("png"))
+      .withColumn("img", Images.decodeUdf(col("png")))
+      .withColumn("cropped", Images.cropUdf(
+        col("img"), lit(0), lit(0),
+        floor(col("img.width") / 2).cast("int"),
+        floor(col("img.height") / 2).cast("int")))
+      .withColumn("resized", Images.resizeUdf(16, 16)(col("img")))
+      .withColumn("gray", Images.convertUdf("L")(col("img")))
+      .withColumn("tensor", Images.toTensorUdf(col("resized")))
+      .select(
+        col("doc_id"),
+        col("img.width").as("w"),
+        col("img.height").as("h"),
+        col("img.channels").as("channels"),
+        col("img.mode").as("mode"),
+        Images.pixelSumUdf(col("img")).as("pix_sum"),
+        col("cropped.width").as("wc"),
+        col("cropped.height").as("hc"),
+        Images.pixelSumUdf(col("cropped")).as("pix_sum_crop"),
+        Images.pixelSumUdf(col("resized")).as("pix_sum_resized"),
+        Images.pixelSumUdf(col("gray")).as("lum_sum"),
+        aggregate(col("tensor.shape"), lit(1L), (acc, x) => acc * x).as("tensor_elems"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalDecodeSql =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h,
+      |    doc_id % 256 AS r, (doc_id * 3) % 256 AS g, (doc_id * 7) % 256 AS b
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT doc_id,
+      |  CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+      |  3 AS channels, 'RGB' AS mode,
+      |  CAST(w * h * (r + g + b) AS BIGINT) AS pix_sum,
+      |  CAST(w // 2 AS INT) AS wc, CAST(h // 2 AS INT) AS hc,
+      |  CAST((w // 2) * (h // 2) * (r + g + b) AS BIGINT) AS pix_sum_crop,
+      |  CAST(16 * 16 * (r + g + b) AS BIGINT) AS pix_sum_resized,
+      |  CAST(w * h * ((r * 299 + g * 587 + b * 114) // 1000) AS BIGINT) AS lum_sum,
+      |  CAST(16 * 16 * 3 AS BIGINT) AS tensor_elems
+      |FROM px ORDER BY doc_id""".stripMargin
+
   /** Actor-style stateful UDF (ref §2.7 @daft.cls actor pools): a
     * per-partition lazily-initialized "model" applied row-wise via
     * mapPartitions — state constructed once per partition, not per row. */
@@ -160,6 +218,7 @@ object Advanced {
     "llm_generate" -> (llm_generate _),
     "tokenize_roundtrip" -> (tokenize_roundtrip _),
     "multimodal_pipeline" -> (multimodal_pipeline _),
+    "multimodal_decode" -> (multimodal_decode _),
     "udf_stateful" -> (udf_stateful _),
     "udf_generator" -> (udf_generator _),
     "streaming_window" -> (streaming_window _),
@@ -169,6 +228,7 @@ object Advanced {
     "llm_generate" -> llmGenerateSql,
     "tokenize_roundtrip" -> tokenizeRoundtripSql,
     "multimodal_pipeline" -> multimodalPipelineSql,
+    "multimodal_decode" -> multimodalDecodeSql,
     "udf_stateful" -> udfStatefulSql,
     "udf_generator" -> udfGeneratorSql,
     "streaming_window" -> streamingWindowSql,

@@ -435,6 +435,33 @@ object Functions {
       |  CAST(c_nationkey AS VARCHAR) AS q_n
       |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
 
+  /** url.download + url.upload round-trip (ref daft/functions/url.py:44-149):
+    * write each document's bytes to a file:// location with deterministic
+    * names, download them back through the bounded-concurrency fetcher, and
+    * verify content equality against the source column — a real-bytes value
+    * oracle, not a plumbing check. */
+  def fn_url_download(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.UrlIO
+    val base = s"/tmp/graft_urlio_${math.abs(dir.hashCode)}"
+    val docs = t(s, dir).documents
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        concat(lit("doc_"), col("doc_id"), lit(".txt")).as("fname"))
+    val uploaded = UrlIO.upload(docs, "payload", base, "url", nameCol = Some("fname"))
+    val fetched = UrlIO.download(uploaded, "url", "bytes", maxConnections = 8)
+    fetched.select(
+      col("doc_id"),
+      decode(col("bytes"), "UTF-8").as("fetched_text"),
+      octet_length(col("bytes")).as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  val fnUrlDownloadSql =
+    """SELECT doc_id, text AS fetched_text,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   /** Struct/Map namespace (ref daft/functions/struct.py + map helpers):
     * construction, field/key access, keys/values extraction. */
   def fn_struct_map(s: SparkSession, dir: String): DataFrame = {
@@ -494,6 +521,7 @@ object Functions {
     "fn_partitioning" -> (fn_partitioning _),
     "fn_struct_map" -> (fn_struct_map _),
     "fn_url" -> (fn_url _),
+    "fn_url_download" -> (fn_url_download _),
     "fn_strings_basic" -> (fn_strings_basic _),
     "fn_strings_case" -> (fn_strings_case _),
     "fn_strings_distance" -> (fn_strings_distance _),
@@ -512,6 +540,7 @@ object Functions {
     "fn_partitioning" -> fnPartitioningSql,
     "fn_struct_map" -> fnStructMapSql,
     "fn_url" -> fnUrlSql,
+    "fn_url_download" -> fnUrlDownloadSql,
     "fn_strings_basic" -> fnStringsBasicSql,
     "fn_strings_case" -> fnStringsCaseSql,
     "fn_strings_distance" -> fnStringsDistanceSql,

@@ -86,6 +86,29 @@ object Pipeline {
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- dedup: embedding near-dup via random-hyperplane LSH blocking ----
+  /** Production-shape blocked dedup: corpus ∪ direction-preserving copies
+    * (2× scaled, so cosine with the original is exactly 1), hyperplane-LSH
+    * banding for candidates (no all-pairs), exact cosine verify at 0.9.
+    * Same-direction pairs have identical sign patterns → recall 1 by
+    * construction; background pairs (max cos ≈ 0.51 in this corpus) can
+    * never pass verification. */
+  def dedup_embedding_lsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    val scaled = e
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding", transform(col("embedding"), x => (x * lit(2.0f)).cast("float")))
+    val corpus = e.unionByName(scaled)
+    Dedup.embeddingCosineLshPairs(corpus, "vec_id", "embedding", threshold = 0.9)
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupEmbeddingLshSql =
+    """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+      |  CAST(1.0 AS DOUBLE) AS cos_sim
+      |FROM embeddings ORDER BY id_a""".stripMargin
+
   // ---- similarity search: exact top-k ----
   def similarity_topk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir).embeddings
@@ -219,6 +242,7 @@ object Pipeline {
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
     "dedup_simhash" -> (dedup_simhash _),
     "dedup_embedding_cosine" -> (dedup_embedding_cosine _),
+    "dedup_embedding_lsh" -> (dedup_embedding_lsh _),
     "similarity_topk" -> (similarity_topk _),
     "similarity_ivf_recall" -> (similarity_ivf_recall _),
     "text_stats" -> (text_stats _),
@@ -232,6 +256,7 @@ object Pipeline {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "similarity_topk" -> similarityTopkSql,
     "similarity_ivf_recall" -> similarityIvfRecallSql,
     "text_stats" -> textStatsSql,

@@ -65,6 +65,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("exact embedding dedup tiles the pair space — no cartesian product") {
+    val plan = executedPlan(queries.Pipeline.dedup_embedding_cosine(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs must go through the tiled (block-matrix) equi-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "tile key must be an equi-join key")
+  }
+
+  test("LSH embedding dedup joins on band buckets — no cartesian product") {
+    val plan = executedPlan(queries.Pipeline.dedup_embedding_lsh(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("IVF cell assignment is a map pass, not an n×nlist join+window") {
+    val e = Tables(spark, dir).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val plan = executedPlan(graft.ops.Similarity.ivfTopK(
+      q, c, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4))
+    assert(!plan.contains("CartesianProduct"),
+      s"centroid assignment must be a broadcast map pass:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "no nested-loop join against the centroid table")
+  }
+
   test("as-of join shuffles each side once on the by-keys") {
     val plan = executedPlan(queries.AsofQueries.asof_backward(spark, dir))
     assert(!plan.contains("CartesianProduct"))
