@@ -41,6 +41,42 @@ object Graft {
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 }
 
+/** Session/catalog facade (ref `daft/session.py:153-783` — attach_catalog,
+  * create_temp_table, read_table, list_tables, …) over the Spark catalog.
+  * Temp tables are session-scoped views; persistent tables go through the
+  * configured Spark catalog (spark_catalog / an attached lakehouse catalog
+  * when its jars are on the classpath). */
+class GraftSession(val spark: SparkSession) {
+
+  /** ref session.py create_temp_table: register a dataframe by name. */
+  def createTempTable(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** ref session.py read_table("name"): resolve through the catalog. */
+  def readTable(name: String): DataFrame = spark.table(name)
+
+  /** ref session.py list_tables: names visible in the current database. */
+  def listTables(): DataFrame =
+    spark.sql("SHOW TABLES").select("tableName", "isTemporary")
+
+  def dropTempTable(name: String): Unit = spark.catalog.dropTempView(name)
+
+  /** ref session.py current_namespace / set_namespace. */
+  def currentNamespace: String = spark.catalog.currentDatabase
+  def setNamespace(db: String): Unit = spark.catalog.setCurrentDatabase(db)
+
+  /** ref session.py attach(alias=...): expose an external table location
+    * (parquet dir/file) under a name, without copying. */
+  def attachPath(name: String, path: String): Unit =
+    spark.read.parquet(path).createOrReplaceTempView(name)
+
+  def sql(query: String): DataFrame = spark.sql(query)
+}
+
+object GraftSession {
+  def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+}
+
 /** Extension methods putting the reference's DataFrame verbs (and graft's
   * custom operators) directly on Spark DataFrames. */
 object implicits {

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Corpus-vocabulary tokenization (ref `daft/functions/str.py`
   * tokenize_encode:1086 / tokenize_decode:1129 — there backed by tiktoken
@@ -16,13 +15,15 @@ import org.apache.spark.sql.expressions.Window
 object Tokenize {
 
   /** Build a frequency-ranked vocabulary (id 0 = most frequent; ties by
-    * token for determinism). */
+    * token for determinism). Ranking uses the two-pass range-partition
+    * scheme ([[Global.withGlobalRank]]) — an unpartitioned `Window.orderBy`
+    * here would pull the entire distinct-token set through one task. */
   def buildVocab(docs: DataFrame, textCol: String): DataFrame = {
     val counts = docs
       .select(explode(split(col(textCol), "\\s+")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-    counts.withColumn("token_id",
-      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)) - 1)
+    Global.withGlobalRank(counts, Seq(col("freq").desc, col("token").asc), "__rk")
+      .withColumn("token_id", (col("__rk") - 1).cast("int"))
       .select("token", "token_id", "freq")
   }
 

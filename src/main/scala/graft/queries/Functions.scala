@@ -261,11 +261,15 @@ object Functions {
       |  CAST(ceil(len(string_split(text,' ')) / 5.0) AS INT) AS n_chunks
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
-  // ---- json ----
+  // ---- json (incl. jq-style path expressions, ref str.py:56 .jq()) ----
   def fn_json(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{Json => J}
+    import graft.functions.{Json => J, Jq}
     t(s, dir).events
       .filter(col("event_id") < 2000)
+      // a nested document exercising field chains, quoting, and indexing
+      .withColumn("doc", to_json(struct(
+        struct(col("event_type").as("t")).as("meta"),
+        array(col("event_id"), col("event_id") * 2).as("vals"))))
       .select(
         col("event_id"),
         J.jsonGet(col("props"), "$.k").cast("int").as("k_val"),
@@ -274,7 +278,10 @@ object Functions {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
           .getField("k").as("k_typed"),
-        J.jsonArrayLength(lit("[1,2,3,4]")).as("arr_len"))
+        J.jsonArrayLength(lit("[1,2,3,4]")).as("arr_len"),
+        Jq.jq(col("props"), ".k").as("jq_k"),
+        Jq.jq(col("doc"), """."meta" | .t""").as("jq_meta"),
+        Jq.jq(col("doc"), ".vals[-1]").as("jq_idx"))
       .orderBy("event_id")
   }
 
@@ -283,7 +290,10 @@ object Functions {
       |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
       |  array_to_string(json_keys(props), '|') AS keys,
       |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
-      |  CAST(json_array_length('[1,2,3,4]') AS INT) AS arr_len
+      |  CAST(json_array_length('[1,2,3,4]') AS INT) AS arr_len,
+      |  CAST(json_extract(props, '$.k') AS VARCHAR) AS jq_k,
+      |  '"' || event_type || '"' AS jq_meta,
+      |  CAST(event_id * 2 AS VARCHAR) AS jq_idx
       |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
 
   // ---- binary: encode/decode + compression round-trips ----

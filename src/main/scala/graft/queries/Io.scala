@@ -78,6 +78,33 @@ object Io {
       |  'customer.parquet,documents.parquet,embeddings.parquet,events.parquet,lineitem.parquet,nation.parquet,orders.parquet,part.parquet,region.parquet,supplier.parquet' AS names,
       |  true AS all_nonempty""".stripMargin
 
+  /** WARC write → read round-trip (ref daft/io/_warc.py read_warc): each
+    * document becomes a `response` record (one .warc file per partition),
+    * read back through the streaming parser, doc id recovered from the
+    * target URI and content byte-compared against the source column. */
+  def io_warc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val warcDir = s"$ioDir/warc_${math.abs(dir.hashCode)}"
+    val docs = t(s, dir).documents
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        concat(lit("https://corpus.invalid/doc/"), col("doc_id")).as("uri"))
+    Warc.write(docs, warcDir, "payload", "uri", "doc_id")
+    Warc.read(s, s"$warcDir/*.warc")
+      .select(
+        element_at(split(col("WARC-Target-URI"), "/"), -1).cast("long").as("doc_id"),
+        col("WARC-Type").as("rec_type"),
+        col("Content-Length").as("content_length"),
+        decode(col("warc_content"), "UTF-8").as("text"))
+      .orderBy("doc_id")
+  }
+
+  val ioWarcRoundtripSql =
+    """SELECT doc_id, 'response' AS rec_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+
   /** SQL entry point (§3.2): temp views + spark.sql with CTE, join,
     * window — same logical IR as the DataFrame API. */
   def sql_entry(s: SparkSession, dir: String): DataFrame = {
@@ -105,17 +132,45 @@ object Io {
       |FROM cust_orders WHERE rk <= 3
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Catalog/session facade (ref daft/session.py): attach a parquet path
+    * as a table, create a temp table from a query, list both, read back
+    * through the catalog and aggregate — the whole facade surface in one
+    * verifiable pass. */
+  def catalog_session(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.GraftSession(s)
+    sess.attachPath("cat_nation", s"$dir/nation.parquet")
+    sess.createTempTable("cat_big_nations",
+      sess.readTable("cat_nation").filter(col("n_regionkey") >= 2))
+    val listed = sess.listTables()
+      .filter(col("tableName").startsWith("cat_"))
+      .agg(count(lit(1)).as("n_cat_tables"),
+        bool_and(col("isTemporary")).as("all_temp"))
+    sess.readTable("cat_big_nations")
+      .agg(count(lit(1)).as("n_rows"), min("n_name").as("first_nation"))
+      .crossJoin(listed)
+      .select("n_rows", "first_nation", "n_cat_tables", "all_temp")
+  }
+
+  val catalogSessionSql =
+    """SELECT count(*) AS n_rows, min(n_name) AS first_nation,
+      |  CAST(2 AS BIGINT) AS n_cat_tables, true AS all_temp
+      |FROM nation WHERE n_regionkey >= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "catalog_session" -> (catalog_session _),
     "io_csv_roundtrip" -> (io_csv_roundtrip _),
     "io_json_roundtrip" -> (io_json_roundtrip _),
     "io_partitioned_write" -> (io_partitioned_write _),
     "io_glob_files" -> (io_glob_files _),
+    "io_warc_roundtrip" -> (io_warc_roundtrip _),
     "sql_entry" -> (sql_entry _))
 
   val oracle: Map[String, String] = Map(
+    "catalog_session" -> catalogSessionSql,
     "io_csv_roundtrip" -> ioCsvRoundtripSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "io_partitioned_write" -> ioPartitionedWriteSql,
     "io_glob_files" -> ioGlobFilesSql,
+    "io_warc_roundtrip" -> ioWarcRoundtripSql,
     "sql_entry" -> sqlEntrySql)
 }

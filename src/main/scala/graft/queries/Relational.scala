@@ -264,6 +264,24 @@ object Relational {
 
   val sampleSql = "SELECT true AS frac_ok"
 
+  /** Absolute-size sample (ref ops/sample.rs:138 `size=`): exactly n
+    * uniformly-random rows via rand-key top-n. The limit after the random
+    * orderBy fuses to TakeOrderedAndProject — per-partition heaps + a
+    * driver merge of n rows, never a global sort (same scale shape as
+    * `top_n`). */
+  def sample_size(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir).lineitem
+    val sampled = li.withColumn("__r", rand(7L)).orderBy("__r").limit(137).drop("__r")
+    // exact-count contract + the sample is a subset of the source domain
+    sampled.agg(
+      count(lit(1)).as("n"),
+      min(col("l_quantity")).geq(lit(1)).and(
+        max(col("l_quantity")).leq(lit(50))).as("within_domain"))
+  }
+
+  val sampleSizeSql =
+    "SELECT CAST(137 AS BIGINT) AS n, true AS within_domain"
+
   // ---- Set operations -----------------------------------------------------
 
   /** Concat / UNION ALL (ref ops/concat.rs). */
@@ -657,6 +675,7 @@ object Relational {
     "into_batches" -> (into_batches _),
     "monotonic_id" -> (monotonic_id _),
     "sample" -> (sample_op _),
+    "sample_size" -> (sample_size _),
     "concat" -> (concat_op _),
     "union_distinct" -> (union_distinct _),
     "union_by_name" -> (union_by_name _),
@@ -700,6 +719,7 @@ object Relational {
     "into_batches" -> intoBatchesSql,
     "monotonic_id" -> monotonicIdSql,
     "sample" -> sampleSql,
+    "sample_size" -> sampleSizeSql,
     "concat" -> concatSql,
     "union_distinct" -> unionDistinctSql,
     "union_by_name" -> unionByNameSql,

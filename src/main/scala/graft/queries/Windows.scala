@@ -158,18 +158,24 @@ object Windows {
     * NOTE: a global window collapses to one partition — documented scale
     * limitation in Spark as in any engine; kept bounded by the filter. */
   def window_order_only(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // Two-pass distributed global rank + prefix sum (ops/Global) — an
+    // unpartitioned Window.orderBy would run in a single task at scale.
     // Integer-exact running total (floor→long): Spark's linear prefix scan vs
     // DuckDB's segment-tree windowed sum associate double adds differently, so
     // a double cumsum drifts in the last ulps; integer sums are exact in both.
-    t(s, dir).orders
+    val base = t(s, dir).orders
       .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        floor(col("o_totalprice")).cast("long").as("__tp"))
+    graft.ops.Global.withGlobalRank(
+        base,
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        "global_rank",
+        runningSumOf = Some(("__tp", "running_total")))
       .select(
         col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).as("global_rank"),
-        sum(floor(col("o_totalprice")).cast("long"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("running_total"))
+        col("global_rank").cast("int").as("global_rank"),
+        col("running_total"))
       .orderBy("global_rank")
   }
 

@@ -71,6 +71,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(a ^ c) > 0)
   }
 
+  test("jq-lite: field chains, quoted keys, indices, iteration, pipes") {
+    import graft.functions.Jq
+    val doc = """{"a":{"b c":[1,2,{"d":"x"}]},"n":null}"""
+    assert(Jq.eval(doc, """.a."b c"[0]""") == Some("1"))
+    assert(Jq.eval(doc, """.a."b c"[-1].d""") == Some("\"x\""))
+    assert(Jq.eval(doc, """.a | ."b c" | .[1]""") == Some("2"))
+    assert(Jq.eval(doc, ".n") == Some("null"))
+    assert(Jq.eval(doc, ".missing") == None)
+    assert(Jq.eval(doc, """.a."b c"[]""").get.linesIterator.size == 3)
+    assert(Jq.eval("not json", ".a") == None)
+  }
+
   test("binary codecs round-trip") {
     val payload = "graft engine éü payload".getBytes("UTF-8")
     val df = Seq(Tuple1(payload)).toDF("b")

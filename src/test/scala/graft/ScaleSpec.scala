@@ -92,6 +92,16 @@ class ScaleSpec extends AnyFunSuite {
       "no nested-loop join against the centroid table")
   }
 
+  test("order-only global window runs two-pass — no single-task Window") {
+    val plan = executedPlan(queries.Windows.window_order_only(spark, dir))
+    assert(!plan.contains("Window"),
+      s"global rank must use the two-pass range-partition scheme, not a Window:\n$plan")
+    val vocabPlan = executedPlan(
+      graft.ops.Tokenize.buildVocab(Tables(spark, dir).documents, "text"))
+    assert(!vocabPlan.contains("Window"),
+      s"vocab ranking must not funnel tokens through one Window task:\n$vocabPlan")
+  }
+
   test("as-of join shuffles each side once on the by-keys") {
     val plan = executedPlan(queries.AsofQueries.asof_backward(spark, dir))
     assert(!plan.contains("CartesianProduct"))
