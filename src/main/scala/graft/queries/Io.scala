@@ -105,6 +105,27 @@ object Io {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
       |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
 
+  /** read_sql (ref daft/io/_sql.py): stage an orders table into a DuckDB
+    * database file, read it back through the range-partitioned JDBC source
+    * (4 parallel stripes on o_orderkey), and aggregate. */
+  def io_read_sql(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Sql
+    val db = s"$ioDir/read_sql_${math.abs(dir.hashCode)}.duckdb"
+    new java.io.File(db).delete()
+    Sql.execute(s"jdbc:duckdb:$db", Seq(
+      s"CREATE OR REPLACE TABLE orders AS SELECT * FROM read_parquet('$dir/orders.parquet')"))
+    val maxKey = t(s, dir).orders.agg(max("o_orderkey")).head().getLong(0)
+    Sql.readSqlPartitioned(s, s"jdbc:duckdb:$db", "orders",
+        "o_orderkey", 0L, maxKey, numPartitions = 4)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val ioReadSqlSql =
+    """SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** SQL entry point (§3.2): temp views + spark.sql with CTE, join,
     * window — same logical IR as the DataFrame API. */
   def sql_entry(s: SparkSession, dir: String): DataFrame = {
@@ -163,6 +184,7 @@ object Io {
     "io_partitioned_write" -> (io_partitioned_write _),
     "io_glob_files" -> (io_glob_files _),
     "io_warc_roundtrip" -> (io_warc_roundtrip _),
+    "io_read_sql" -> (io_read_sql _),
     "sql_entry" -> (sql_entry _))
 
   val oracle: Map[String, String] = Map(
@@ -172,5 +194,6 @@ object Io {
     "io_partitioned_write" -> ioPartitionedWriteSql,
     "io_glob_files" -> ioGlobFilesSql,
     "io_warc_roundtrip" -> ioWarcRoundtripSql,
+    "io_read_sql" -> ioReadSqlSql,
     "sql_entry" -> sqlEntrySql)
 }
