@@ -1,21 +1,94 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Benchmark main: runs the headline TPC-H-style queries (q1..q10 — the same
   * set BASELINE.md reports) on SPARK_GRAFT_SF_DIR and prints one JSON line.
-  * Timing includes full query execution (count() action drains the plan). */
+  * Timing includes full query execution (noop-sink drain computes every
+  * output column; count() would let Catalyst prune the aggregates).
+  *
+  * To make the baseline comparison decidable (BASELINE.md's nearest number
+  * is SF100 on 32 vCPU, ~1000× the sf0.1 bytes where per-query scheduler
+  * floor dominates), the run also synthesizes a k×-scaled copy of the
+  * input (deterministic key-remapped copies — each copy joins within
+  * itself, dims shared, so plans and selectivities match TPC-H at k× the
+  * data) and reports seconds plus s/GB at both scales in the same JSON
+  * line. Disable with SPARK_GRAFT_SCALED=0; k via SPARK_GRAFT_SCALE_K.
+  */
 object Bench {
+
+  /** Bytes of parquet under dir for the given tables. */
+  private def inputBytes(dir: String, tables: Seq[String]): Long =
+    tables.map { t =>
+      val f = new java.io.File(s"$dir/$t.parquet")
+      if (f.isFile) f.length
+      else if (f.isDirectory) f.listFiles.filter(_.isFile).map(_.length).sum
+      else 0L
+    }.sum
+
+  private val tpchTables =
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
+
+  /** Synthesize a k× copy of the TPC-H tables with key-remapped copies:
+    * copy i shifts every join key by i*OFF, so copies join only within
+    * themselves and all per-copy join cardinalities match the base —
+    * semantically ≈ SF(base × k). Idempotent (marker file). */
+  private[graft] def ensureScaled(spark: SparkSession, base: String, k: Int): String = {
+    val dir = s"/tmp/graft_scaled_${k}x_${math.abs(base.hashCode)}"
+    val done = new java.io.File(s"$dir/_DONE")
+    if (done.exists) return dir
+    val OFF = 100000000L // far above any base key at these SFs
+    val t = Tables(spark, base)
+    def scaled(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val withI = df.withColumn("__i", explode(sequence(lit(0L), lit(k - 1L))))
+      keyCols.foldLeft(withI) { case (d, c) =>
+        d.withColumn(c, col(c) + col("__i") * OFF)
+      }.drop("__i")
+    }
+    // many files per table: a 100 TB corpus is thousands of row groups —
+    // a single big file here would cap the scan at 1-2 tasks (128 MB
+    // maxPartitionBytes) and measure nothing but the bottleneck
+    def write(df: DataFrame, name: String, files: Int = 8): Unit =
+      df.repartition(files).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    write(scaled(t.lineitem, Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", 32)
+    write(scaled(t.orders, Seq("o_orderkey", "o_custkey")), "orders", 32)
+    write(scaled(t.customer, Seq("c_custkey")), "customer")
+    write(scaled(t.supplier, Seq("s_suppkey")), "supplier")
+    write(scaled(t.part, Seq("p_partkey")), "part")
+    write(t.nation, "nation") // dims shared across copies
+    write(t.region, "region")
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    dir
+  }
+
+  private def jsonQueries(results: Seq[(String, Double)]): String =
+    results.map { case (n, v) => "\"" + n + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.session(cpus)
 
-    // Drain through the noop sink: unlike count(), this computes every
-    // output column (count() would let Catalyst prune the aggregate
-    // expressions and under-measure the query).
-    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+    def drain(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
     val headline = (1 to 10).map(i => s"q$i")
+
+    def warm(dir: String): Unit = {
+      val t = Tables(spark, dir)
+      tpchTables.foreach(n => try t(n).count() catch { case _: Throwable => () })
+    }
+
+    def run(dir: String): Seq[(String, Double)] = headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try drain(fn(spark, dir))
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
     // JVM/codegen warmup on the smallest SF so measured numbers reflect
     // steady-state execution, not first-query classloading.
     val warmDir = "/root/testdata/sf0.001"
@@ -24,25 +97,29 @@ object Bench {
         try drain(SparkEntry.queries(n)(spark, warmDir))
         catch { case _: Throwable => () }
       }
-    // touch the target-SF inputs once so timings measure execution,
-    // not first-read page-cache misses
-    val t = Tables(spark, sfDir)
-    Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
-      .foreach(n => try t(n).count() catch { case _: Throwable => () })
+    warm(sfDir) // page-cache touch: measure execution, not first read
 
-    val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try drain(fn(spark, sfDir))
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results
-      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    val results = run(sfDir)
     val total = results.map(_._2).sum
+    val baseGb = inputBytes(sfDir, tpchTables) / 1e9
+
+    val scaledPart: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALED", "1") != "0") {
+        // k=100 over sf0.1 ≈ SF10-equivalent (~1.8 GB parquet): large
+        // enough that per-query scheduler floor stops dominating s/GB
+        // (measured: 674 s/GB at sf0.1 → 30 s/GB here), small enough to
+        // generate+run in minutes; fits the 24g bench heap.
+        val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "100").toInt
+        val sdir = ensureScaled(spark, sfDir, k)
+        warm(sdir)
+        val sres = run(sdir)
+        val stotal = sres.map(_._2).sum
+        val sGb = inputBytes(sdir, tpchTables) / 1e9
+        f""","scaled":{"k":$k,"input_gb":$sGb%.3f,"total_sec":$stotal%.3f,"sec_per_gb":${stotal / math.max(sGb, 1e-9)}%.2f,"queries":${jsonQueries(sres)}}"""
+      } else ""
+
     println(
-      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f$scaledPart}""")
     spark.stop()
   }
 }

@@ -100,6 +100,41 @@ object Advanced {
       |  CAST(16 * 16 * 3 AS BIGINT) AS tensor_elems
       |FROM px ORDER BY doc_id""".stripMargin
 
+  /** Real-codec audio pipeline (ref daft/functions/audio.py; JDK
+    * javax.sound WAV): synthesize square-wave WAVs (amplitude ±0.25 —
+    * exactly representable through 16-bit PCM, so RMS is exactly 0.25 and
+    * every output is arithmetic-checkable), then decode and measure. */
+  def multimodal_audio(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Audio
+    val wavForId = udf { (id: Long) =>
+      val n = 8000 + (id % 1000).toInt
+      val samples = Array.tabulate(n)(i => if ((i / 8) % 2 == 0) 0.25f else -0.25f)
+      Audio.encodeWav(samples, 16000f)
+    }
+    t(s, dir).documents
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), wavForId(col("doc_id")).as("wav"))
+      .select(
+        col("doc_id"),
+        Audio.decodeUdf(col("wav")).as("clip"),
+        Audio.durationUdf(col("wav")).as("dur"),
+        Audio.rmsUdf(col("wav")).as("rms"))
+      .select(
+        col("doc_id"),
+        col("clip.channels").as("channels"),
+        col("clip.sampleRate").cast("double").as("sr"),
+        size(col("clip.samples")).as("n_frames"),
+        col("dur"), col("rms"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalAudioSql =
+    """SELECT doc_id, 1 AS channels, CAST(16000 AS DOUBLE) AS sr,
+      |  CAST(8000 + doc_id % 1000 AS INT) AS n_frames,
+      |  (8000 + doc_id % 1000) / 16000.0 AS dur,
+      |  CAST(0.25 AS DOUBLE) AS rms
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   /** Actor-style stateful UDF (ref §2.7 @daft.cls actor pools): a
     * per-partition lazily-initialized "model" applied row-wise via
     * mapPartitions — state constructed once per partition, not per row. */
@@ -219,6 +254,7 @@ object Advanced {
     "tokenize_roundtrip" -> (tokenize_roundtrip _),
     "multimodal_pipeline" -> (multimodal_pipeline _),
     "multimodal_decode" -> (multimodal_decode _),
+    "multimodal_audio" -> (multimodal_audio _),
     "udf_stateful" -> (udf_stateful _),
     "udf_generator" -> (udf_generator _),
     "streaming_window" -> (streaming_window _),
@@ -229,6 +265,7 @@ object Advanced {
     "tokenize_roundtrip" -> tokenizeRoundtripSql,
     "multimodal_pipeline" -> multimodalPipelineSql,
     "multimodal_decode" -> multimodalDecodeSql,
+    "multimodal_audio" -> multimodalAudioSql,
     "udf_stateful" -> udfStatefulSql,
     "udf_generator" -> udfGeneratorSql,
     "streaming_window" -> streamingWindowSql,

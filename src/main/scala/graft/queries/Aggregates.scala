@@ -223,6 +223,32 @@ object Aggregates {
       |    x -> CAST(x AS VARCHAR)), '|') AS key_set
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** ApproxSketch/MergeSketch (ref AggExpr::ApproxSketch): DDSketch
+    * quantiles as a custom mergeable Aggregator — partial sketches fold
+    * per partition and merge map-side, the same split Catalyst gives HLL.
+    * The oracle checks the sketch's own contract: relative error vs the
+    * exact percentile within the configured α (plus interpolation slack). */
+  def agg_sketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DDSketch
+    t(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        DDSketch.sketchQuantile(col("l_extendedprice"), 0.5).as("p50_est"),
+        DDSketch.sketchQuantile(col("l_extendedprice"), 0.95).as("p95_est"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (abs(col("p50_est") / col("p50_exact") - 1) <= 0.02).as("p50_ok"),
+        (abs(col("p95_est") / col("p95_exact") - 1) <= 0.02).as("p95_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggSketchSql =
+    """SELECT l_returnflag, count(*) AS n, true AS p50_ok, true AS p95_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** String-concat agg (ref AggExpr::Concat(delim)). */
   def agg_string_concat(s: SparkSession, dir: String): DataFrame =
     t(s, dir).nation
@@ -321,6 +347,7 @@ object Aggregates {
     "agg_any_value" -> (agg_any_value _),
     "agg_collect" -> (agg_collect _),
     "agg_string_concat" -> (agg_string_concat _),
+    "agg_sketch" -> (agg_sketch _),
     "agg_cube" -> (agg_cube _),
     "agg_horizontal" -> (agg_horizontal _),
     "map_groups" -> (map_groups _),
@@ -340,6 +367,7 @@ object Aggregates {
     "agg_any_value" -> aggAnyValueSql,
     "agg_collect" -> aggCollectSql,
     "agg_string_concat" -> aggStringConcatSql,
+    "agg_sketch" -> aggSketchSql,
     "agg_cube" -> aggCubeSql,
     "agg_horizontal" -> aggHorizontalSql,
     "map_groups" -> mapGroupsSql,

@@ -179,17 +179,23 @@ object Tpch {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
 
-  /** Q7: volume shipping between two nations, by year. */
+  /** Q7: volume shipping between two nations, by year. Supplier and
+    * customer are nation-filtered BEFORE the fact joins (each side drops
+    * to 2/N nations), so the big lineitem⋈orders volume is cut up front;
+    * only the cross-pair disjunction remains post-join. */
   def q7(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    val n1 = tt.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    val n2 = tt.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-    tt.supplier
+    val nations = Seq("NATION_1", "NATION_2")
+    val n1 = tt.nation.filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = tt.nation.filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val supF = tt.supplier.join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+    val custF = tt.customer.join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+    supF
       .join(tt.lineitem, col("s_suppkey") === col("l_suppkey"))
       .join(tt.orders, col("o_orderkey") === col("l_orderkey"))
-      .join(tt.customer, col("c_custkey") === col("o_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(custF, col("c_custkey") === col("o_custkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .withColumn("l_year", year(col("l_shipdate")).cast("long"))

@@ -84,6 +84,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Images.averageHash(grad) != Images.averageHash(a))
   }
 
+  test("WAV encode/decode round-trips dyadic samples exactly") {
+    import graft.ops.Audio
+    val samples = Array.tabulate(1600)(i => if (i % 2 == 0) 0.25f else -0.5f)
+    val wav = Audio.encodeWav(samples, 8000f)
+    val clip = Audio.decode(wav).get
+    assert(clip.channels == 1 && clip.sampleRate == 8000f)
+    assert(clip.numFrames == 1600)
+    assert(clip.samples(0) == 0.25f)
+    // -0.5 is NOT exactly representable on the negative side of 16-bit PCM
+    // (round(-16383.5) -> -16383), so assert to PCM quantization instead
+    assert(math.abs(clip.samples(1) + 0.5f) <= 1f / 32768)
+    val down = Audio.downsample(clip, 2)
+    assert(down.numFrames == 800 && down.sampleRate == 4000f)
+    assert(down.samples.forall(_ == 0.25f)) // every 2nd frame, all +0.25
+    assert(Audio.decode("not audio".getBytes) == None)
+  }
+
   test("url download reads file:// URIs written by upload") {
     val df = Seq((1L, "alpha"), (2L, "beta"), (3L, null.asInstanceOf[String]))
       .toDF("id", "s")
