@@ -135,6 +135,85 @@ object Advanced {
       |  CAST(0.25 AS DOUBLE) AS rms
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  /** File column ops (ref daft/functions/file_.py): stage each document as
+    * a real file, wrap the path as a File value, then stat/read/sniff —
+    * path, size, existence, magic-byte MIME of text and PNG payloads. */
+  def fn_file(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Files => GFiles, Images, UrlIO}
+    val base = s"/tmp/graft_file_${math.abs(dir.hashCode)}"
+    val docs = t(s, dir).documents
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        concat(lit("doc_"), col("doc_id"), lit(".txt")).as("fname"))
+    val staged = UrlIO.upload(docs, "payload", base, "url", nameCol = Some("fname"))
+      .withColumn("f", GFiles.file(col("url")))
+    staged.select(
+        col("doc_id"),
+        (GFiles.filePath(col("f")) === col("url")).as("path_ok"),
+        GFiles.fileSizeUdf(col("f")).as("fsize"),
+        GFiles.fileExistsUdf(col("f")).as("fexists"),
+        GFiles.guessMimeUdf(col("payload")).as("mime_txt"),
+        GFiles.guessMimeUdf(
+          Images.solidPngUdf(lit(4), lit(4), lit(1), lit(2), lit(3))).as("mime_png"))
+      .orderBy("doc_id")
+  }
+
+  val fnFileSql =
+    """SELECT doc_id, true AS path_ok,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS fsize,
+      |  true AS fexists, 'text/plain' AS mime_txt, 'image/png' AS mime_png
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  /** embed_text (ref daft/ai protocols + functions/ai.py) with the
+    * deterministic hashing-trick provider: embeddings are unit-norm, and
+    * byte-identical duplicate documents (the id-shifted copy corpus) embed
+    * to cosine exactly 1 — both checkable without a model. */
+  def ai_embed_text(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ai
+    val d = t(s, dir).documents.select("doc_id", "text")
+    val dup = d.union(d.withColumn("doc_id", col("doc_id") + 10000))
+    val embedded = Ai.embedText(dup, "text", "emb", new Ai.HashingEmbedder(64))
+    val orig = embedded.filter(col("doc_id") < 10000)
+      .select(col("doc_id"), col("emb").as("e1"))
+    val copy = embedded.filter(col("doc_id") >= 10000)
+      .select((col("doc_id") - 10000).as("doc_id"), col("emb").as("e2"))
+    orig.join(copy, "doc_id")
+      .select(
+        col("doc_id"),
+        size(col("e1")).as("dim"),
+        // round(4): float32 accumulation over 64 dims carries ~1e-6 error
+        round(graft.functions.Distance.cosineSimilarityNative(col("e1"), col("e2")), 4)
+          .as("dup_cos"),
+        round(sqrt(aggregate(col("e1"), lit(0.0d), (a, x) => a + x * x)), 4).as("norm"))
+      .orderBy("doc_id")
+  }
+
+  val aiEmbedTextSql =
+    """SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS dup_cos,
+      |  CAST(1.0 AS DOUBLE) AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Video frame-sampling plumbing (ref read_video_frames): one row per
+    * sampled frame index — pure explode, fully distributed. */
+  def multimodal_frames(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val vids = t(s, dir).documents
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        (lit(10) + col("doc_id") % 20).cast("int").as("total_frames"))
+    Multimodal.sampleFrames(vids, "payload", everyNth = 4, col("total_frames"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sampled"), max("frame_idx").as("last_frame"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalFramesSql =
+    """SELECT doc_id,
+      |  CAST((10 + doc_id % 20 - 1) // 4 + 1 AS BIGINT) AS n_sampled,
+      |  CAST(((10 + doc_id % 20 - 1) // 4) * 4 AS INT) AS last_frame
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   /** Actor-style stateful UDF (ref §2.7 @daft.cls actor pools): a
     * per-partition lazily-initialized "model" applied row-wise via
     * mapPartitions — state constructed once per partition, not per row. */
@@ -191,6 +270,17 @@ object Advanced {
       |  event_type, count(*) AS n, sum(value) AS total_value
       |FROM events
       |GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""".stripMargin
+
+  /** Structured Streaming: stateful exact dedup — every event arrives
+    * twice, dropDuplicates inside the stream restores single-copy counts. */
+  def streaming_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming
+      .dedupStream(s, dir, s"graft_dedup_${math.abs(dir.hashCode)}")
+      .orderBy("event_type")
+
+  val streamingDedupSql =
+    """SELECT event_type, count(*) AS n, sum(value) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Structured Streaming: gap-based sessionization with
     * flatMapGroupsWithState (30-minute silence closes a session). */
@@ -255,10 +345,14 @@ object Advanced {
     "multimodal_pipeline" -> (multimodal_pipeline _),
     "multimodal_decode" -> (multimodal_decode _),
     "multimodal_audio" -> (multimodal_audio _),
+    "multimodal_frames" -> (multimodal_frames _),
+    "fn_file" -> (fn_file _),
+    "ai_embed_text" -> (ai_embed_text _),
     "udf_stateful" -> (udf_stateful _),
     "udf_generator" -> (udf_generator _),
     "streaming_window" -> (streaming_window _),
-    "streaming_sessions" -> (streaming_sessions _))
+    "streaming_sessions" -> (streaming_sessions _),
+    "streaming_dedup" -> (streaming_dedup _))
 
   val oracle: Map[String, String] = Map(
     "llm_generate" -> llmGenerateSql,
@@ -266,8 +360,12 @@ object Advanced {
     "multimodal_pipeline" -> multimodalPipelineSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_audio" -> multimodalAudioSql,
+    "multimodal_frames" -> multimodalFramesSql,
+    "fn_file" -> fnFileSql,
+    "ai_embed_text" -> aiEmbedTextSql,
     "udf_stateful" -> udfStatefulSql,
     "udf_generator" -> udfGeneratorSql,
     "streaming_window" -> streamingWindowSql,
-    "streaming_sessions" -> streamingSessionsSql)
+    "streaming_sessions" -> streamingSessionsSql,
+    "streaming_dedup" -> streamingDedupSql)
 }

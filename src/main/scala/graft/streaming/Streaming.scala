@@ -60,6 +60,35 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: the staged source is duplicated (every event
+    * arrives twice), then `dropDuplicates` on the key inside the stream —
+    * state-backed streaming dedup, the streaming counterpart of
+    * `Dedup.exact`. Aggregated counts must equal the single-copy batch
+    * counts for the oracle to match. */
+  def dedupStream(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    val base = stageDir(sfDir)
+    val dir = Paths.get(s"/tmp/graft_stream_dup/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Files.createDirectories(dir)
+    for (n <- Seq("copy_a.parquet", "copy_b.parquet"))
+      Files.copy(Paths.get(s"$base/events.parquet"), dir.resolve(n),
+        StandardCopyOption.REPLACE_EXISTING)
+    val events = spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    val deduped = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   case class Ev(user_id: Long, tsMicros: Long)
 
   /** Gap-based sessionization with flatMapGroupsWithState (ref §2.9 —
