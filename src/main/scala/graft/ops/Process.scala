@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{array, udf}
+
+/** run_process (ref `daft/functions/process.py`): run an external command
+  * per row — argv tokens from columns/literals — and expose its stdout as
+  * a column. Executes on the executor (ProcessBuilder, no shell unless
+  * asked; shell mode enables pipes at the usual injection caveats).
+  * on_error: "raise" fails the task, anything else yields null. */
+object Process {
+
+  def runProcess(args: Seq[Column], shell: Boolean = false,
+      onError: String = "log"): Column = {
+    val raise = onError == "raise"
+    val f = udf { (argv: Seq[String]) =>
+      try {
+        val tokens =
+          if (shell) Seq("/bin/sh", "-c", argv.mkString(" "))
+          else argv
+        val pb = new ProcessBuilder(tokens: _*)
+        val p = pb.start()
+        p.getOutputStream.close()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val code = p.waitFor()
+        if (code != 0) throw new RuntimeException(s"process exited $code: $tokens")
+        Some(out)
+      } catch {
+        case e: Exception => if (raise) throw e else None
+      }
+    }
+    f(array(args: _*))
+  }
+}

@@ -257,6 +257,22 @@ object Advanced {
       |FROM orders WHERE o_orderkey < 200
       |ORDER BY o_orderkey, copy_idx""".stripMargin
 
+  /** run_process (ref daft/functions/process.py): per-row external command
+    * with column-derived argv; printf %s echoes the document text back
+    * through a real subprocess, making stdout value-checkable. */
+  def udf_process(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Process
+    t(s, dir).documents
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        Process.runProcess(Seq(lit("printf"), lit("%s"), col("text"))).as("stdout_text"))
+      .orderBy("doc_id")
+  }
+
+  val udfProcessSql =
+    "SELECT doc_id, text AS stdout_text FROM documents WHERE doc_id < 100 ORDER BY doc_id"
+
   /** Structured Streaming: watermarked tumbling-window counts (superset of
     * the reference, which has no streaming engine — SURVEY §2.9). */
   def streaming_window(s: SparkSession, dir: String): DataFrame =
@@ -350,6 +366,7 @@ object Advanced {
     "ai_embed_text" -> (ai_embed_text _),
     "udf_stateful" -> (udf_stateful _),
     "udf_generator" -> (udf_generator _),
+    "udf_process" -> (udf_process _),
     "streaming_window" -> (streaming_window _),
     "streaming_sessions" -> (streaming_sessions _),
     "streaming_dedup" -> (streaming_dedup _))
@@ -365,6 +382,7 @@ object Advanced {
     "ai_embed_text" -> aiEmbedTextSql,
     "udf_stateful" -> udfStatefulSql,
     "udf_generator" -> udfGeneratorSql,
+    "udf_process" -> udfProcessSql,
     "streaming_window" -> streamingWindowSql,
     "streaming_sessions" -> streamingSessionsSql,
     "streaming_dedup" -> streamingDedupSql)

@@ -472,6 +472,65 @@ object Functions {
       |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  /** Bitwise namespace (ref daft/functions/bitwise.py: and/or/xor,
+    * shift_left/shift_right) — all native Catalyst operators, codegen'd. */
+  def fn_bitwise(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(col("l_partkey"))).as("band"),
+        (col("l_orderkey").bitwiseOR(col("l_partkey"))).as("bor"),
+        (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("bxor"),
+        shiftleft(col("l_linenumber"), 3).as("shl"),
+        shiftright(col("l_partkey").cast("int"), 2).as("shr"),
+        bitwise_not(col("l_linenumber")).as("bnot"),
+        bit_count(col("l_partkey")).as("popcount"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+
+  val fnBitwiseSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_orderkey & l_partkey AS band,
+      |  l_orderkey | l_partkey AS bor,
+      |  xor(l_orderkey, l_partkey) AS bxor,
+      |  CAST(l_linenumber << 3 AS INT) AS shl,
+      |  CAST(l_partkey >> 2 AS INT) AS shr,
+      |  CAST(~l_linenumber AS INT) AS bnot,
+      |  CAST(bit_count(l_partkey) AS INT) AS popcount
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
+
+  /** Spatial namespace (ref daft/functions/spatial.py
+    * great_circle_distance): haversine over synthetic lat/lon derived from
+    * table columns — a pure Column expression chain, codegen'd. */
+  def fn_spatial(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Spatial
+    t(s, dir).customer
+      .filter(col("c_custkey") <= 300)
+      .withColumn("lat1", (col("c_custkey") % 180) - 90.0)
+      .withColumn("lon1", (col("c_custkey") % 360) - 180.0)
+      .withColumn("lat2", (col("c_nationkey") * 7 % 180) - 90.0)
+      .withColumn("lon2", (col("c_nationkey") * 13 % 360) - 180.0)
+      .select(
+        col("c_custkey"),
+        round(Spatial.greatCircleDistance(
+          col("lat1"), col("lon1"), col("lat2"), col("lon2")), 4).as("dist_km"))
+      .orderBy("c_custkey")
+  }
+
+  val fnSpatialSql =
+    """WITH pts AS (
+      |  SELECT c_custkey,
+      |    (c_custkey % 180) - 90.0 AS lat1, (c_custkey % 360) - 180.0 AS lon1,
+      |    (c_nationkey * 7 % 180) - 90.0 AS lat2, (c_nationkey * 13 % 360) - 180.0 AS lon2
+      |  FROM customer WHERE c_custkey <= 300)
+      |SELECT c_custkey,
+      |  round(2 * 6371.0088 * asin(sqrt(
+      |    pow(sin(radians(lat2 - lat1) / 2), 2) +
+      |    cos(radians(lat1)) * cos(radians(lat2)) *
+      |    pow(sin(radians(lon2 - lon1) / 2), 2))), 4) AS dist_km
+      |FROM pts ORDER BY c_custkey""".stripMargin
+
   /** Struct/Map namespace (ref daft/functions/struct.py + map helpers):
     * construction, field/key access, keys/values extraction. */
   def fn_struct_map(s: SparkSession, dir: String): DataFrame = {
@@ -532,6 +591,8 @@ object Functions {
     "fn_struct_map" -> (fn_struct_map _),
     "fn_url" -> (fn_url _),
     "fn_url_download" -> (fn_url_download _),
+    "fn_bitwise" -> (fn_bitwise _),
+    "fn_spatial" -> (fn_spatial _),
     "fn_strings_basic" -> (fn_strings_basic _),
     "fn_strings_case" -> (fn_strings_case _),
     "fn_strings_distance" -> (fn_strings_distance _),
@@ -551,6 +612,8 @@ object Functions {
     "fn_struct_map" -> fnStructMapSql,
     "fn_url" -> fnUrlSql,
     "fn_url_download" -> fnUrlDownloadSql,
+    "fn_bitwise" -> fnBitwiseSql,
+    "fn_spatial" -> fnSpatialSql,
     "fn_strings_basic" -> fnStringsBasicSql,
     "fn_strings_case" -> fnStringsCaseSql,
     "fn_strings_distance" -> fnStringsDistanceSql,
