@@ -58,9 +58,13 @@ object Multimodal {
       // lazy per-partition decoder handle — constructed once per task,
       // not per row (ImageIO readers are not thread-safe to share)
       lazy val decoder = new Object {
+        // magic-byte sniff first: attempting ImageIO on every non-image
+        // payload would pay stream-setup + reader-probe cost per row
+        private def looksLikeImage(b: Array[Byte]): Boolean =
+          Files.guessMime(b).exists(_.startsWith("image/"))
         def decode(b: Array[Byte]): Row = {
           if (b == null) null
-          else Images.decode(b) match {
+          else (if (looksLikeImage(b)) Images.decode(b) else None) match {
             case Some(img) => Row(img.data, img.height, img.width, img.mode, img.channels)
             case None =>
               val (h, w) = payloadDims(b.length)

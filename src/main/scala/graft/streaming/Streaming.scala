@@ -91,6 +91,9 @@ object Streaming {
 
   case class Ev(user_id: Long, tsMicros: Long)
 
+  /** O(1) per-user sessionization state: last seen timestamp + counters. */
+  case class SessState(lastTs: Long, sessions: Int, events: Int)
+
   /** Gap-based sessionization with flatMapGroupsWithState (ref §2.9 —
     * KeyValueGroupedDataset custom state): sessions close after a 30-minute
     * silence; emits (user_id, n_sessions, n_events). */
@@ -103,18 +106,24 @@ object Streaming {
       .select(col("user_id"), floor(col("ts") / 1000L).cast("long").as("tsMicros"))
       .as[Ev]
 
-    // count closed+open sessions per user over the whole bounded stream
+    // count closed+open sessions per user. State is O(1) per user —
+    // (lastTs, sessions, events) — not the full timestamp history, which
+    // would grow unbounded at stream scale; each batch's rows are sorted
+    // locally and folded against the carried lastTs (late rows older than
+    // the carried lastTs would need the watermark contract, as anywhere).
     val counts = events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Long], (Long, Int, Int)](
+      .flatMapGroupsWithState[SessState, (Long, Int, Int)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[Ev], state: GroupState[List[Long]]) =>
-          val all = (state.getOption.getOrElse(Nil) ++ rows.map(_.tsMicros)).sorted
-          state.update(all)
-          val sessions =
-            if (all.isEmpty) 0
-            else 1 + all.zip(all.tail).count { case (a, b) => b - a > gapMicros }
-          Iterator((uid, sessions, all.size))
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = rows.map(_.tsMicros).toArray.sorted
+          val st0 = state.getOption.getOrElse(SessState(Long.MinValue, 0, 0))
+          val st = sorted.foldLeft(st0) { (st, ts) =>
+            val newSession = st.events == 0 || ts - st.lastTs > gapMicros
+            SessState(ts, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          Iterator((uid, st.sessions, st.events))
       }
       .toDF("user_id", "n_sessions", "n_events")
 
