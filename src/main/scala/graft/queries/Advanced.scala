@@ -338,6 +338,34 @@ object Advanced {
       |  true AS roundtrip_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** tiktoken-style pretrained-vocab BPE tokenize (ref str.py:1086):
+    * train a byte-level BPE vocab on a corpus sample, persist it in the
+    * .tiktoken file format, reload it, and encode/decode every document
+    * through the rank-based merge loop. Full byte coverage (ranks 0-255)
+    * makes the round trip lossless — a checkable contract — and
+    * compression (n_ids ≤ n_bytes) proves merges actually apply. */
+  def tokenize_pretrained(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bpe
+    val docs = t(s, dir).documents
+    val sample = docs.orderBy("doc_id").limit(50)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val vocabPath = s"/tmp/graft_bpe/vocab_${math.abs(dir.hashCode)}.tiktoken"
+    Bpe.saveTiktoken(Bpe.train(sample, nMerges = 512), vocabPath)
+    val ranks = Bpe.loadTiktoken(vocabPath)
+    val enc = Bpe.encodeCol(docs.select("doc_id", "text"), "text", "ids", ranks)
+    val dec = Bpe.decodeCol(enc, "ids", "decoded", ranks)
+    dec.select(
+        col("doc_id"),
+        (col("decoded") === col("text")).as("roundtrip_ok"),
+        (size(col("ids")) <= octet_length(col("text"))).as("compressed"),
+        (size(col("ids")) > 0).as("nonempty"))
+      .orderBy("doc_id")
+  }
+
+  val tokenizePretrainedSql =
+    """SELECT doc_id, true AS roundtrip_ok, true AS compressed, true AS nonempty
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** VLLMProject analog: prefix-routed micro-batched generation with a
     * deterministic stub client (ref ops/vllm.rs). */
   def llm_generate(s: SparkSession, dir: String): DataFrame = {
@@ -358,6 +386,7 @@ object Advanced {
   val queries: Map[String, Q] = Map(
     "llm_generate" -> (llm_generate _),
     "tokenize_roundtrip" -> (tokenize_roundtrip _),
+    "tokenize_pretrained" -> (tokenize_pretrained _),
     "multimodal_pipeline" -> (multimodal_pipeline _),
     "multimodal_decode" -> (multimodal_decode _),
     "multimodal_audio" -> (multimodal_audio _),
@@ -374,6 +403,7 @@ object Advanced {
   val oracle: Map[String, String] = Map(
     "llm_generate" -> llmGenerateSql,
     "tokenize_roundtrip" -> tokenizeRoundtripSql,
+    "tokenize_pretrained" -> tokenizePretrainedSql,
     "multimodal_pipeline" -> multimodalPipelineSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_audio" -> multimodalAudioSql,

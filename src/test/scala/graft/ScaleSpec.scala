@@ -115,6 +115,15 @@ class ScaleSpec extends AnyFunSuite {
       s"query side must be broadcast, corpus never shuffled for scoring:\n$plan")
   }
 
+  test("per-key top-k windows get the WindowGroupLimit pushdown") {
+    // rank()<=k filters compile to partial+final WindowGroupLimit (per-key
+    // heaps before the shuffle) — the grouped-top-k shape that survives
+    // scale; a plain full-sort Window here would be a regression
+    val plan = executedPlan(queries.Pipeline.similarity_topk(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit before the rank Window:\n$plan")
+  }
+
   test("shuffle partitions are configured for local core count, not 200") {
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 64)
     assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
