@@ -292,10 +292,11 @@ object Advanced {
   def streaming_dedup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming
       .dedupStream(s, dir, s"graft_dedup_${math.abs(dir.hashCode)}")
+      .withColumn("total_value", round(col("total_value"), 2))
       .orderBy("event_type")
 
   val streamingDedupSql =
-    """SELECT event_type, count(*) AS n, sum(value) AS total_value
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Structured Streaming: gap-based sessionization with

@@ -118,12 +118,13 @@ object Io {
     Sql.readSqlPartitioned(s, s"jdbc:duckdb:$db", "orders",
         "o_orderkey", 0L, maxKey, numPartitions = 4)
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+      // round(2): big double sums drift in the last ulps across engines
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
       .orderBy("o_orderstatus")
   }
 
   val ioReadSqlSql =
-    """SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** SQL entry point (§3.2): temp views + spark.sql with CTE, join,
