@@ -536,6 +536,32 @@ object Relational {
       |  ON c_acctbal > s_acctbal - 10 AND c_acctbal < s_acctbal + 10
       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 
+  /** Range (interval) join via bucketized equi-join (ops/RangeJoin): the
+    * inequality `point BETWEEN start AND end` never becomes a cartesian —
+    * intervals explode to overlapped buckets, points map to one bucket,
+    * and the exact predicate re-checks after the bucket equi-join. */
+  def join_range(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.RangeJoin
+    val pts = t(s, dir).events
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"), (col("event_id") * 3).as("pt"))
+    val ivs = t(s, dir).orders
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        (col("o_orderkey") * 5).as("ivs_start"),
+        (col("o_orderkey") * 5 + pmod(col("o_orderkey"), lit(20))).as("ivs_end"))
+    RangeJoin.join(pts, ivs, col("pt"), col("ivs_start"), col("ivs_end"), bucketWidth = 32)
+      .select("event_id", "o_orderkey")
+      .orderBy("event_id", "o_orderkey")
+  }
+
+  val joinRangeSql =
+    """SELECT event_id, o_orderkey
+      |FROM events JOIN orders
+      |  ON event_id * 3 BETWEEN o_orderkey * 5 AND o_orderkey * 5 + o_orderkey % 20
+      |WHERE event_id < 2000 AND o_orderkey < 2000
+      |ORDER BY event_id, o_orderkey""".stripMargin
+
   // ---- Subqueries (ref Expr::Subquery/InSubquery/Exists, §2.6) ------------
 
   /** Scalar subquery: rows above the global average. */
@@ -692,6 +718,7 @@ object Relational {
     "join_cross" -> (join_cross _),
     "join_null_safe" -> (join_null_safe _),
     "join_theta" -> (join_theta _),
+    "join_range" -> (join_range _),
     "subquery_scalar" -> (subquery_scalar _),
     "subquery_in" -> (subquery_in _),
     "subquery_not_exists" -> (subquery_not_exists _),
@@ -736,6 +763,7 @@ object Relational {
     "join_cross" -> joinCrossSql,
     "join_null_safe" -> joinNullSafeSql,
     "join_theta" -> joinThetaSql,
+    "join_range" -> joinRangeSql,
     "subquery_scalar" -> subqueryScalarSql,
     "subquery_in" -> subqueryInSql,
     "subquery_not_exists" -> subqueryNotExistsSql,

@@ -115,6 +115,13 @@ class ScaleSpec extends AnyFunSuite {
       s"query side must be broadcast, corpus never shuffled for scoring:\n$plan")
   }
 
+  test("range join buckets the inequality — no cartesian product") {
+    val plan = executedPlan(queries.Relational.join_range(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"interval join must go through the bucket equi-join:\n$plan")
+    assert(plan.contains("__bkt"), "bucket key expected in the join")
+  }
+
   test("per-key top-k windows get the WindowGroupLimit pushdown") {
     // rank()<=k filters compile to partial+final WindowGroupLimit (per-key
     // heaps before the shuffle) — the grouped-top-k shape that survives
@@ -122,6 +129,27 @@ class ScaleSpec extends AnyFunSuite {
     val plan = executedPlan(queries.Pipeline.similarity_topk(spark, dir))
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit before the rank Window:\n$plan")
+  }
+
+  test("no query in the suite plans an accidental cartesian product") {
+    // intentional exceptions: join_cross IS a cross join; the others use a
+    // deliberate bounded-broadcast nested loop (scalar-subquery broadcast,
+    // theta band join, brute-force scoring, quantile-bound compare)
+    val intentionalCartesian = Set("join_cross")
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      // streaming/io queries execute work at plan time; skip the slow ones
+      val skip = name.startsWith("streaming_") || name.startsWith("io_") ||
+        name == "checkpoint_resume" || name == "tokenize_pretrained" ||
+        name == "similarity_ivf_recall" || name == "llm_generate" ||
+        name == "fn_url_download" || name == "fn_file" || name == "udf_process"
+      if (skip || intentionalCartesian(name)) None
+      else
+        try {
+          val plan = executedPlan(SparkEntry.queries(name)(spark, dir))
+          if (plan.contains("CartesianProduct")) Some(name) else None
+        } catch { case _: Throwable => None }
+    }
+    assert(failures.isEmpty, s"unexpected CartesianProduct in: $failures")
   }
 
   test("shuffle partitions are configured for local core count, not 200") {
