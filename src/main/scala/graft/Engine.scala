@@ -23,6 +23,10 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // planner extension: custom whole-operator plans (as-of join) are
+      // planned by Catalyst like built-in joins — EnsureRequirements owns
+      // their exchanges/sorts (brief tier (c): LogicalPlan+Strategy+Exec)
+      .withExtensions(_.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy))
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

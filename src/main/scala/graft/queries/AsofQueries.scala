@@ -92,6 +92,22 @@ object AsofQueries {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** As-of join through the planner-integrated operator (custom
+    * LogicalPlan + SparkStrategy + SparkPlan registered via
+    * SparkSessionExtensions — graft.plans.AsofJoinPlan): same semantics as
+    * asof_backward, but exchanges/sorts are planned by Catalyst from the
+    * operator's declared distribution, so pre-partitioned inputs skip the
+    * shuffle. */
+  def asof_planned(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = sides(s, dir)
+    graft.plans.PlannedAsof.join(clicks, purchases, "ts", "p_ts",
+        Seq("user_id"), Seq("p_user"), AsofJoin.Backward)
+      .select("event_id", "user_id", "p_event_id", "p_value")
+      .orderBy("event_id")
+  }
+
+  val asofPlannedSql = asofBackwardSql
+
   /** Global (no by-keys) as-of join via the range-partitioned two-pass
     * implementation — does not collapse to one partition. */
   def asof_global(s: SparkSession, dir: String): DataFrame = {
@@ -111,6 +127,7 @@ object AsofQueries {
   val queries: Map[String, Q] = Map(
     "asof_global" -> (asof_global _),
     "asof_backward" -> (asof_backward _),
+    "asof_planned" -> (asof_planned _),
     "asof_forward" -> (asof_forward _),
     "asof_nearest" -> (asof_nearest _),
     "asof_tolerance" -> (asof_tolerance _))
@@ -118,6 +135,7 @@ object AsofQueries {
   val oracle: Map[String, String] = Map(
     "asof_global" -> asofGlobalSql,
     "asof_backward" -> asofBackwardSql,
+    "asof_planned" -> asofPlannedSql,
     "asof_forward" -> asofForwardSql,
     "asof_nearest" -> asofNearestSql,
     "asof_tolerance" -> asofToleranceSql)

@@ -1,14 +1,23 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge into Spark's `private[sql]` Column↔Expression conversions —
-  * required for exposing custom Catalyst expressions through the public
-  * Column API in Spark 4 (the classic `Column.expr` / `new Column(expr)`
-  * path is no longer public). Standard pattern for extension libraries. */
+/** Bridge into Spark's `private[sql]` conversions — required for exposing
+  * custom Catalyst expressions and logical plans through the public API in
+  * Spark 4 (the classic `Column.expr` / `Dataset.ofRows` paths are no
+  * longer public). Standard pattern for extension libraries. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a custom logical plan node. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan backing a Dataset. */
+  def analyzedPlan(df: Dataset[_]): LogicalPlan = df.queryExecution.analyzed
 }

@@ -109,4 +109,30 @@ class AsofJoinSpec extends AnyFunSuite {
     }.toMap
     assert(got == expect)
   }
+
+  test("planner-integrated asof matches the cogroup implementation exactly") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, TestSpark.sfDir).events
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .selectExpr("event_id as p_event_id", "user_id as p_user", "ts as p_ts", "value as p_value")
+    for (strat <- Seq(AsofJoin.Backward, AsofJoin.Forward, AsofJoin.Nearest)) {
+      val viaCogroup = AsofJoin
+        .join(clicks, purchases, "ts", "p_ts", Seq("user_id"), Seq("p_user"), strat)
+        .select("event_id", "p_event_id").orderBy("event_id").collect()
+      val viaPlanner = graft.plans.PlannedAsof
+        .join(clicks, purchases, "ts", "p_ts", Seq("user_id"), Seq("p_user"), strat)
+        .select("event_id", "p_event_id").orderBy("event_id").collect()
+      assert(viaCogroup.length == viaPlanner.length && viaCogroup.length > 0)
+      viaCogroup.zip(viaPlanner).foreach { case (a, b) => assert(a == b, s"strategy $strat") }
+    }
+    // the physical plan is the custom operator with planner-owned exchanges
+    val plan = graft.plans.PlannedAsof
+      .join(clicks, purchases, "ts", "p_ts", Seq("user_id"), Seq("p_user"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"expected the custom operator:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"),
+      "EnsureRequirements must plan the by-key exchanges")
+  }
 }
