@@ -127,6 +127,36 @@ object Io {
     """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** write_sink (ref dataframe.py:2267 DataSink protocol): push documents
+    * through the pluggable JDBC sink (per-partition batched inserts into
+    * DuckDB) and the parallel CSV part sink, then verify both by reading
+    * back — per-partition write results aggregate to the source counts. */
+  def io_write_sink(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Sinks, Sql}
+    val db = s"$ioDir/write_sink_${math.abs(dir.hashCode)}.duckdb"
+    new java.io.File(db).delete()
+    val docs = t(s, dir).documents.select("doc_id", "text").repartition(8)
+    // write_sink is BLOCKING (as in the reference): materialize the write
+    // results before reading the sink back
+    val jdbcRes = Sinks.writeSink(docs, new Sinks.JdbcSink(s"jdbc:duckdb:$db", "docs_sink"))
+      .agg(sum("rowsWritten").as("jdbc_rows"), count(lit(1)).as("jdbc_parts")).head()
+    val csvDir = s"$ioDir/write_sink_csv_${math.abs(dir.hashCode)}"
+    val csvRes = Sinks.writeSink(docs, new Sinks.CsvPartSink(csvDir))
+      .agg(sum("rowsWritten").as("csv_rows")).head()
+    Sql.readSql(s, s"jdbc:duckdb:$db",
+        "SELECT count(*) AS n, count(DISTINCT doc_id) AS nd FROM docs_sink")
+      .select(
+        lit(jdbcRes.getLong(0)).as("jdbc_rows"),
+        lit(jdbcRes.getLong(1)).as("jdbc_parts"),
+        lit(csvRes.getLong(0)).as("csv_rows"),
+        col("n").as("db_rows"), (col("n") === col("nd")).as("no_dups"))
+  }
+
+  val ioWriteSinkSql =
+    """SELECT count(*) AS jdbc_rows, CAST(8 AS BIGINT) AS jdbc_parts,
+      |  count(*) AS csv_rows, count(*) AS db_rows, true AS no_dups
+      |FROM documents""".stripMargin
+
   /** SQL entry point (§3.2): temp views + spark.sql with CTE, join,
     * window — same logical IR as the DataFrame API. */
   def sql_entry(s: SparkSession, dir: String): DataFrame = {
@@ -186,6 +216,7 @@ object Io {
     "io_glob_files" -> (io_glob_files _),
     "io_warc_roundtrip" -> (io_warc_roundtrip _),
     "io_read_sql" -> (io_read_sql _),
+    "io_write_sink" -> (io_write_sink _),
     "sql_entry" -> (sql_entry _))
 
   val oracle: Map[String, String] = Map(
@@ -196,5 +227,6 @@ object Io {
     "io_glob_files" -> ioGlobFilesSql,
     "io_warc_roundtrip" -> ioWarcRoundtripSql,
     "io_read_sql" -> ioReadSqlSql,
+    "io_write_sink" -> ioWriteSinkSql,
     "sql_entry" -> sqlEntrySql)
 }
