@@ -39,6 +39,41 @@ object LlmInference {
     }
   }
 
+  /** Real HTTP completion client (OpenAI-/vLLM-completions shape): POSTs a
+    * JSON batch to `endpoint`, expects one completion line per prompt in
+    * the response body. Lazily built per partition; a per-batch POST is
+    * the pipelining unit. Tested against an in-process HTTP server
+    * (LlmClientSpec) — only the model server itself is external. */
+  final class HttpCompletionClient(
+      endpoint: String, timeoutSec: Long = 60) extends Client {
+    @transient private lazy val http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    private def esc(s: String) =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    def generate(prompts: Seq[String]): Seq[String] = {
+      val body = prompts.map(p => s""""${esc(Option(p).getOrElse(""))}"""")
+        .mkString("""{"prompts":[""", ",", "]}")
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofSeconds(timeoutSec))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 400)
+        throw new java.io.IOException(s"LLM endpoint HTTP ${resp.statusCode()}")
+      val lines = resp.body().split("\n", -1).toSeq
+      require(lines.length >= prompts.length,
+        s"endpoint returned ${lines.length} completions for ${prompts.length} prompts")
+      lines.take(prompts.length)
+    }
+  }
+
   def generate(
       df: DataFrame,
       promptCol: String,
