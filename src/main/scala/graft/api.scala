@@ -119,18 +119,30 @@ object implicits {
     def shard(worldSize: Int, rank: Int, keyCol: String): DataFrame =
       df.filter(pmod(xxhash64(col(keyCol)), lit(worldSize)) === rank)
 
-    /** Per-column summary stats (ref describe/summarize). */
+    /** Per-column summary stats (ref describe/summarize;
+      * ref src/daft-logical-plan/src/ops/summarize.rs:48 computes all
+      * columns in ONE pass). A single `agg` emits every per-column stat,
+      * then the 1-row result is exploded into one row per column — the
+      * table is scanned exactly once regardless of column count.
+      */
     def summarizeCols(cols: String*): DataFrame = {
-      val parts = cols.map { c =>
-        df.agg(
-          lit(c).as("column"),
-          count(col(c)).as("cnt"),
-          (count(lit(1)) - count(col(c))).as("nulls"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_str"),
-          max(col(c)).cast("string").as("max_str"))
+      val aggs = cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"${c}__cnt"),
+          (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
       }
-      parts.reduce(_ union _)
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("column"),
+          col(s"${c}__cnt").as("cnt"),
+          col(s"${c}__nulls").as("nulls"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__min").as("min_str"),
+          col(s"${c}__max").as("max_str"))): _*)).as("s"))
+        .select("s.*")
     }
   }
 

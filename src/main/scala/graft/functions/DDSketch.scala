@@ -17,35 +17,56 @@ import org.apache.spark.sql.functions.udaf
   * is O(log(max/min)/α) buckets regardless of row count. */
 object DDSketch {
 
-  /** Bucket-count state: positive values in log-γ buckets, zeros/negatives
-    * tracked separately (standard DDSketch collapsing for non-positive). */
-  case class Buf(counts: Map[Int, Long], zeroCount: Long, total: Long)
+  /** Bucket-count state: positive values in log-γ buckets, a mirrored
+    * negative store (log-γ buckets over |x|, standard DDSketch two-store
+    * layout), and an exact zero count — the relative-error guarantee
+    * holds for negative data too. */
+  case class Buf(counts: Map[Int, Long], negCounts: Map[Int, Long],
+      zeroCount: Long, total: Long)
 
   class Agg(alpha: Double, q: Double) extends Aggregator[Double, Buf, Double] {
     private val gamma = (1 + alpha) / (1 - alpha)
     private val lnGamma = math.log(gamma)
 
-    def zero: Buf = Buf(Map.empty, 0L, 0L)
+    def zero: Buf = Buf(Map.empty, Map.empty, 0L, 0L)
+
+    private def bucket(mag: Double): Int =
+      math.ceil(math.log(mag) / lnGamma).toInt
 
     def reduce(b: Buf, x: Double): Buf =
-      if (x <= 0 || x.isNaN) b.copy(zeroCount = b.zeroCount + 1, total = b.total + 1)
-      else {
-        val i = math.ceil(math.log(x) / lnGamma).toInt
+      if (x == 0 || x.isNaN) b.copy(zeroCount = b.zeroCount + 1, total = b.total + 1)
+      else if (x > 0) {
+        val i = bucket(x)
         b.copy(counts = b.counts.updated(i, b.counts.getOrElse(i, 0L) + 1L),
+          total = b.total + 1)
+      } else {
+        val i = bucket(-x)
+        b.copy(negCounts = b.negCounts.updated(i, b.negCounts.getOrElse(i, 0L) + 1L),
           total = b.total + 1)
       }
 
+    private def mergeMaps(a: Map[Int, Long], b: Map[Int, Long]): Map[Int, Long] =
+      (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+
     def merge(a: Buf, b: Buf): Buf = Buf(
-      (a.counts.keySet ++ b.counts.keySet).iterator
-        .map(k => k -> (a.counts.getOrElse(k, 0L) + b.counts.getOrElse(k, 0L))).toMap,
+      mergeMaps(a.counts, b.counts),
+      mergeMaps(a.negCounts, b.negCounts),
       a.zeroCount + b.zeroCount,
       a.total + b.total)
 
     def finish(b: Buf): Double = {
       if (b.total == 0) return Double.NaN
       val rank = math.max(1L, math.ceil(q * b.total).toLong)
-      if (rank <= b.zeroCount) return 0.0
-      var seen = b.zeroCount
+      // Value order: negatives (descending bucket index = most-negative
+      // first), then zeros, then positives (ascending bucket index).
+      var seen = 0L
+      for (i <- b.negCounts.keys.toSeq.sorted(Ordering[Int].reverse)) {
+        seen += b.negCounts(i)
+        if (seen >= rank) return -2 * math.pow(gamma, i) / (gamma + 1)
+      }
+      seen += b.zeroCount
+      if (seen >= rank) return 0.0
       for (i <- b.counts.keys.toSeq.sorted) {
         seen += b.counts(i)
         if (seen >= rank) return 2 * math.pow(gamma, i) / (gamma + 1)

@@ -39,26 +39,51 @@ object LlmInference {
     }
   }
 
-  /** Real HTTP completion client (OpenAI-/vLLM-completions shape): POSTs a
-    * JSON batch to `endpoint`, expects one completion line per prompt in
-    * the response body. Lazily built per partition; a per-batch POST is
-    * the pipelining unit. Tested against an in-process HTTP server
-    * (LlmClientSpec) — only the model server itself is external. */
+  /** Real HTTP completion client. Two wire protocols:
+    *
+    *  - `protocol = "openai"` (default): OpenAI/vLLM completions JSON —
+    *    POST `{"model":…, "prompt":[…]}` and read
+    *    `{"choices":[{"index":i,"text":…},…]}`, ordering by `index`, so a
+    *    stock vLLM endpoint works unmodified and embedded newlines in
+    *    completions are unambiguous.
+    *  - `protocol = "lines"`: newline framing for trivial servers — the
+    *    server MUST return exactly one line per prompt with any embedded
+    *    newlines escaped as `\n` (unescaped on receipt); a count mismatch
+    *    is an error, never a silent row/response shift.
+    *
+    * Lazily built per partition; a per-batch POST is the pipelining unit.
+    * Tested against an in-process HTTP server (LlmClientSpec) in both
+    * framings — only the model server itself is external. */
   final class HttpCompletionClient(
-      endpoint: String, timeoutSec: Long = 60) extends Client {
+      endpoint: String,
+      protocol: String = "openai",
+      model: String = "default",
+      timeoutSec: Long = 60) extends Client {
+    require(protocol == "openai" || protocol == "lines", s"protocol=$protocol")
     @transient private lazy val http = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
-    private def esc(s: String) =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // single-scan unescape: \n → newline, \\ → backslash (a naive pair of
+    // String.replace calls corrupts "\\n" — escaped backslash + n).
+    private def unescapeLine(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case _ => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
       }
-    def generate(prompts: Seq[String]): Seq[String] = {
-      val body = prompts.map(p => s""""${esc(Option(p).getOrElse(""))}"""")
-        .mkString("""{"prompts":[""", ",", "]}")
+      sb.toString
+    }
+
+    private def post(body: String): String = {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
         .timeout(java.time.Duration.ofSeconds(timeoutSec))
         .header("Content-Type", "application/json")
@@ -67,10 +92,34 @@ object LlmInference {
       val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() >= 400)
         throw new java.io.IOException(s"LLM endpoint HTTP ${resp.statusCode()}")
-      val lines = resp.body().split("\n", -1).toSeq
-      require(lines.length >= prompts.length,
-        s"endpoint returned ${lines.length} completions for ${prompts.length} prompts")
-      lines.take(prompts.length)
+      resp.body()
+    }
+
+    def generate(prompts: Seq[String]): Seq[String] = {
+      val root = mapper.createObjectNode()
+      root.put("model", model)
+      val arr = root.putArray(if (protocol == "openai") "prompt" else "prompts")
+      prompts.foreach(p => arr.add(Option(p).getOrElse("")))
+      val body = post(mapper.writeValueAsString(root))
+      if (protocol == "openai") {
+        val choices = mapper.readTree(body).path("choices")
+        require(choices.isArray && choices.size() == prompts.length,
+          s"endpoint returned ${choices.size()} choices for ${prompts.length} prompts")
+        val out = new Array[String](prompts.length)
+        choices.forEach { c =>
+          val i = if (c.has("index")) c.get("index").asInt() else -1
+          require(i >= 0 && i < out.length && out(i) == null,
+            s"bad/duplicate choice index $i")
+          out(i) = c.path("text").asText()
+        }
+        out.toSeq
+      } else {
+        val lines = body.split("\n", -1).toSeq
+        require(lines.length == prompts.length,
+          s"endpoint returned ${lines.length} lines for ${prompts.length} prompts" +
+            " (lines protocol requires exactly one escaped line per prompt)")
+        lines.map(unescapeLine)
+      }
     }
   }
 

@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions.{array, udf}
   * on_error: "raise" fails the task, anything else yields null. */
 object Process {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   def runProcess(args: Seq[Column], shell: Boolean = false,
       onError: String = "log"): Column = {
     val raise = onError == "raise"
@@ -19,6 +22,10 @@ object Process {
           if (shell) Seq("/bin/sh", "-c", argv.mkString(" "))
           else argv
         val pb = new ProcessBuilder(tokens: _*)
+        // Merge stderr into stdout: without this a command writing more
+        // than the OS pipe buffer (~64KB) to stderr blocks, and
+        // readAllBytes() on stdout never reaches EOF → the task hangs.
+        pb.redirectErrorStream(true)
         val p = pb.start()
         p.getOutputStream.close()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
@@ -26,7 +33,12 @@ object Process {
         if (code != 0) throw new RuntimeException(s"process exited $code: $tokens")
         Some(out)
       } catch {
-        case e: Exception => if (raise) throw e else None
+        case e: Exception =>
+          if (raise) throw e
+          else {
+            log.warn(s"run_process failed for argv=$argv: ${e.getMessage}")
+            None
+          }
       }
     }
     f(array(args: _*))

@@ -30,6 +30,11 @@ import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructTy
   */
 object UrlIO {
 
+  /** Live download pools in this JVM — a test hook proving the task
+    * completion listener reclaims pools even when the row iterator is
+    * abandoned mid-partition (limit/take/failed task). */
+  private[graft] val livePools = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def fetchOne(client: HttpClient, url: String): Array[Byte] = {
     val uri = new URI(url)
     uri.getScheme match {
@@ -66,11 +71,30 @@ object UrlIO {
       // The fetch pool (bounds per-task concurrency) is deliberately NOT
       // the client's executor — sharing them deadlocks: every pool thread
       // blocks in client.send(), which needs executor threads to complete.
-      lazy val pool = Executors.newFixedThreadPool(conns)
+      // Cleanup is tied to TASK COMPLETION, not iterator exhaustion: a
+      // downstream limit/take/failure stops pulling mid-partition, and an
+      // exhaustion-based shutdown would strand the pool (and its sockets)
+      // for the executor's lifetime.
+      var poolRef: java.util.concurrent.ExecutorService = null
+      lazy val pool = {
+        val p = Executors.newFixedThreadPool(conns)
+        poolRef = p
+        livePools.incrementAndGet()
+        p
+      }
+      Option(org.apache.spark.TaskContext.get()).foreach {
+        _.addTaskCompletionListener[Unit] { _ =>
+          if (poolRef != null) {
+            poolRef.shutdownNow()
+            poolRef.awaitTermination(10, TimeUnit.SECONDS)
+            livePools.decrementAndGet()
+          }
+        }
+      }
       lazy val client = HttpClient.newBuilder()
         .connectTimeout(Duration.ofSeconds(10))
         .build()
-      val out = rows.grouped(conns * 4).flatMap { batch =>
+      rows.grouped(conns * 4).flatMap { batch =>
         val futures = batch.map { r =>
           val url = r.getString(idx)
           val fut = pool.submit(new java.util.concurrent.Callable[Array[Byte]] {
@@ -86,15 +110,6 @@ object UrlIO {
           (r, fut)
         }
         futures.map { case (r, fut) => Row.fromSeq(r.toSeq :+ fut.get()) }
-      }
-      // pool shutdown on iterator exhaustion (task end)
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = out.hasNext
-          if (!h) { pool.shutdown(); pool.awaitTermination(1, TimeUnit.MINUTES) }
-          h
-        }
-        def next(): Row = out.next()
       }
     }(enc)
   }

@@ -611,18 +611,15 @@ object Relational {
 
   // ---- describe/summarize (ref ops/summarize.rs) --------------------------
 
-  /** summarize: per-column count/nulls/distinct/min/max as rows. */
+  /** summarize: per-column count/nulls/distinct/min/max as rows.
+    * Single-pass: all columns' stats come from ONE `agg` over one scan
+    * (ref src/daft-logical-plan/src/ops/summarize.rs:48), then the 1-row
+    * result is exploded to a row per column via graft.summarizeCols.
+    */
   def summarize_op(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir).customer
-    def one(colName: String): DataFrame =
-      c.agg(
-        lit(colName).as("column"),
-        count(col(colName)).as("cnt"),
-        (count(lit(1)) - count(col(colName))).as("nulls"),
-        countDistinct(col(colName)).as("n_distinct"),
-        min(col(colName)).cast("string").as("min_str"),
-        max(col(colName)).cast("string").as("max_str"))
-    one("c_custkey").union(one("c_name")).union(one("c_mktsegment"))
+    import graft.implicits.GraftDataFrameOps
+    t(s, dir).customer
+      .summarizeCols("c_custkey", "c_name", "c_mktsegment")
       .orderBy("column")
   }
 

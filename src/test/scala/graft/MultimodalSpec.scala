@@ -142,4 +142,24 @@ class MultimodalSpec extends AnyFunSuite {
       assert(down.last.getString(1) == null) // 404 → null under on_error="null"
     } finally server.stop(0)
   }
+
+  test("download pool is reclaimed when the iterator is abandoned mid-partition") {
+    val before = UrlIO.livePools.get()
+    val df = Seq.tabulate(64)(i => (i.toLong, s"f_$i")).toDF("id", "fname")
+      .select(col("id"), encode(col("fname"), "UTF-8").as("payload"), col("fname"))
+      .coalesce(1)
+    val up = UrlIO.upload(df, "payload", "/tmp/graft_urlio_limit_spec", "url", Some("fname"))
+    // limit(1) stops pulling after the first row: the 64-row partition's
+    // iterator is never exhausted, so only a task-completion listener can
+    // release the pool.
+    val one = UrlIO.download(up, "url", "bytes", maxConnections = 4)
+      .limit(1).collect()
+    assert(one.length == 1)
+    // listener runs at task end; poll briefly for the async cleanup
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (UrlIO.livePools.get() > before && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(UrlIO.livePools.get() <= before,
+      s"leaked pools: ${UrlIO.livePools.get()} > $before")
+  }
 }

@@ -152,6 +152,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"unexpected CartesianProduct in: $failures")
   }
 
+  test("summarize scans the table exactly once for all columns") {
+    // k columns of stats from ONE pass (ref ops/summarize.rs one-pass
+    // semantics); the per-column-union shape would be k full scans at 100 TB
+    val plan = executedPlan(queries.Relational.summarize_op(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one FileScan, got $scans:\n$plan")
+  }
+
   test("shuffle partitions are configured for local core count, not 200") {
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 64)
     assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
