@@ -105,6 +105,34 @@ object Io {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
       |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
 
+  /** MCAP round-trip (ref daft/io/mcap/_mcap.py read_mcap): stage orders
+    * rows as MCAP messages (topic = order status, log_time from the key),
+    * write one lz4-chunked file per partition, stream them back through
+    * the record parser. Exercises the full container path: magic, channel
+    * registry, chunk decompression, message framing. */
+  def io_mcap_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Mcap
+    val mcapDir = s"$ioDir/mcap_${math.abs(dir.hashCode)}"
+    val msgs = t(s, dir).orders
+      .filter(col("o_orderkey") < 2000)
+      .select(
+        col("o_orderstatus").as("topic"),
+        (col("o_orderkey") * lit(1000000L)).as("log_time"),
+        (col("o_orderkey") * lit(1000000L) + lit(1L)).as("publish_time"),
+        col("o_orderkey").cast("int").as("sequence"),
+        col("o_orderpriority").as("data"))
+    Mcap.write(msgs, mcapDir, "topic", "log_time", "publish_time", "sequence", "data",
+      compression = "lz4")
+    Mcap.read(s, s"$mcapDir/*.mcap")
+      .orderBy("sequence")
+  }
+
+  val ioMcapRoundtripSql =
+    """SELECT o_orderstatus AS topic, o_orderkey * 1000000 AS log_time,
+      |  o_orderkey * 1000000 + 1 AS publish_time,
+      |  CAST(o_orderkey AS INT) AS sequence, o_orderpriority AS data
+      |FROM orders WHERE o_orderkey < 2000 ORDER BY sequence""".stripMargin
+
   /** read_sql (ref daft/io/_sql.py): stage an orders table into a DuckDB
     * database file, read it back through the range-partitioned JDBC source
     * (4 parallel stripes on o_orderkey), and aggregate. */
@@ -215,6 +243,7 @@ object Io {
     "io_partitioned_write" -> (io_partitioned_write _),
     "io_glob_files" -> (io_glob_files _),
     "io_warc_roundtrip" -> (io_warc_roundtrip _),
+    "io_mcap_roundtrip" -> (io_mcap_roundtrip _),
     "io_read_sql" -> (io_read_sql _),
     "io_write_sink" -> (io_write_sink _),
     "sql_entry" -> (sql_entry _))
@@ -226,6 +255,7 @@ object Io {
     "io_partitioned_write" -> ioPartitionedWriteSql,
     "io_glob_files" -> ioGlobFilesSql,
     "io_warc_roundtrip" -> ioWarcRoundtripSql,
+    "io_mcap_roundtrip" -> ioMcapRoundtripSql,
     "io_read_sql" -> ioReadSqlSql,
     "io_write_sink" -> ioWriteSinkSql,
     "sql_entry" -> sqlEntrySql)
