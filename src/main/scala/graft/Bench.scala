@@ -48,14 +48,16 @@ object Bench {
     }
     // many files per table: a 100 TB corpus is thousands of row groups —
     // a single big file here would cap the scan at 1-2 tasks (128 MB
-    // maxPartitionBytes) and measure nothing but the bottleneck
+    // maxPartitionBytes) and measure nothing but the bottleneck. File
+    // count grows with k so per-file size stays O(100 MB) at every tier.
+    val factFiles = math.max(32, math.min(256, 32 * k / 100))
     def write(df: DataFrame, name: String, files: Int = 8): Unit =
       df.repartition(files).write.mode("overwrite").parquet(s"$dir/$name.parquet")
-    write(scaled(t.lineitem, Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", 32)
-    write(scaled(t.orders, Seq("o_orderkey", "o_custkey")), "orders", 32)
-    write(scaled(t.customer, Seq("c_custkey")), "customer")
+    write(scaled(t.lineitem, Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", factFiles)
+    write(scaled(t.orders, Seq("o_orderkey", "o_custkey")), "orders", factFiles)
+    write(scaled(t.customer, Seq("c_custkey")), "customer", math.max(8, factFiles / 4))
     write(scaled(t.supplier, Seq("s_suppkey")), "supplier")
-    write(scaled(t.part, Seq("p_partkey")), "part")
+    write(scaled(t.part, Seq("p_partkey")), "part", math.max(8, factFiles / 4))
     write(t.nation, "nation") // dims shared across copies
     write(t.region, "region")
     done.getParentFile.mkdirs()
@@ -63,8 +65,18 @@ object Bench {
     dir
   }
 
-  private def jsonQueries(results: Seq[(String, Double)]): String =
-    results.map { case (n, v) => "\"" + n + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+  private case class QRes(name: String, sec: Double, ok: Boolean)
+
+  private def jsonQueries(results: Seq[QRes]): String =
+    results.map(r => "\"" + r.name + f"""\":${r.sec}%.3f""").mkString("{", ",", "}")
+
+  private def jsonFailed(results: Seq[QRes]): String =
+    results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+
+  /** Total over SUCCEEDED queries only — a query that dies (e.g. OOM at a
+    * scaled tier) must not report its time-to-failure as a result. */
+  private def okTotal(results: Seq[QRes]): Double =
+    results.filter(_.ok).map(_.sec).sum
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,12 +93,23 @@ object Bench {
       tpchTables.foreach(n => try t(n).count() catch { case _: Throwable => () })
     }
 
-    def run(dir: String): Seq[(String, Double)] = headline.map { name =>
+    def run(dir: String, names: Seq[String] = headline): Seq[QRes] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try drain(fn(spark, dir))
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { drain(fn(spark, dir)); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED on $dir: ${e.getMessage}")
+            false
+        }
+      QRes(name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+
+    def tierJson(label: String, k: Int, dir: String, res: Seq[QRes]): String = {
+      val gb = inputBytes(dir, tpchTables) / 1e9
+      val tot = okTotal(res)
+      f""","$label":{"k":$k,"input_gb":$gb%.3f,"total_sec":$tot%.3f,"sec_per_gb":${tot / math.max(gb, 1e-9)}%.2f,"queries":${jsonQueries(res)},"failed":${jsonFailed(res)}}"""
     }
 
     // JVM/codegen warmup on the smallest SF so measured numbers reflect
@@ -100,7 +123,7 @@ object Bench {
     warm(sfDir) // page-cache touch: measure execution, not first read
 
     val results = run(sfDir)
-    val total = results.map(_._2).sum
+    val total = okTotal(results)
     val baseGb = inputBytes(sfDir, tpchTables) / 1e9
 
     val scaledPart: String =
@@ -112,14 +135,24 @@ object Bench {
         val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "100").toInt
         val sdir = ensureScaled(spark, sfDir, k)
         warm(sdir)
-        val sres = run(sdir)
-        val stotal = sres.map(_._2).sum
-        val sGb = inputBytes(sdir, tpchTables) / 1e9
-        f""","scaled":{"k":$k,"input_gb":$sGb%.3f,"total_sec":$stotal%.3f,"sec_per_gb":${stotal / math.max(sGb, 1e-9)}%.2f,"queries":${jsonQueries(sres)}}"""
+        val tier1 = tierJson("scaled", k, sdir, run(sdir))
+
+        // one decade further (default k=1000 ≈ SF100-equivalent, ~18 GB):
+        // the 3 slowest queries only — enough to show s/GB holds across a
+        // 10× scale-up (linear-scaling evidence vs the SF100 baseline)
+        // without a half-hour bench. Page cache can't hold 18 GB of
+        // decompressed scan, so this tier also exercises re-read behavior.
+        val tier2 =
+          if (sys.env.getOrElse("SPARK_GRAFT_SCALED2", "1") != "0") {
+            val k2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_K2", "1000").toInt
+            val sdir2 = ensureScaled(spark, sfDir, k2)
+            tierJson("scaled2", k2, sdir2, run(sdir2, Seq("q4", "q5", "q7")))
+          } else ""
+        tier1 + tier2
       } else ""
 
     println(
-      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f$scaledPart}""")
+      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f$scaledPart}""")
     spark.stop()
   }
 }

@@ -61,6 +61,20 @@ class GraftSession(val spark: SparkSession) {
 
   def dropTempTable(name: String): Unit = spark.catalog.dropTempView(name)
 
+  /** ref session.py create_table: PERSISTENT table in the warehouse —
+    * survives the session (managed parquet via saveAsTable), unlike
+    * [[createTempTable]]'s view. */
+  def createTable(name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+
+  /** ref session.py write_table: append (or overwrite) into an existing
+    * persistent table through the catalog. */
+  def writeTable(name: String, df: DataFrame, mode: String = "append"): Unit =
+    df.write.mode(mode).insertInto(name)
+
+  def dropTable(name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+
   /** ref session.py current_namespace / set_namespace. */
   def currentNamespace: String = spark.catalog.currentDatabase
   def setNamespace(db: String): Unit = spark.catalog.setCurrentDatabase(db)
@@ -124,19 +138,30 @@ object implicits {
       * columns in ONE pass). A single `agg` emits every per-column stat,
       * then the 1-row result is exploded into one row per column — the
       * table is scanned exactly once regardless of column count.
+      *
+      * `approxDistinct = true` (default, matching the reference's
+      * approx_count_distinct) keeps the distinct count a mergeable HLL
+      * sketch — the only shape that survives a 100 TB describe; exact
+      * mode is for small frames / oracle comparison.
       */
-    def summarizeCols(cols: String*): DataFrame = {
+    def summarizeCols(cols: String*): DataFrame = summarizeColsWith(cols)
+
+    def summarizeColsWith(cols: Seq[String], approxDistinct: Boolean = true): DataFrame = {
+      val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      def nd(c: String): Column =
+        if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))
       val aggs = cols.flatMap { c =>
         Seq(
           count(col(c)).as(s"${c}__cnt"),
           (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__nd"),
+          nd(c).as(s"${c}__nd"),
           min(col(c)).cast("string").as(s"${c}__min"),
           max(col(c)).cast("string").as(s"${c}__max"))
       }
       df.agg(aggs.head, aggs.tail: _*)
         .select(explode(array(cols.map(c => struct(
           lit(c).as("column"),
+          lit(types.getOrElse(c, "unknown")).as("dtype"),
           col(s"${c}__cnt").as("cnt"),
           col(s"${c}__nulls").as("nulls"),
           col(s"${c}__nd").as("n_distinct"),

@@ -214,6 +214,50 @@ object Advanced {
       |  CAST(((10 + doc_id % 20 - 1) // 4) * 4 AS INT) AS last_frame
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  /** REAL video frame decode (ref read_video_frames): an MJPEG-AVI with
+    * one solid-color JPEG frame per nation (color a function of the key)
+    * is parsed chunk-by-chunk and every frame's actual pixels are decoded
+    * and checked against the expected color (JPEG-lossy tolerance ±6). */
+  def multimodal_video_frames(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Images, Video}
+    val avi = new java.io.File(s"/tmp/graft_io/video_${math.abs(dir.hashCode)}.avi")
+    if (!avi.isFile) {
+      // fixture: 25 frames at 64×48; dim-bounded driver-side generation
+      val frames = (0 until 25).map { i =>
+        val img = Images.decode(Images.solidPng(64, 48,
+          20 + i * 8, 30 + (i * 5) % 180, 40 + (i * 11) % 150)).get
+        Images.encode(img, "jpg")
+      }
+      avi.getParentFile.mkdirs()
+      val out = java.nio.file.Files.newOutputStream(avi.toPath)
+      try Video.writeMjpegAvi(frames, 64, 48, fps = 5, out)
+      finally out.close()
+    }
+    val meanCh = udf { (bytes: Array[Byte], ch: Int) =>
+      Images.decode(bytes).map { img =>
+        val n = img.width * img.height
+        var sum = 0L
+        var i = ch
+        while (i < img.data.length) { sum += img.data(i) & 0xff; i += img.channels }
+        sum.toDouble / n
+      }
+    }
+    val frames = Video.readFrames(s, avi.getPath)
+    t(s, dir).nation
+      .join(frames, col("n_nationkey") === col("frame_idx"))
+      .select(
+        col("frame_idx"), col("n_name"),
+        (abs(meanCh(col("frame_data"), lit(0)) - (lit(20) + col("frame_idx") * 8)) <= 6).as("r_ok"),
+        (abs(meanCh(col("frame_data"), lit(1)) - (lit(30) + (col("frame_idx") * 5) % 180)) <= 6).as("g_ok"),
+        (abs(meanCh(col("frame_data"), lit(2)) - (lit(40) + (col("frame_idx") * 11) % 150)) <= 6).as("b_ok"))
+      .orderBy("frame_idx")
+  }
+
+  val multimodalVideoFramesSql =
+    """SELECT CAST(n_nationkey AS INT) AS frame_idx, n_name,
+      |  true AS r_ok, true AS g_ok, true AS b_ok
+      |FROM nation ORDER BY frame_idx""".stripMargin
+
   /** Actor-style stateful UDF (ref §2.7 @daft.cls actor pools): a
     * per-partition lazily-initialized "model" applied row-wise via
     * mapPartitions — state constructed once per partition, not per row. */
@@ -392,6 +436,7 @@ object Advanced {
     "multimodal_decode" -> (multimodal_decode _),
     "multimodal_audio" -> (multimodal_audio _),
     "multimodal_frames" -> (multimodal_frames _),
+    "multimodal_video_frames" -> (multimodal_video_frames _),
     "fn_file" -> (fn_file _),
     "ai_embed_text" -> (ai_embed_text _),
     "udf_stateful" -> (udf_stateful _),
@@ -409,6 +454,7 @@ object Advanced {
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_audio" -> multimodalAudioSql,
     "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_video_frames" -> multimodalVideoFramesSql,
     "fn_file" -> fnFileSql,
     "ai_embed_text" -> aiEmbedTextSql,
     "udf_stateful" -> udfStatefulSql,

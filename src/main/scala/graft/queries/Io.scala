@@ -221,19 +221,29 @@ object Io {
     sess.attachPath("cat_nation", s"$dir/nation.parquet")
     sess.createTempTable("cat_big_nations",
       sess.readTable("cat_nation").filter(col("n_regionkey") >= 2))
+    // persistent path (ref session.py create_table/write_table): managed
+    // warehouse table, recreated then appended — deterministic per run
+    sess.dropTable("cat_persist")
+    sess.createTable("cat_persist",
+      sess.readTable("cat_nation").filter(col("n_regionkey") < 2))
+    sess.writeTable("cat_persist",
+      sess.readTable("cat_nation").filter(col("n_regionkey") === 2))
     val listed = sess.listTables()
       .filter(col("tableName").startsWith("cat_"))
       .agg(count(lit(1)).as("n_cat_tables"),
         bool_and(col("isTemporary")).as("all_temp"))
+    val persisted = sess.readTable("cat_persist")
+      .agg(count(lit(1)).as("n_persist"))
     sess.readTable("cat_big_nations")
       .agg(count(lit(1)).as("n_rows"), min("n_name").as("first_nation"))
-      .crossJoin(listed)
-      .select("n_rows", "first_nation", "n_cat_tables", "all_temp")
+      .crossJoin(listed).crossJoin(persisted)
+      .select("n_rows", "first_nation", "n_cat_tables", "all_temp", "n_persist")
   }
 
   val catalogSessionSql =
     """SELECT count(*) AS n_rows, min(n_name) AS first_nation,
-      |  CAST(2 AS BIGINT) AS n_cat_tables, true AS all_temp
+      |  CAST(3 AS BIGINT) AS n_cat_tables, false AS all_temp,
+      |  (SELECT count(*) FROM nation WHERE n_regionkey <= 2) AS n_persist
       |FROM nation WHERE n_regionkey >= 2""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -619,21 +619,22 @@ object Relational {
   def summarize_op(s: SparkSession, dir: String): DataFrame = {
     import graft.implicits.GraftDataFrameOps
     t(s, dir).customer
-      .summarizeCols("c_custkey", "c_name", "c_mktsegment")
+      .summarizeColsWith(Seq("c_custkey", "c_name", "c_mktsegment"),
+        approxDistinct = false) // exact for the DuckDB oracle
       .orderBy("column")
   }
 
   val summarizeSql =
     """SELECT * FROM (
-      |SELECT 'c_custkey' AS "column", count(c_custkey) AS cnt,
+      |SELECT 'c_custkey' AS "column", 'bigint' AS dtype, count(c_custkey) AS cnt,
       |  count(*) - count(c_custkey) AS nulls, count(DISTINCT c_custkey) AS n_distinct,
       |  CAST(min(c_custkey) AS VARCHAR) AS min_str, CAST(max(c_custkey) AS VARCHAR) AS max_str
       |FROM customer
       |UNION ALL
-      |SELECT 'c_name', count(c_name), count(*) - count(c_name),
+      |SELECT 'c_name', 'string', count(c_name), count(*) - count(c_name),
       |  count(DISTINCT c_name), min(c_name), max(c_name) FROM customer
       |UNION ALL
-      |SELECT 'c_mktsegment', count(c_mktsegment), count(*) - count(c_mktsegment),
+      |SELECT 'c_mktsegment', 'string', count(c_mktsegment), count(*) - count(c_mktsegment),
       |  count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment) FROM customer
       |) ORDER BY "column"""".stripMargin
 

@@ -40,6 +40,23 @@ class ApiSpec extends AnyFunSuite {
     assert(joined.count() == clicks.count())
   }
 
+  test("persistent tables round-trip through the warehouse") {
+    val sess = GraftSession(spark)
+    val nation = Tables(spark, dir).nation
+    sess.dropTable("apispec_persist")
+    sess.createTable("apispec_persist", nation.filter(col("n_regionkey") < 2))
+    val base = sess.readTable("apispec_persist").count()
+    assert(base == nation.filter(col("n_regionkey") < 2).count())
+    sess.writeTable("apispec_persist", nation.filter(col("n_regionkey") === 2))
+    assert(sess.readTable("apispec_persist").count() ==
+      nation.filter(col("n_regionkey") <= 2).count())
+    // persistent = visible in the catalog as non-temporary
+    val row = sess.listTables()
+      .filter(col("tableName") === "apispec_persist").head()
+    assert(!row.getBoolean(1), "saveAsTable must create a non-temp table")
+    sess.dropTable("apispec_persist")
+  }
+
   test("tokenize round-trips through a corpus vocab") {
     val docs = Tables(spark, dir).documents.limit(50)
     val vocab = ops.Tokenize.buildVocab(docs, "text")

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions at the BENCH scale (k=100 key-remapped fixture,
+  * ≈ SF10-equivalent, ~1.8 GB): the shapes ScaleSpec pins on the small
+  * fixtures must hold at the size where AQE and file statistics actually
+  * influence planning — pushdown still reaches the scan, dimensions are
+  * still broadcast (not demoted to shuffle joins), and no headline query
+  * plans a cartesian product. Reuses Bench's idempotent fixture, so after
+  * the first generation this suite costs only plan time. */
+class ScaledPlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private lazy val dir = Bench.ensureScaled(spark, "/root/testdata/sf0.1", 100)
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q6 keeps filter+projection pushdown at bench scale") {
+    val p = plan("q6")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("l_shipdate"), "shipdate filter should reach the scan")
+    assert(!p.contains("l_orderkey"), "q6 must not read l_orderkey")
+  }
+
+  test("q1 keeps two-phase hash aggregation at bench scale") {
+    val p = plan("q1")
+    assert(p.contains("HashAggregate") && p.contains("partial_sum"))
+  }
+
+  test("q3 keeps the broadcast dim join and top-k operator at bench scale") {
+    val p = plan("q3")
+    assert(p.contains("BroadcastHashJoin"), s"dim join demoted to shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+  }
+
+  for (q <- Seq("q5", "q7", "q8", "q9", "q10"))
+    test(s"$q still broadcasts its dimension joins at bench scale") {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: expected at least one broadcast dim join at k=100:\n$p")
+    }
+
+  test("no headline query plans a cartesian product at bench scale") {
+    val offenders = (1 to 10).map(i => s"q$i").filter(q =>
+      plan(q).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"CartesianProduct at bench scale in: $offenders")
+  }
+}
