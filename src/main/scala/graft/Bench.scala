@@ -40,26 +40,33 @@ object Bench {
     if (done.exists) return dir
     val OFF = 100000000L // far above any base key at these SFs
     val t = Tables(spark, base)
-    def scaled(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-      val withI = df.withColumn("__i", explode(sequence(lit(0L), lit(k - 1L))))
-      keyCols.foldLeft(withI) { case (d, c) =>
-        d.withColumn(c, col(c) + col("__i") * OFF)
-      }.drop("__i")
-    }
     // many files per table: a 100 TB corpus is thousands of row groups —
     // a single big file here would cap the scan at 1-2 tasks (128 MB
     // maxPartitionBytes) and measure nothing but the bottleneck. File
     // count grows with k so per-file size stays O(100 MB) at every tier.
     val factFiles = math.max(32, math.min(256, 32 * k / 100))
-    def write(df: DataFrame, name: String, files: Int = 8): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$dir/$name.parquet")
-    write(scaled(t.lineitem, Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", factFiles)
-    write(scaled(t.orders, Seq("o_orderkey", "o_custkey")), "orders", factFiles)
-    write(scaled(t.customer, Seq("c_custkey")), "customer", math.max(8, factFiles / 4))
-    write(scaled(t.supplier, Seq("s_suppkey")), "supplier")
-    write(scaled(t.part, Seq("p_partkey")), "part", math.max(8, factFiles / 4))
-    write(t.nation, "nation") // dims shared across copies
-    write(t.region, "region")
+    // CRITICAL ordering: shuffle the SMALL base table to the target file
+    // count FIRST, then explode k× inside each partition and write with no
+    // further shuffle. Repartitioning after the explode would shuffle the
+    // full scaled volume (k× the data, uncompressed rows — ~50 GB of
+    // shuffle at k=1000) through however few tasks scanned the small base.
+    def write(df: DataFrame, keyCols: Seq[String], name: String, files: Int): Unit = {
+      val withI = df.repartition(files)
+        .withColumn("__i", explode(sequence(lit(0L), lit(k - 1L))))
+      keyCols.foldLeft(withI) { case (d, c) =>
+        d.withColumn(c, col(c) + col("__i") * OFF)
+      }.drop("__i")
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    write(t.lineitem, Seq("l_orderkey", "l_partkey", "l_suppkey"), "lineitem", factFiles)
+    write(t.orders, Seq("o_orderkey", "o_custkey"), "orders", factFiles)
+    write(t.customer, Seq("c_custkey"), "customer", math.max(8, factFiles / 4))
+    write(t.supplier, Seq("s_suppkey"), "supplier", 8)
+    write(t.part, Seq("p_partkey"), "part", math.max(8, factFiles / 4))
+    // dims are shared across copies (copies remap fact-side FKs into the
+    // same 25/5 nation/region keys) — written as-is, never exploded
+    t.nation.coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    t.region.coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
     done.getParentFile.mkdirs()
     done.createNewFile()
     dir

@@ -38,6 +38,16 @@ object Graft {
   def fromGlobPath(spark: SparkSession, glob: String): DataFrame =
     spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("length"), col("modificationTime"))
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    sources.Warc.read(spark, path)
+  def readMcap(spark: SparkSession, path: String,
+      topics: Option[Seq[String]] = None,
+      startTime: Option[Long] = None, endTime: Option[Long] = None): DataFrame =
+    sources.Mcap.read(spark, path, topics, startTime, endTime)
+  def readVideoFrames(spark: SparkSession, path: String, everyNth: Int = 1): DataFrame =
+    ops.Video.readFrames(spark, path, everyNth)
+  def readSql(spark: SparkSession, jdbcUrl: String, table: String): DataFrame =
+    sources.Sql.readSql(spark, jdbcUrl, table)
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 }
 
@@ -61,11 +71,31 @@ class GraftSession(val spark: SparkSession) {
 
   def dropTempTable(name: String): Unit = spark.catalog.dropTempView(name)
 
+  /** Remove an orphaned managed-table location: the warehouse directory
+    * outlives an in-memory (derby) catalog across JVMs, and saveAsTable
+    * refuses to create a "new" table over a leftover directory. */
+  private def clearOrphanLocation(name: String): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+      val dir = new java.io.File(
+        (if (wh.getScheme == "file") java.nio.file.Paths.get(wh).toString else wh.getPath) +
+          "/" + name.toLowerCase)
+      if (dir.isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+
   /** ref session.py create_table: PERSISTENT table in the warehouse —
     * survives the session (managed parquet via saveAsTable), unlike
     * [[createTempTable]]'s view. */
-  def createTable(name: String, df: DataFrame): Unit =
+  def createTable(name: String, df: DataFrame): Unit = {
+    clearOrphanLocation(name)
     df.write.mode("overwrite").format("parquet").saveAsTable(name)
+  }
 
   /** ref session.py write_table: append (or overwrite) into an existing
     * persistent table through the catalog. */
@@ -74,6 +104,20 @@ class GraftSession(val spark: SparkSession) {
 
   def dropTable(name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
+
+  /** Bucketed persistent table: rows are hash-partitioned into `buckets`
+    * files per partition on `bucketCols` at WRITE time, so joins and
+    * aggregations on those keys later read co-located data and plan NO
+    * shuffle exchange — the pre-partitioning pattern that turns the
+    * biggest fact⋈fact shuffle at 100 TB into a map-side join. */
+  def createBucketedTable(name: String, df: DataFrame,
+      bucketCols: Seq[String], buckets: Int): Unit = {
+    clearOrphanLocation(name)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+  }
 
   /** ref session.py current_namespace / set_namespace. */
   def currentNamespace: String = spark.catalog.currentDatabase

@@ -160,6 +160,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(scans == 1, s"expected exactly one FileScan, got $scans:\n$plan")
   }
 
+  test("bucketed fact-fact join plans no shuffle exchange") {
+    // the co-location pattern for the 100 TB fact⋈fact case: bucket both
+    // sides on the join key at write time → join reads are pre-partitioned
+    // and the plan must contain no ShuffleExchange on either side
+    val sess = GraftSession(spark)
+    val t = Tables(spark, dir)
+    sess.dropTable("bkt_orders"); sess.dropTable("bkt_lineitem")
+    sess.createBucketedTable("bkt_orders",
+      t.orders.select("o_orderkey", "o_orderstatus"), Seq("o_orderkey"), 4)
+    sess.createBucketedTable("bkt_lineitem",
+      t.lineitem.select("l_orderkey", "l_quantity"), Seq("l_orderkey"), 4)
+    val joined = spark.table("bkt_orders")
+      .join(spark.table("bkt_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderstatus", "l_quantity")
+    // disable broadcast to force the join to prove bucketing, not size
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not re-shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"), "scans must use the bucket layout")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("shuffle partitions are configured for local core count, not 200") {
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 64)
     assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
