@@ -170,6 +170,20 @@ object implicits {
       ops.Dedup.ngramJaccardPairs(df, idCol, textCol, n, threshold)
 
     /** Brute-force cosine top-k of `queries` against this corpus. */
+    def dedupClusters(aCol: String, bCol: String): DataFrame =
+      ops.Dedup.clusters(df, aCol, bCol)
+
+    def saltedJoin(small: DataFrame, bigKey: String, smallKey: String,
+        salts: Int = 16): DataFrame =
+      ops.Skew.saltedJoin(df, small, bigKey, smallKey, salts)
+
+    def bloomPrefilteredJoin(small: DataFrame, bigKey: String, smallKey: String,
+        expectedItems: Long, fpp: Double = 0.01): DataFrame =
+      ops.Prune.bloomPrefilteredJoin(df, small, bigKey, smallKey, expectedItems, fpp)
+
+    def repetitionStats(idCol: String, textCol: String): DataFrame =
+      ops.TextAnalysis.repetitionStats(df, idCol, textCol)
+
     def similarTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
       ops.Similarity.bruteForceTopK(queries, df, idCol, vecCol, idCol, vecCol, k)
 

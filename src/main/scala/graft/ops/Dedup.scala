@@ -215,4 +215,56 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** Duplicate-cluster assignment: connected components over candidate
+    * pairs (the capstone of every pair-generating pipeline above — near-dup
+    * relations are not transitive, so "keep one per group" needs the
+    * transitive closure of the candidate graph).
+    *
+    * Iterative min-label propagation with pointer jumping: every node
+    * starts labeled with its own id; each superstep every node takes the
+    * min of its label and its neighbors' labels, then chases one extra
+    * hop (label ← label(label), path-halving), so convergence is
+    * O(log diameter) supersteps rather than O(diameter) — 2^20-diameter
+    * graphs converge inside the default iteration cap. Each superstep is
+    * three key-partitioned shuffles; the driver reads ONE scalar
+    * (changed-label count) per superstep; labels are localCheckpoint'd
+    * each round so lineage stays O(1) instead of growing per iteration.
+    *
+    * Output: (member, cluster) where cluster = min id in the component;
+    * every node appearing in any pair is assigned. */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // undirected: propagate along both directions
+    val adj = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = adj.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrLabels = adj
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val propagated = labels.union(nbrLabels)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: a label is itself a node id, so label(label(x)) is
+      // one hop closer to the component min — path-halving
+      val next = propagated
+        .join(propagated.select(col("id").as("__lid"), col("label").as("__llabel")),
+          propagated("label") === col("__lid"))
+        .select(col("id"), least(col("label"), col("__llabel")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("member"), col("label").as("cluster"))
+  }
 }

@@ -96,6 +96,34 @@ object TextAnalysis {
   }
   def fingerprint(text: Column): Column = fingerprintUdf(text)
 
+  /** Gopher-style repetition metrics (public quality-filter heuristics:
+    * Rae et al. 2021 §A1.1): duplicate-word fraction and the share of
+    * bigram occurrences taken by the single most frequent bigram. High
+    * values flag boilerplate/spam for training-data filtering.
+    *
+    * Scale shape: dup_word_frac is a pure column expression; the top-bigram
+    * share distributes as explode → two-level groupBy (one shuffle on
+    * (doc, bigram), partial-combined) — no per-doc state on the driver. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("dup_word_frac",
+        round((col("n_words") - size(array_distinct(col("toks")))).cast("double") /
+          greatest(col("n_words"), lit(1L)), 6))
+    val bigrams = base
+      .filter(col("n_words") >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), (col("n_words") - 1).cast("int")),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .as("bg"))
+    val top = bigrams.groupBy(idCol, "bg").count()
+      .groupBy(idCol)
+      .agg(round(max("count").cast("double") / sum("count"), 6).as("top_bigram_frac"))
+    base.select(idCol, "n_words", "dup_word_frac")
+      .join(top, Seq(idCol), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
   /** Full per-document stats projection. */
   def stats(docs: DataFrame, textCol: String): DataFrame =
     docs.select(

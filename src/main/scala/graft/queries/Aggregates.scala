@@ -249,6 +249,29 @@ object Aggregates {
     """SELECT l_returnflag, count(*) AS n, true AS p50_ok, true AS p95_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Mergeable HLL sketches (ref ApproxSketch/MergeSketch family): one
+    * Datasketches HLL per group, then a sketch UNION across groups — the
+    * two-level pattern that lets a 100 TB distinct-count be computed
+    * incrementally (per-partition/per-day sketches persisted, merged at
+    * read time) instead of re-scanning history. The estimate is checked
+    * against the exact distinct within HLL's error bound. */
+  def agg_hll_merge(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir).orders
+    val perStatus = o.groupBy("o_orderstatus")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = perStatus
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = o.agg(countDistinct("o_custkey").as("exact_distinct"))
+    merged.crossJoin(exact) // 1×1 rows — planned as a broadcast loop, not a cartesian scan
+      .select(
+        col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")).cast("double") /
+          col("exact_distinct") <= 0.05).as("hll_ok"))
+  }
+
+  val aggHllMergeSql =
+    "SELECT count(DISTINCT o_custkey) AS exact_distinct, true AS hll_ok FROM orders"
+
   /** String-concat agg (ref AggExpr::Concat(delim)). */
   def agg_string_concat(s: SparkSession, dir: String): DataFrame =
     t(s, dir).nation
@@ -348,6 +371,7 @@ object Aggregates {
     "agg_collect" -> (agg_collect _),
     "agg_string_concat" -> (agg_string_concat _),
     "agg_sketch" -> (agg_sketch _),
+    "agg_hll_merge" -> (agg_hll_merge _),
     "agg_cube" -> (agg_cube _),
     "agg_horizontal" -> (agg_horizontal _),
     "map_groups" -> (map_groups _),
@@ -368,6 +392,7 @@ object Aggregates {
     "agg_collect" -> aggCollectSql,
     "agg_string_concat" -> aggStringConcatSql,
     "agg_sketch" -> aggSketchSql,
+    "agg_hll_merge" -> aggHllMergeSql,
     "agg_cube" -> aggCubeSql,
     "agg_horizontal" -> aggHorizontalSql,
     "map_groups" -> mapGroupsSql,

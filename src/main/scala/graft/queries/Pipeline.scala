@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,91 @@ object Pipeline {
     """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
       |  CAST(1.0 AS DOUBLE) AS cos_sim
       |FROM embeddings ORDER BY id_a""".stripMargin
+
+  // ---- dedup: connected-components cluster assignment ----
+  /** Transitive closure over candidate pairs — near-dup similarity is not
+    * transitive, so keep-one-per-group needs components, not pairs. The
+    * pair chain here links copy A↔B and B↔C but never A↔C: only the
+    * closure puts all three in one cluster (cluster = min member id). In
+    * production the input is any pair generator above (minhash/simhash/
+    * embedding LSH). */
+  def dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents.select("doc_id")
+    val ab = d.select(col("doc_id").as("a"), (col("doc_id") + 10000).as("b"))
+    val bc = d.select((col("doc_id") + 10000).as("a"), (col("doc_id") + 20000).as("b"))
+    Dedup.clusters(ab.union(bc), "a", "b").orderBy("member")
+  }
+
+  val dedupClustersSql =
+    """SELECT member, cluster FROM (
+      |  SELECT doc_id AS member, doc_id AS cluster FROM documents
+      |  UNION ALL SELECT doc_id + 10000, doc_id FROM documents
+      |  UNION ALL SELECT doc_id + 20000, doc_id FROM documents)
+      |ORDER BY member""".stripMargin
+
+  // ---- skew: salted join (result ≡ plain join) ----
+  def join_salted(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(t(s, dir).lineitem, t(s, dir).supplier, "l_suppkey", "s_suppkey", 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy("s_nationkey")
+
+  val joinSaltedSql =
+    """SELECT s_nationkey, count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // ---- skew: two-phase salted aggregation (result ≡ plain agg) ----
+  def agg_salted(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(t(s, dir).lineitem, Seq("l_returnflag"), "l_quantity", 16)
+      .orderBy("l_returnflag")
+
+  val aggSaltedSql =
+    """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_l_quantity
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- prune: broadcast bloom prefilter before a fact join ----
+  /** Selective build side (top-price orders) joined against the full
+    * lineitem history: the bloom prefilter drops non-joining lineitem rows
+    * before the shuffle; false positives are removed by the join itself,
+    * so the result is exactly the plain join. */
+  def join_bloom_prefilter(s: SparkSession, dir: String): DataFrame = {
+    val hot = t(s, dir).orders.filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_totalprice")
+    graft.ops.Prune.bloomPrefilteredJoin(
+        t(s, dir).lineitem, hot, "l_orderkey", "o_orderkey",
+        expectedItems = 100000)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val joinBloomPrefilterSql =
+    """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 400000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- text quality: Gopher-style repetition filters ----
+  def text_repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(t(s, dir).documents, "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textRepetitionSql =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |base AS (SELECT doc_id, len(w) AS n_words,
+      |  round((len(w) - len(list_distinct(w))) * 1.0 / greatest(len(w), 1), 6)
+      |    AS dup_word_frac, w FROM t),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      |       FROM t WHERE len(w) >= 2),
+      |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+      |top AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+      |        FROM cnt GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_words, b.dup_word_frac,
+      |  coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
+      |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+      |ORDER BY b.doc_id""".stripMargin
 
   // ---- similarity search: exact top-k ----
   def similarity_topk(s: SparkSession, dir: String): DataFrame = {
@@ -243,6 +328,11 @@ object Pipeline {
     "dedup_simhash" -> (dedup_simhash _),
     "dedup_embedding_cosine" -> (dedup_embedding_cosine _),
     "dedup_embedding_lsh" -> (dedup_embedding_lsh _),
+    "dedup_clusters" -> (dedup_clusters _),
+    "join_salted" -> (join_salted _),
+    "agg_salted" -> (agg_salted _),
+    "join_bloom_prefilter" -> (join_bloom_prefilter _),
+    "text_repetition" -> (text_repetition _),
     "similarity_topk" -> (similarity_topk _),
     "similarity_ivf_recall" -> (similarity_ivf_recall _),
     "text_stats" -> (text_stats _),
@@ -257,6 +347,11 @@ object Pipeline {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
+    "dedup_clusters" -> dedupClustersSql,
+    "join_salted" -> joinSaltedSql,
+    "agg_salted" -> aggSaltedSql,
+    "join_bloom_prefilter" -> joinBloomPrefilterSql,
+    "text_repetition" -> textRepetitionSql,
     "similarity_topk" -> similarityTopkSql,
     "similarity_ivf_recall" -> similarityIvfRecallSql,
     "text_stats" -> textStatsSql,

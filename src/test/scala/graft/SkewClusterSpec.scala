@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.{Dedup, Skew}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components dedup clustering + salted skew join/agg: results
+  * must equal their unsalted / pairwise-naive equivalents, and clustering
+  * must actually close transitively (chains, not just cliques). */
+class SkewClusterSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  import spark.implicits._
+
+  test("clusters closes a chain transitively and splits disjoint components") {
+    // two components: a 4-chain {1-2-3-4} and a pair {10-11}; node 20 absent
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.clusters(pairs, "a", "b")
+      .orderBy("member").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("clusters converges on a long path (diameter > default clique depth)") {
+    val n = 33
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val got = Dedup.clusters(pairs, "a", "b").agg(
+      countDistinct("cluster").cast("long").as("c"),
+      count(lit(1)).cast("long").as("n"),
+      min("cluster").cast("long").as("m")).as[(Long, Long, Long)].head()
+    assert(got == ((1L, n.toLong, 1L)))
+  }
+
+  test("saltedJoin equals the plain join") {
+    val t = Tables(spark, dir)
+    val plain = t.lineitem.join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("s_nationkey").collect().toSeq
+    val salted = Skew.saltedJoin(t.lineitem, t.supplier, "l_suppkey", "s_suppkey", 8)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("s_nationkey").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedAgg equals the plain aggregation and spreads hot keys") {
+    val t = Tables(spark, dir)
+    val plain = t.lineitem.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_l_quantity"))
+      .orderBy("l_returnflag").collect().toSeq
+    val salted = Skew.saltedAgg(t.lineitem, Seq("l_returnflag"), "l_quantity", 16)
+      .orderBy("l_returnflag").collect().toSeq
+    assert(salted == plain)
+    // the phase-1 salt must actually split a key's rows (not constant)
+    val nPartials = t.lineitem
+      .withColumn("s", pmod(xxhash64(t.lineitem.columns.map(col).toSeq: _*), lit(16)))
+      .filter(col("l_returnflag") === "N")
+      .select(countDistinct("s")).head().getLong(0)
+    assert(nPartials > 8, s"salt should spread a hot key across buckets, got $nPartials")
+  }
+}
