@@ -30,6 +30,12 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // start wide, coalesce down: big shuffles (10+ GB locally, TBs on a
+      // cluster) would otherwise squeeze through `cores` partitions at
+      // >1 GB each and spill; AQE merges the small ones back to the 64 MB
+      // advisory size so small queries don't pay for the width
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cores.toInt * 2).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")

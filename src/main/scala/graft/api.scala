@@ -236,6 +236,7 @@ object implicits {
     def qualityScore: Column = ops.TextAnalysis.qualityScore(c)
     def langId: Column = ops.TextAnalysis.langId(c)
     def fingerprint: Column = ops.TextAnalysis.fingerprint(c)
+    def scrubPii: Column = ops.TextAnalysis.scrubPii(c)
     def minhash(k: Int, seed: Long = 1L): Column = functions.Misc.minhash(c, k, seed)
     def simhash: Column = functions.Misc.simhash(c)
   }

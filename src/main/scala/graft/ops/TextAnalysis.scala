@@ -96,6 +96,22 @@ object TextAnalysis {
   }
   def fingerprint(text: Column): Column = fingerprintUdf(text)
 
+  /** PII scrubbing for training corpora: regex redaction of emails,
+    * phone-like numbers, and IPv4 addresses (the standard public recipe —
+    * e.g. BigScience ROOTS / CCNet-style filters). Pure codegen'd
+    * regexp_replace chain — no UDF, safe in the widest scan projection.
+    * Order matters: IPs before phones (an IP's octets would otherwise
+    * partially match the phone pattern). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phoneRe = "\\+?\\d[\\d() -]{7,}\\d"
+
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Re, "<IP>")
+    regexp_replace(noIp, phoneRe, "<PHONE>")
+  }
+
   /** Gopher-style repetition metrics (public quality-filter heuristics:
     * Rae et al. 2021 §A1.1): duplicate-word fraction and the share of
     * bigram occurrences taken by the single most frequent bigram. High

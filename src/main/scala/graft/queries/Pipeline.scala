@@ -151,6 +151,54 @@ object Pipeline {
     """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_l_quantity
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- dedup: FULL pipeline — signatures → candidates → components →
+  // keep-one-per-cluster ----
+  /** The production dedup recipe end-to-end on a 3-copy corpus: minhash
+    * LSH candidates (threshold 1.0 keeps only identical shingle sets, so
+    * the planted sub-1.0 near-dups don't enter), connected components
+    * across the copy triangles, anti-join every non-minimal member out.
+    * Survivors must be exactly the base corpus. */
+  def dedup_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir).documents
+    val all = base
+      .union(base.withColumn("doc_id", col("doc_id") + 10000))
+      .union(base.withColumn("doc_id", col("doc_id") + 20000))
+    val pairs = Dedup.minhashLshPairs(all, "doc_id", "text",
+      shingleN = 3, k = 64, bandRows = 1, threshold = 1.0)
+    val members = Dedup.clusters(pairs, "doc_a", "doc_b")
+    val losers = members.filter(col("member") =!= col("cluster"))
+      .select(col("member").as("doc_id"))
+    all.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  val dedupPipelineSql =
+    "SELECT doc_id FROM documents ORDER BY doc_id"
+
+  // ---- text: PII scrubbing (emails / IPv4 / phone-like runs) ----
+  /** Synthetic PII is appended to every doc, then scrubbed; the oracle
+    * applies the same public regex recipe in DuckDB (both engines run
+    * RE2-compatible patterns — no lookaround). */
+  def text_pii_scrub(s: SparkSession, dir: String): DataFrame = {
+    val tainted = t(s, dir).documents.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact bob@example.com or 192.168.1.1 at +1 (555) 123-4567")).as("text"))
+    tainted.select(col("doc_id"),
+        graft.ops.TextAnalysis.scrubPii(col("text")).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  val textPiiScrubSql =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        text || ' contact bob@example.com or 192.168.1.1 at +1 (555) 123-4567',
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      |    '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS clean
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- prune: broadcast bloom prefilter before a fact join ----
   /** Selective build side (top-price orders) joined against the full
     * lineitem history: the bloom prefilter drops non-joining lineitem rows
@@ -329,6 +377,8 @@ object Pipeline {
     "dedup_embedding_cosine" -> (dedup_embedding_cosine _),
     "dedup_embedding_lsh" -> (dedup_embedding_lsh _),
     "dedup_clusters" -> (dedup_clusters _),
+    "dedup_pipeline" -> (dedup_pipeline _),
+    "text_pii_scrub" -> (text_pii_scrub _),
     "join_salted" -> (join_salted _),
     "agg_salted" -> (agg_salted _),
     "join_bloom_prefilter" -> (join_bloom_prefilter _),
@@ -348,6 +398,8 @@ object Pipeline {
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_pipeline" -> dedupPipelineSql,
+    "text_pii_scrub" -> textPiiScrubSql,
     "join_salted" -> joinSaltedSql,
     "agg_salted" -> aggSaltedSql,
     "join_bloom_prefilter" -> joinBloomPrefilterSql,
