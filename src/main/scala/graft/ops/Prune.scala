@@ -32,4 +32,24 @@ object Prune {
     big.filter(mightContain(col(bigKey).cast("long")))
       .join(small, big(bigKey) === small(smallKey))
   }
+
+  /** Semi-join reduction: filter `big` to rows whose key might appear in
+    * `build` — used when the join itself stays downstream (semi/theta
+    * joins). The filter is sized from an exact count of the build side
+    * (~9.6 bits/key at 1% fpp: a 20M-key build is a ~23 MB broadcast —
+    * far cheaper than shuffling the non-matching majority of a fact
+    * table). Spark's own runtime bloom injection caps the creation side
+    * at ~10 MB and 1M expected keys, so at fact⋈fact scale it never
+    * fires; this is the explicit, correctly-sized form. False positives
+    * only pass extra rows that the downstream join drops. */
+  def bloomSemiPrefilter(big: DataFrame, bigKey: String,
+      build: DataFrame, buildKey: String, fpp: Double = 0.01): DataFrame = {
+    val n = math.max(build.count(), 1L)
+    val bf = build.stat.bloomFilter(buildKey, n, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf { (k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k)
+    }
+    big.filter(mightContain(col(bigKey).cast("long")))
+  }
 }

@@ -111,7 +111,12 @@ object Tpch {
     val o = tt.orders.filter(
       col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
       col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
-    val late = tt.lineitem
+    // semi-join reduction: only ~1/8 of orders survive the quarter filter,
+    // so most lineitem rows can't match — drop them BEFORE the shuffle via
+    // a count-sized broadcast bloom (Spark's auto runtime filter caps the
+    // creation side too low to fire at fact scale)
+    val late = graft.ops.Prune.bloomSemiPrefilter(
+      tt.lineitem, "l_orderkey", o.select("o_orderkey"), "o_orderkey")
     o.join(late,
         o("o_orderkey") === late("l_orderkey") && late("l_shipdate") > o("o_orderdate"),
         "left_semi")
@@ -133,11 +138,20 @@ object Tpch {
     * customer-nation = supplier-nation co-location predicate. */
   def q5(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    tt.customer
-      .join(tt.orders, col("c_custkey") === col("o_custkey"))
-      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .join(tt.lineitem, col("o_orderkey") === col("l_orderkey"))
+    val o = tt.orders.filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    // customer⋈orders is fact⋈fact: force the shuffle merge join — the
+    // heavily-compressed scaled fixture makes customer's file size slip
+    // under the broadcast threshold, and broadcasting a fact is exactly
+    // the plan that dies at 100 TB (and OOMed here at the k=1000 tier).
+    // Only ~1/8 of orders pass the date filter, so bloom-prune lineitem
+    // before its shuffle, as in q4.
+    val li = graft.ops.Prune.bloomSemiPrefilter(
+      tt.lineitem, "l_orderkey", o.select("o_orderkey"), "o_orderkey")
+    tt.customer.hint("shuffle_merge")
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
       .join(tt.supplier,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(tt.nation), col("s_nationkey") === col("n_nationkey"))
@@ -192,9 +206,14 @@ object Tpch {
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     val supF = tt.supplier.join(broadcast(n1), col("s_nationkey") === col("s_nk"))
     val custF = tt.customer.join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+    // orders joins only customers of 2/25 nations: bloom-prune the orders
+    // shuffle on o_custkey before the fact join chain (same reduction as
+    // q4/q5 — the filtered-customer key set is a ~MB-scale broadcast)
+    val oF = graft.ops.Prune.bloomSemiPrefilter(
+      tt.orders, "o_custkey", custF.select("c_custkey"), "c_custkey")
     supF
       .join(tt.lineitem, col("s_suppkey") === col("l_suppkey"))
-      .join(tt.orders, col("o_orderkey") === col("l_orderkey"))
+      .join(oF, col("o_orderkey") === col("l_orderkey"))
       .join(custF, col("c_custkey") === col("o_custkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))

@@ -41,6 +41,22 @@ class ScaledPlanSpec extends AnyFunSuite {
         s"$q: expected at least one broadcast dim join at k=100:\n$p")
     }
 
+  test("q5 never broadcasts the customer fact (forced shuffle merge join)") {
+    // the compressed fixture makes customer's FILE size slip under the
+    // broadcast threshold while holding 100×+ more rows than any sane
+    // broadcast — the hint pins the scale-correct SMJ plan
+    val p = plan("q5")
+    assert(p.contains("SortMergeJoin"), s"customer⋈orders must shuffle:\n$p")
+  }
+
+  test("q4/q5/q7 carry the bloom semi-prefilter on their fact scan side") {
+    for (q <- Seq("q4", "q5", "q7")) {
+      val p = plan(q)
+      assert(p.contains("UDF"),
+        s"$q: expected the bloom mightContain filter in the plan:\n$p")
+    }
+  }
+
   test("no headline query plans a cartesian product at bench scale") {
     val offenders = (1 to 10).map(i => s"q$i").filter(q =>
       plan(q).contains("CartesianProduct"))

@@ -31,6 +31,37 @@ class SkewClusterSpec extends AnyFunSuite {
     assert(got == ((1L, n.toLong, 1L)))
   }
 
+  test("bloomSemiPrefilter keeps every matching row and drops most others") {
+    val t = Tables(spark, dir)
+    val hot = t.orders.filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val filtered = graft.ops.Prune.bloomSemiPrefilter(
+      t.lineitem, "l_orderkey", hot, "o_orderkey")
+    // no false negatives: the semi join over the filtered side equals the
+    // semi join over the full side
+    val exact = t.lineitem.join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(filtered.join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi").count() ==
+      exact.count())
+    // and the prefilter actually prunes (hot orders are a small minority)
+    assert(filtered.count() < t.lineitem.count() / 2)
+  }
+
+  test("scrubPii redacts email, ip, and phone but not plain prose") {
+    val df = Seq(
+      ("reach me at a.b-c_1@mail.example.org thanks", "<EMAIL>"),
+      ("server 10.0.255.7 is down", "<IP>"),
+      ("call +44 (0) 7911 123456 now", "<PHONE>"),
+      ("version 1.2 of chapter 3 has 4 parts", null))
+      .toDF("text", "expect")
+    val out = df.select(col("expect"), graft.ops.TextAnalysis.scrubPii(col("text")).as("c"))
+      .collect()
+    out.foreach { r =>
+      val (expect, c) = (r.getString(0), r.getString(1))
+      if (expect == null)
+        assert(!c.contains("<"), s"over-redacted: $c")
+      else assert(c.contains(expect), s"missing $expect in: $c")
+    }
+  }
+
   test("saltedJoin equals the plain join") {
     val t = Tables(spark, dir)
     val plain = t.lineitem.join(t.supplier, col("l_suppkey") === col("s_suppkey"))
