@@ -343,6 +343,21 @@ object Advanced {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Structured Streaming: stream-static broadcast enrichment join. */
+  def streaming_enrich(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming
+      .enrichJoin(s, dir, s"graft_enrich_${math.abs(dir.hashCode)}")
+      .withColumn("total_value", round(col("total_value"), 2))
+      .orderBy("category")
+
+  val streamingEnrichSql =
+    """SELECT CASE event_type
+      |    WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+      |    WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+      |    ELSE 'ops' END AS category,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY category ORDER BY category""".stripMargin
+
   /** Structured Streaming: gap-based sessionization with
     * flatMapGroupsWithState (30-minute silence closes a session). */
   def streaming_sessions(s: SparkSession, dir: String): DataFrame =
@@ -444,7 +459,8 @@ object Advanced {
     "udf_process" -> (udf_process _),
     "streaming_window" -> (streaming_window _),
     "streaming_sessions" -> (streaming_sessions _),
-    "streaming_dedup" -> (streaming_dedup _))
+    "streaming_dedup" -> (streaming_dedup _),
+    "streaming_enrich" -> (streaming_enrich _))
 
   val oracle: Map[String, String] = Map(
     "llm_generate" -> llmGenerateSql,
@@ -462,5 +478,6 @@ object Advanced {
     "udf_process" -> udfProcessSql,
     "streaming_window" -> streamingWindowSql,
     "streaming_sessions" -> streamingSessionsSql,
-    "streaming_dedup" -> streamingDedupSql)
+    "streaming_dedup" -> streamingDedupSql,
+    "streaming_enrich" -> streamingEnrichSql)
 }

@@ -282,6 +282,27 @@ object Relational {
   val sampleSizeSql =
     "SELECT CAST(137 AS BIGINT) AS n, true AS within_domain"
 
+  /** Stratified sample: at most N rows per stratum, chosen by a
+    * deterministic hash order (reproducible across runs and cluster
+    * layouts — the property a training-data sampling stage needs for
+    * resumability). Per-stratum row_number gets the WindowGroupLimit
+    * pushdown, so each task keeps an N-row heap per key — no full sort. */
+  def sample_stratified(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir).orders
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(xxhash64(col("o_orderkey")), col("o_orderkey"))
+    o.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 100)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("o_orderstatus")
+  }
+
+  val sampleStratifiedSql =
+    """SELECT o_orderstatus, least(count(*), 100) AS n_sampled
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- Set operations -----------------------------------------------------
 
   /** Concat / UNION ALL (ref ops/concat.rs). */
@@ -700,6 +721,7 @@ object Relational {
     "monotonic_id" -> (monotonic_id _),
     "sample" -> (sample_op _),
     "sample_size" -> (sample_size _),
+    "sample_stratified" -> (sample_stratified _),
     "concat" -> (concat_op _),
     "union_distinct" -> (union_distinct _),
     "union_by_name" -> (union_by_name _),
@@ -745,6 +767,7 @@ object Relational {
     "monotonic_id" -> monotonicIdSql,
     "sample" -> sampleSql,
     "sample_size" -> sampleSizeSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "concat" -> concatSql,
     "union_distinct" -> unionDistinctSql,
     "union_by_name" -> unionByNameSql,

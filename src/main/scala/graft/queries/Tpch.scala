@@ -81,9 +81,14 @@ object Tpch {
   def q3(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
     val cutoff = lit("1998-03-15").cast("timestamp")
-    tt.customer.filter(col("c_mktsegment") === "BUILDING")
-      .join(tt.orders, col("c_custkey") === col("o_custkey"))
-      .filter(col("o_orderdate") < cutoff)
+    val cF = tt.customer.filter(col("c_mktsegment") === "BUILDING")
+    // only 1/5 of customers are BUILDING: bloom-prune the orders shuffle
+    // on o_custkey before the fact join (same reduction as q4/q5/q7)
+    val oF = graft.ops.Prune.bloomSemiPrefilter(
+      tt.orders.filter(col("o_orderdate") < cutoff), "o_custkey",
+      cF.select("c_custkey"), "c_custkey")
+    cF
+      .join(oF, col("c_custkey") === col("o_custkey"))
       .join(tt.lineitem, col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > cutoff)
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -312,12 +317,17 @@ object Tpch {
   /** Q10: returned item reporting — top 20 customers by lost revenue. */
   def q10(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
+    val o = tt.orders.filter(
+      col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    // the quarter keeps ~4% of orders: bloom-prune returned lineitems on
+    // the quarter's orderkeys before their shuffle
+    val li = graft.ops.Prune.bloomSemiPrefilter(
+      tt.lineitem.filter(col("l_returnflag") === "R"), "l_orderkey",
+      o.select("o_orderkey"), "o_orderkey")
     tt.customer
-      .join(tt.orders, col("c_custkey") === col("o_custkey"))
-      .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .join(tt.lineitem.filter(col("l_returnflag") === "R"),
-        col("o_orderkey") === col("l_orderkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))

@@ -60,6 +60,31 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment join: the streaming fact side joins a
+    * static dimension — broadcast, stateless (no stream-stream state, no
+    * watermark needed), the standard shape for decorating an event
+    * firehose with reference data at any scale. */
+  def enrichJoin(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    val dir = stageDir(sfDir)
+    import spark.implicits._
+    val events = spark.readStream.schema(rawSchema).parquet(dir)
+    val dim = Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val agg = events.join(broadcast(dim), Seq("event_type"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming exact dedup: the staged source is duplicated (every event
     * arrives twice), then `dropDuplicates` on the key inside the stream —
     * state-backed streaming dedup, the streaming counterpart of

@@ -131,6 +131,12 @@ class ScaleSpec extends AnyFunSuite {
       s"expected WindowGroupLimit before the rank Window:\n$plan")
   }
 
+  test("stratified sample keeps per-stratum heaps, not a full sort") {
+    val plan = executedPlan(queries.Relational.sample_stratified(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit for the per-stratum row_number cap:\n$plan")
+  }
+
   test("no query in the suite plans an accidental cartesian product") {
     // intentional exceptions: join_cross IS a cross join; the others use a
     // deliberate bounded-broadcast nested loop (scalar-subquery broadcast,
