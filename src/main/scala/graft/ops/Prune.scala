@@ -45,11 +45,15 @@ object Prune {
   def bloomSemiPrefilter(big: DataFrame, bigKey: String,
       build: DataFrame, buildKey: String, fpp: Double = 0.01): DataFrame = {
     val n = math.max(build.count(), 1L)
-    val bf = build.stat.bloomFilter(buildKey, n, fpp)
+    // key-type agnostic: the filter holds xxhash64 of the key, so string/
+    // decimal/struct keys work identically (a long cast would null out
+    // non-numeric keys and silently drop their rows)
+    val bf = build.select(xxhash64(col(buildKey)).as("__k"))
+      .stat.bloomFilter("__k", n, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf { (k: java.lang.Long) =>
       k != null && bc.value.mightContainLong(k)
     }
-    big.filter(mightContain(col(bigKey).cast("long")))
+    big.filter(col(bigKey).isNotNull && mightContain(xxhash64(col(bigKey))))
   }
 }

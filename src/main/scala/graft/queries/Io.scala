@@ -105,6 +105,57 @@ object Io {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
       |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
 
+  /** Range source (ref daft/io/_range.py `daft.range`): distributed
+    * integer range — no driver-side data, each partition synthesizes its
+    * slice. */
+  def io_range(s: SparkSession, dir: String): DataFrame =
+    s.range(5, 5000, 3)
+      .select(col("id"), (col("id") % 7).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("id").as("sum_id"))
+      .orderBy("bucket")
+
+  val ioRangeSql =
+    """SELECT i % 7 AS bucket, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_id
+      |FROM range(5, 5000, 3) t(i) GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Generator source (ref daft/io/_generator.py): a table synthesized
+    * entirely on executors from deterministic per-row expressions — the
+    * scale pattern for test/benchmark data that never exists on the
+    * driver. */
+  def io_generator(s: SparkSession, dir: String): DataFrame =
+    s.range(0, 10000)
+      .select(
+        col("id"),
+        pmod(xxhash64(col("id")), lit(1000)).as("h"),
+        (col("id") * col("id") % 97).as("qr"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct("qr").as("n_qr"),
+        min("h").geq(0).and(max("h").lt(1000)).as("h_in_range"))
+
+  val ioGeneratorSql =
+    """SELECT count(*) AS n, count(DISTINCT (i * i) % 97) AS n_qr, true AS h_in_range
+      |FROM range(0, 10000) t(i)""".stripMargin
+
+  /** Text-line source (ref daft/io/_text.py read_text): newline-delimited
+    * text write + read-back; fidelity checked by count/length/distinct
+    * aggregates (file order is not meaningful for a distributed write). */
+  def io_text_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val txtDir = s"$ioDir/docs_text_${math.abs(dir.hashCode)}"
+    t(s, dir).documents.select("text").write.mode("overwrite").text(txtDir)
+    s.read.text(txtDir)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct("value").as("n_distinct"),
+        sum(length(col("value"))).as("total_chars"))
+  }
+
+  val ioTextRoundtripSql =
+    """SELECT count(*) AS n_lines, count(DISTINCT text) AS n_distinct,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+      |FROM documents""".stripMargin
+
   /** MCAP round-trip (ref daft/io/mcap/_mcap.py read_mcap): stage orders
     * rows as MCAP messages (topic = order status, log_time from the key),
     * write one lz4-chunked file per partition, stream them back through
@@ -252,6 +303,9 @@ object Io {
     "io_json_roundtrip" -> (io_json_roundtrip _),
     "io_partitioned_write" -> (io_partitioned_write _),
     "io_glob_files" -> (io_glob_files _),
+    "io_range" -> (io_range _),
+    "io_generator" -> (io_generator _),
+    "io_text_roundtrip" -> (io_text_roundtrip _),
     "io_warc_roundtrip" -> (io_warc_roundtrip _),
     "io_mcap_roundtrip" -> (io_mcap_roundtrip _),
     "io_read_sql" -> (io_read_sql _),
@@ -264,6 +318,9 @@ object Io {
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "io_partitioned_write" -> ioPartitionedWriteSql,
     "io_glob_files" -> ioGlobFilesSql,
+    "io_range" -> ioRangeSql,
+    "io_generator" -> ioGeneratorSql,
+    "io_text_roundtrip" -> ioTextRoundtripSql,
     "io_warc_roundtrip" -> ioWarcRoundtripSql,
     "io_mcap_roundtrip" -> ioMcapRoundtripSql,
     "io_read_sql" -> ioReadSqlSql,

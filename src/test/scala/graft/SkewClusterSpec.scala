@@ -45,6 +45,15 @@ class SkewClusterSpec extends AnyFunSuite {
     assert(filtered.count() < t.lineitem.count() / 2)
   }
 
+  test("bloomSemiPrefilter works on string keys (no silent long-cast drop)") {
+    val big = Seq(("alpha", 1), ("beta", 2), ("gamma", 3), (null, 4)).toDF("k", "v")
+    val build = Seq("alpha", "gamma").toDF("bk")
+    val kept = graft.ops.Prune.bloomSemiPrefilter(big, "k", build, "bk")
+      .select("k").as[String].collect().toSet
+    assert(kept.contains("alpha") && kept.contains("gamma"))
+    assert(!kept.contains(null), "null keys cannot match an inner join")
+  }
+
   test("scrubPii redacts email, ip, and phone but not plain prose") {
     val df = Seq(
       ("reach me at a.b-c_1@mail.example.org thanks", "<EMAIL>"),
