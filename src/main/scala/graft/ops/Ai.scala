@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, StringType, StructField, StructType}
 
 /** AI function namespace (ref `daft/ai/protocols.py` TextEmbedder /
   * ImageEmbedder protocols + `daft/functions/ai.py` embed_text): provider
@@ -44,6 +44,120 @@ object Ai {
       if (norm > 0) { var i = 0; while (i < dimensions) { v(i) = (v(i) / norm).toFloat; i += 1 } }
       v
     }
+  }
+
+  /** ImageEmbedder protocol (ref protocols.py ImageEmbedder): encoded
+    * image bytes → embedding vector. */
+  trait ImageEmbedder extends Serializable {
+    def dimensions: Int
+    def embedBatch(images: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** Grid-pooled color embedder: decode real pixels, bilinear-resize to a
+    * g×g grid, emit per-cell per-channel means, L2-normalize — the
+    * classic color-layout descriptor (deterministic, real pixels; a
+    * model-backed CNN/CLIP provider plugs into the same trait). */
+  class GridPoolImageEmbedder(grid: Int = 4) extends ImageEmbedder {
+    val dimensions: Int = grid * grid * 3
+    def embedBatch(images: Seq[Array[Byte]]): Seq[Array[Float]] = images.map { bytes =>
+      val v = new Array[Float](dimensions)
+      Images.decode(bytes).foreach { img =>
+        val rgb = if (img.channels == 3) img else Images.convertMode(img, "RGB")
+        val small = Images.resize(rgb, grid, grid)
+        var i = 0
+        while (i < dimensions && i < small.data.length) {
+          v(i) = (small.data(i) & 0xff) / 255f
+          i += 1
+        }
+      }
+      val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      if (norm > 0) { var i = 0; while (i < dimensions) { v(i) = (v(i) / norm).toFloat; i += 1 } }
+      v
+    }
+  }
+
+  /** embed_image (ref functions/ai.py embed_image): append an embedding
+    * column for an encoded-image binary column, batched per partition. */
+  def embedImage(df: DataFrame, imageCol: String, outCol: String,
+      provider: ImageEmbedder = new GridPoolImageEmbedder(), batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false)))
+    val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(imageCol)
+    df.mapPartitions { rows =>
+      lazy val p = provider
+      rows.grouped(batchSize).flatMap { batch =>
+        val embs = p.embedBatch(batch.map(_.getAs[Array[Byte]](idx)))
+        batch.zip(embs).map { case (r, e) => Row.fromSeq(r.toSeq :+ e.toSeq) }
+      }
+    }(enc)
+  }
+
+  /** classify_text (ref protocols.py TextClassifier, functions/ai.py
+    * classify_text): zero-shot classification by embedding similarity —
+    * argmax over cosine(embed(text), embed(label)), first-wins ties. A
+    * real zero-shot recipe (embedding-prototype classification); swap the
+    * embedder for a model-backed provider for production quality. */
+  def classifyText(df: DataFrame, textCol: String, outCol: String,
+      labels: Seq[String],
+      provider: TextEmbedder = new HashingEmbedder(),
+      batchSize: Int = 64): DataFrame = {
+    require(labels.nonEmpty, "labels must be non-empty")
+    val schema = StructType(df.schema.fields :+ StructField(outCol, StringType))
+    val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      lazy val p = provider
+      lazy val protos = p.embedBatch(labels)
+      rows.grouped(batchSize).flatMap { batch =>
+        val embs = p.embedBatch(batch.map(_.getString(idx)))
+        batch.zip(embs).map { case (r, e) =>
+          var best = 0; var bestScore = Double.MinValue
+          var i = 0
+          while (i < protos.length) {
+            var dot = 0.0; var j = 0
+            while (j < e.length) { dot += e(j) * protos(i)(j); j += 1 }
+            if (dot > bestScore) { bestScore = dot; best = i }
+            i += 1
+          }
+          Row.fromSeq(r.toSeq :+ labels(best))
+        }
+      }
+    }(enc)
+  }
+
+  /** classify_image (ref protocols.py ImageClassifier): dominant-channel
+    * color classifier over real decoded pixels — argmax of mean R/G/B
+    * (with a gray fallback when channels are balanced). Deterministic and
+    * honest about what is computable offline; a CNN provider plugs into
+    * the same per-partition batched path. */
+  def classifyImage(df: DataFrame, imageCol: String, outCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, StringType))
+    val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(imageCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val label = Images.decode(r.getAs[Array[Byte]](idx)).map { img =>
+            val rgb = if (img.channels == 3) img else Images.convertMode(img, "RGB")
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i + 2 < rgb.data.length) {
+              sums(0) += rgb.data(i) & 0xff
+              sums(1) += rgb.data(i + 1) & 0xff
+              sums(2) += rgb.data(i + 2) & 0xff
+              i += 3
+            }
+            val mx = sums.max; val mn = sums.min; val n = rgb.data.length / 3
+            if (n == 0) "unknown"
+            else if (mx - mn < 8L * n) "gray" // channels within 8/255 mean
+            else Seq("red", "green", "blue")(sums.indexOf(mx))
+          }.getOrElse("unknown")
+          Row.fromSeq(r.toSeq :+ label)
+        }
+      }
+    }(enc)
   }
 
   /** embed_text (ref functions/ai.py): append an embedding column computed

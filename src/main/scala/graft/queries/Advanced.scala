@@ -194,6 +194,91 @@ object Advanced {
       |  CAST(1.0 AS DOUBLE) AS norm
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** embed_image (ref ai ImageEmbedder protocol): grid-pooled color
+    * embeddings over real decoded pixels. Pure-channel solid images embed
+    * to unit vectors confined to one channel's coordinates, so norms are
+    * 1 and cross-color cosines are 0 (spec-checked); the oracle pins
+    * class counts + the norm invariant. */
+  def ai_embed_image(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Ai, Images}
+    val pngForId = udf { (id: Long) =>
+      val c = (id % 3).toInt
+      Images.solidPng(16, 16,
+        if (c == 0) 200 else 0, if (c == 1) 200 else 0, if (c == 2) 200 else 0)
+    }
+    val base = t(s, dir).documents.filter(col("doc_id") < 120)
+      .select(col("doc_id"), pngForId(col("doc_id")).as("png"))
+    Ai.embedImage(base, "png", "emb")
+      .select(
+        (col("doc_id") % 3).cast("int").as("cls"),
+        size(col("emb")).as("dim"),
+        sqrt(aggregate(col("emb"), lit(0.0d), (a, x) => a + x * x)).as("norm"))
+      .groupBy("cls")
+      .agg(
+        count(lit(1)).as("n"),
+        min("dim").as("dim"),
+        (min("norm") > 0.9999 && max("norm") < 1.0001).as("norm_ok"))
+      .orderBy("cls")
+  }
+
+  val aiEmbedImageSql =
+    """SELECT CAST(doc_id % 3 AS INT) AS cls, count(*) AS n, 48 AS dim,
+      |  true AS norm_ok
+      |FROM documents WHERE doc_id < 120 GROUP BY cls ORDER BY cls""".stripMargin
+
+  /** classify_text (ref ai TextClassifier): zero-shot embedding-prototype
+    * classification. Texts constructed from a known label vocabulary must
+    * classify back to their label. */
+  def ai_classify_text(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ai
+    val labels = Seq("alpha", "bravo", "charlie")
+    val lbl = element_at(
+      array(labels.map(lit): _*), (col("doc_id") % 3 + 1).cast("int"))
+    val base = t(s, dir).documents.filter(col("doc_id") < 150)
+      .select(col("doc_id"), lbl.as("expected"),
+        concat_ws(" ", array_repeat(lbl, 4)).as("text"))
+    Ai.classifyText(base, "text", "predicted", labels)
+      .groupBy("expected")
+      .agg(
+        count(lit(1)).as("n"),
+        (count(when(col("predicted") === col("expected"), 1)) === count(lit(1)))
+          .as("all_correct"))
+      .orderBy("expected")
+  }
+
+  val aiClassifyTextSql =
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'bravo'
+      |    ELSE 'charlie' END AS expected,
+      |  count(*) AS n, true AS all_correct
+      |FROM documents WHERE doc_id < 150 GROUP BY expected ORDER BY expected""".stripMargin
+
+  /** classify_image (ref ai ImageClassifier): dominant-channel classifier
+    * over real decoded pixels — solid fixtures must classify to their
+    * constructed color, including the balanced-channel gray case. */
+  def ai_classify_image(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Ai, Images}
+    val pngForId = udf { (id: Long) =>
+      (id % 4).toInt match {
+        case 0 => Images.solidPng(12, 12, 220, 30, 30)
+        case 1 => Images.solidPng(12, 12, 30, 220, 30)
+        case 2 => Images.solidPng(12, 12, 30, 30, 220)
+        case _ => Images.solidPng(12, 12, 128, 128, 128)
+      }
+    }
+    val base = t(s, dir).documents.filter(col("doc_id") < 160)
+      .select(col("doc_id"), pngForId(col("doc_id")).as("png"))
+    Ai.classifyImage(base, "png", "predicted")
+      .groupBy("predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("predicted")
+  }
+
+  val aiClassifyImageSql =
+    """SELECT CASE doc_id % 4 WHEN 0 THEN 'red' WHEN 1 THEN 'green'
+      |    WHEN 2 THEN 'blue' ELSE 'gray' END AS predicted,
+      |  count(*) AS n
+      |FROM documents WHERE doc_id < 160 GROUP BY predicted ORDER BY predicted""".stripMargin
+
   /** Video frame-sampling plumbing (ref read_video_frames): one row per
     * sampled frame index — pure explode, fully distributed. */
   def multimodal_frames(s: SparkSession, dir: String): DataFrame = {
@@ -454,6 +539,9 @@ object Advanced {
     "multimodal_video_frames" -> (multimodal_video_frames _),
     "fn_file" -> (fn_file _),
     "ai_embed_text" -> (ai_embed_text _),
+    "ai_embed_image" -> (ai_embed_image _),
+    "ai_classify_text" -> (ai_classify_text _),
+    "ai_classify_image" -> (ai_classify_image _),
     "udf_stateful" -> (udf_stateful _),
     "udf_generator" -> (udf_generator _),
     "udf_process" -> (udf_process _),
@@ -473,6 +561,9 @@ object Advanced {
     "multimodal_video_frames" -> multimodalVideoFramesSql,
     "fn_file" -> fnFileSql,
     "ai_embed_text" -> aiEmbedTextSql,
+    "ai_embed_image" -> aiEmbedImageSql,
+    "ai_classify_text" -> aiClassifyTextSql,
+    "ai_classify_image" -> aiClassifyImageSql,
     "udf_stateful" -> udfStatefulSql,
     "udf_generator" -> udfGeneratorSql,
     "udf_process" -> udfProcessSql,
