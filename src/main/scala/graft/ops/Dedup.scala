@@ -265,6 +265,12 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.select(col("id").as("member"), col("label").as("cluster"))
+    // superseded per-iteration checkpoints are reclaimed by Spark's
+    // ContextCleaner once their DataFrames go out of scope; materialize
+    // the final labels so the caller no longer depends on `adj`
+    val out = labels.select(col("id").as("member"), col("label").as("cluster"))
+      .localCheckpoint(true)
+    adj.unpersist()
+    out
   }
 }

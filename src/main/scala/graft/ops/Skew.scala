@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Per-row salt that spreads rows of the SAME key across `salts`
-    * buckets. Hashing the whole row (all columns) is deterministic w.r.t.
-    * data (no partition-layout dependence like monotonically_increasing_id)
-    * and varies within a key as long as any non-key column varies. */
+    * buckets. Mixes the row content hash with the per-row ordinal so even
+    * EXACT duplicate rows (identical in every column — routine in
+    * pre-dedup training data) spread across buckets; the salt value never
+    * affects results (only placement), so the ordinal's layout-dependence
+    * is harmless. */
   private def rowSalt(df: DataFrame, salts: Int) =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts)).cast("int")
+    pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id()).toSeq: _*),
+      lit(salts)).cast("int")
 
   /** Inner equi-join `big ⋈ small` on bigKey = smallKey, salted `salts`
     * ways. Result is identical to the plain join (every (bigRow, smallRow)

@@ -90,11 +90,15 @@ class SkewClusterSpec extends AnyFunSuite {
     val salted = Skew.saltedAgg(t.lineitem, Seq("l_returnflag"), "l_quantity", 16)
       .orderBy("l_returnflag").collect().toSeq
     assert(salted == plain)
-    // the phase-1 salt must actually split a key's rows (not constant)
-    val nPartials = t.lineitem
-      .withColumn("s", pmod(xxhash64(t.lineitem.columns.map(col).toSeq: _*), lit(16)))
-      .filter(col("l_returnflag") === "N")
+    // the phase-1 salt must actually split a key's rows (not constant),
+    // including EXACT duplicate rows (ordinal mixed into the hash)
+    val dupRows = t.lineitem.limit(1).union(t.lineitem.limit(1))
+      .union(t.lineitem.limit(1)).union(t.lineitem.limit(1))
+    val nPartials = dupRows
+      .withColumn("s", pmod(
+        xxhash64((dupRows.columns.map(col) :+ monotonically_increasing_id()).toSeq: _*),
+        lit(16)))
       .select(countDistinct("s")).head().getLong(0)
-    assert(nPartials > 8, s"salt should spread a hot key across buckets, got $nPartials")
+    assert(nPartials > 1, s"identical rows must still spread, got $nPartials buckets")
   }
 }
