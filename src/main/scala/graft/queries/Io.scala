@@ -184,6 +184,62 @@ object Io {
       |  CAST(o_orderkey AS INT) AS sequence, o_orderpriority AS data
       |FROM orders WHERE o_orderkey < 2000 ORDER BY sequence""".stripMargin
 
+  /** Delta Lake round-trip (ref daft/io/_delta_lake.py read_deltalake /
+    * write_deltalake; implemented from the open protocol — sources/Delta):
+    * create a partitioned table with two append commits, read the latest
+    * snapshot back through log replay, aggregate. */
+  def io_delta_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Delta
+    val path = s"$ioDir/delta_${math.abs(dir.hashCode)}"
+    Delta.deleteTable(path)
+    val li = t(s, dir).lineitem
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    Delta.write(li.filter(col("l_orderkey") < 1000), path,
+      mode = "append", partitionBy = Seq("l_returnflag"))
+    Delta.write(li.filter(col("l_orderkey") >= 1000 && col("l_orderkey") < 2000), path)
+    Delta.read(s, path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"),
+           round(sum("l_extendedprice"), 2).as("price"))
+      .orderBy("l_returnflag")
+  }
+
+  val ioDeltaRoundtripSql =
+    """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty,
+      |  round(sum(l_extendedprice), 2) AS price
+      |FROM lineitem WHERE l_orderkey < 2000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Delta time travel + overwrite semantics: version 2 overwrites the
+    * table down to l_orderkey < 500; reading versionAsOf=1 still sees the
+    * pre-overwrite state, the latest snapshot honors the removes. A
+    * checkpoint is cut before the last read to exercise the
+    * checkpoint-then-replay reconstruction path. */
+  def io_delta_time_travel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Delta
+    val path = s"$ioDir/delta_tt_${math.abs(dir.hashCode)}"
+    Delta.deleteTable(path)
+    val ord = t(s, dir).orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Delta.write(ord.filter(col("o_orderkey") < 1000), path)                 // v0
+    Delta.write(ord.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000), path) // v1
+    Delta.write(ord.filter(col("o_orderkey") < 500), path, mode = "overwrite")           // v2
+    Delta.checkpoint(s, path)
+    def summarize(df: DataFrame, v: Int) =
+      df.agg(lit(v).as("version"), count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+    summarize(Delta.read(s, path, versionAsOf = Some(1L)), 1)
+      .unionAll(summarize(Delta.read(s, path), 2))
+      .orderBy("version")
+  }
+
+  val ioDeltaTimeTravelSql =
+    """SELECT 1 AS version, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderkey < 2000
+      |UNION ALL
+      |SELECT 2 AS version, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderkey < 500
+      |ORDER BY version""".stripMargin
+
   /** read_sql (ref daft/io/_sql.py): stage an orders table into a DuckDB
     * database file, read it back through the range-partitioned JDBC source
     * (4 parallel stripes on o_orderkey), and aggregate. */
@@ -308,6 +364,8 @@ object Io {
     "io_text_roundtrip" -> (io_text_roundtrip _),
     "io_warc_roundtrip" -> (io_warc_roundtrip _),
     "io_mcap_roundtrip" -> (io_mcap_roundtrip _),
+    "io_delta_roundtrip" -> (io_delta_roundtrip _),
+    "io_delta_time_travel" -> (io_delta_time_travel _),
     "io_read_sql" -> (io_read_sql _),
     "io_write_sink" -> (io_write_sink _),
     "sql_entry" -> (sql_entry _))
@@ -323,6 +381,8 @@ object Io {
     "io_text_roundtrip" -> ioTextRoundtripSql,
     "io_warc_roundtrip" -> ioWarcRoundtripSql,
     "io_mcap_roundtrip" -> ioMcapRoundtripSql,
+    "io_delta_roundtrip" -> ioDeltaRoundtripSql,
+    "io_delta_time_travel" -> ioDeltaTimeTravelSql,
     "io_read_sql" -> ioReadSqlSql,
     "io_write_sink" -> ioWriteSinkSql,
     "sql_entry" -> sqlEntrySql)

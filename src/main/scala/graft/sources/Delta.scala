@@ -1,0 +1,361 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delta Lake source/sink implemented from the OPEN PROTOCOL — the
+  * `_delta_log` transaction log of newline-delimited JSON actions plus
+  * parquet checkpoints (public spec: delta.io PROTOCOL.md; ref surface
+  * `daft/io/_delta_lake.py` `read_deltalake` / `write_deltalake`). The
+  * connector jars are absent in this environment (SURVEY §8.7 probe), so —
+  * like [[Warc]] and [[Mcap]] — the format is implemented from its spec,
+  * not wrapped.
+  *
+  * Protocol subset:
+  *  - state reconstruction: latest checkpoint (via `_last_checkpoint`) +
+  *    replay of the JSON commits after it; `add` actions keyed by path,
+  *    `remove` cancels a prior `add`.
+  *  - actions understood: `protocol`, `metaData` (schemaString is
+  *    Spark-schema JSON per the spec), `add`, `remove`, `commitInfo` (and
+  *    `txn`, ignored). Reader version > 1 / table features (deletion
+  *    vectors, column mapping) are rejected explicitly rather than
+  *    silently misread.
+  *  - time travel: `versionAsOf` replays the log only up to that version.
+  *
+  * Scale shape (100 TB posture):
+  *  - The log replay is driver-side — same as every production Delta
+  *    implementation: the log is KBs-to-MBs of metadata describing TBs of
+  *    data, and file listing is always driver/planner work in Spark.
+  *    Checkpoints keep replay O(commits since checkpoint), not O(history).
+  *  - Data is read as ONE parquet scan over the active file set (column
+  *    pruning + predicate pushdown reach the scan as usual). Partition
+  *    columns — absent from the files, present only as `partitionValues`
+  *    strings in the log — are re-attached by a BROADCAST join against
+  *    the tiny file→partition-values map keyed on the hidden
+  *    `_metadata.file_path` column, NOT by unioning one scan per
+  *    partition (which would explode the plan at 10k partitions).
+  *  - Partition pruning happens before the scan: `partitionFilter` culls
+  *    the file list during planning, so pruned files are never opened.
+  */
+object Delta {
+
+  private def mapper = new ObjectMapper()
+
+  final case class AddFile(
+      path: String,
+      partitionValues: Map[String, String],
+      size: Long,
+      modificationTime: Long)
+
+  /** Reconstructed table state at a version. */
+  final case class Snapshot(
+      tablePath: String,
+      version: Long,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      files: Seq[AddFile]) {
+    def dataSchema: StructType =
+      StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+  }
+
+  private def logDir(tablePath: String): Path = Paths.get(tablePath, "_delta_log")
+
+  private def commitFile(tablePath: String, v: Long): Path =
+    logDir(tablePath).resolve(f"$v%020d.json")
+
+  private def checkpointFile(tablePath: String, v: Long): Path =
+    logDir(tablePath).resolve(f"$v%020d.checkpoint.parquet")
+
+  /** Latest committed version, or -1 for a nonexistent table. */
+  def latestVersion(tablePath: String): Long = {
+    val dir = logDir(tablePath)
+    if (!Files.isDirectory(dir)) return -1L
+    val versions = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".json") && n.length == 25 => n.stripSuffix(".json").toLong }
+      .toSeq
+    if (versions.isEmpty) -1L else versions.max
+  }
+
+  // ---------------------------------------------------------------- reader
+
+  /** Reconstruct the snapshot at `versionAsOf` (default: latest). `spark`
+    * is needed only when state must be loaded from a parquet checkpoint. */
+  def snapshot(spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): Snapshot = {
+    val latest = latestVersion(tablePath)
+    require(latest >= 0, s"not a Delta table (no _delta_log): $tablePath")
+    val target = versionAsOf.getOrElse(latest)
+    require(target <= latest && target >= 0,
+      s"version $target out of range [0, $latest] for $tablePath")
+
+    // Start from the newest checkpoint at-or-before the target version.
+    val ckptVersion: Option[Long] = {
+      val lc = logDir(tablePath).resolve("_last_checkpoint")
+      val fromHint =
+        if (Files.exists(lc))
+          Some(mapper.readTree(Files.readAllBytes(lc)).get("version").asLong)
+        else None
+      fromHint.filter(v => v <= target && Files.exists(checkpointFile(tablePath, v)))
+    }
+
+    val adds = mutable.LinkedHashMap.empty[String, AddFile]
+    var schemaString: String = null
+    var partitionCols: Seq[String] = Nil
+
+    def applyAdd(path: String, pv: Map[String, String], size: Long, mtime: Long): Unit =
+      adds(path) = AddFile(path, pv, size, mtime)
+    def applyRemove(path: String): Unit = adds.remove(path)
+    def applyMeta(schema: String, parts: Seq[String]): Unit = {
+      schemaString = schema; partitionCols = parts
+    }
+    def applyProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+      val unsupported = readerFeatures.filterNot(Set("timestampNtz", "v2Checkpoint"))
+      require(minReader <= 3 && unsupported.isEmpty,
+        s"unsupported Delta reader requirement: minReaderVersion=$minReader features=$unsupported " +
+          "(deletion vectors / column mapping are not implemented)")
+    }
+
+    ckptVersion.foreach { cv =>
+      // Checkpoint = parquet with one action per row in struct columns.
+      val ck = spark.read.parquet(checkpointFile(tablePath, cv).toString)
+      val cols = ck.columns.toSet
+      ck.collect().foreach { row =>
+        def struct(name: String): Option[Row] =
+          if (cols(name) && !row.isNullAt(row.fieldIndex(name))) Some(row.getStruct(row.fieldIndex(name))) else None
+        struct("protocol").foreach { p =>
+          val feats =
+            if (p.schema.fieldNames.contains("readerFeatures") && !p.isNullAt(p.fieldIndex("readerFeatures")))
+              p.getSeq[String](p.fieldIndex("readerFeatures"))
+            else Nil
+          applyProtocol(p.getInt(p.fieldIndex("minReaderVersion")), feats)
+        }
+        struct("metaData").foreach { m =>
+          applyMeta(m.getString(m.fieldIndex("schemaString")),
+            m.getSeq[String](m.fieldIndex("partitionColumns")))
+        }
+        struct("add").foreach { a =>
+          val pv = Option(a.getMap[String, String](a.fieldIndex("partitionValues")))
+            .map(_.toMap).getOrElse(Map.empty)
+          applyAdd(a.getString(a.fieldIndex("path")), pv,
+            a.getLong(a.fieldIndex("size")), a.getLong(a.fieldIndex("modificationTime")))
+        }
+        struct("remove").foreach(r => applyRemove(r.getString(r.fieldIndex("path"))))
+      }
+    }
+
+    val replayFrom = ckptVersion.map(_ + 1).getOrElse(0L)
+    (replayFrom to target).foreach { v =>
+      val f = commitFile(tablePath, v)
+      require(Files.exists(f), s"missing Delta commit $v for $tablePath")
+      Files.readAllLines(f, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("protocol")) {
+          val p = node.get("protocol")
+          val feats = Option(p.get("readerFeatures")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+          applyProtocol(p.get("minReaderVersion").asInt, feats)
+        }
+        if (node.has("metaData")) {
+          val m = node.get("metaData")
+          applyMeta(m.get("schemaString").asText,
+            m.get("partitionColumns").elements().asScala.map(_.asText).toSeq)
+        }
+        if (node.has("add")) {
+          val a = node.get("add")
+          val pv = Option(a.get("partitionValues")).map { o =>
+            o.properties().asScala.map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)).toMap
+          }.getOrElse(Map.empty[String, String])
+          applyAdd(a.get("path").asText, pv, a.get("size").asLong,
+            Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L))
+        }
+        if (node.has("remove")) applyRemove(node.get("remove").get("path").asText)
+      }
+    }
+
+    require(schemaString != null, s"Delta log of $tablePath has no metaData action")
+    Snapshot(tablePath, target,
+      DataType.fromJson(schemaString).asInstanceOf[StructType],
+      partitionCols, adds.values.toSeq)
+  }
+
+  /** Read a Delta table as a DataFrame.
+    *
+    * @param versionAsOf      time travel to this log version
+    * @param partitionFilter  planning-time pruning over the log's
+    *                         partitionValues — pruned files are never read
+    */
+  def read(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long] = None,
+      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
+    val snap = snapshot(spark, tablePath, versionAsOf)
+    readSnapshot(spark, snap, partitionFilter)
+  }
+
+  private[graft] def readSnapshot(
+      spark: SparkSession,
+      snap: Snapshot,
+      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
+    val live = snap.files.filter(f => partitionFilter(f.partitionValues))
+    PartitionedFiles.readWithPartitions(
+      spark, snap.schema, snap.partitionColumns,
+      live.map(f => absolutePath(snap.tablePath, f.path)),
+      live.map(f => java.net.URLDecoder.decode(f.path, "UTF-8") -> f.partitionValues))
+  }
+
+  private def absolutePath(tablePath: String, rel: String): String = {
+    val decoded = java.net.URLDecoder.decode(rel, "UTF-8")
+    if (decoded.startsWith("/") || decoded.contains("://")) decoded
+    else s"$tablePath/$decoded"
+  }
+
+  // ---------------------------------------------------------------- writer
+
+  /** Write `df` as a Delta commit. `mode` is `"append"` (default),
+    * `"overwrite"` (logically removes every live file, then adds), or
+    * `"errorifexists"`. Creates the table (version 0 with protocol +
+    * metaData) when the log doesn't exist yet.
+    *
+    * Commit protocol per the spec: data files land first, then the
+    * `vNNN.json` log entry is published by an atomic same-filesystem
+    * rename that fails if the version already exists (optimistic
+    * concurrency — a losing writer retries against the next version). */
+  def write(
+      df: DataFrame,
+      tablePath: String,
+      mode: String = "append",
+      partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val existing = latestVersion(tablePath)
+    require(existing < 0 || mode != "errorifexists", s"Delta table already exists: $tablePath")
+    val partCols =
+      if (existing < 0) partitionBy
+      else {
+        val s = snapshot(spark, tablePath)
+        require(partitionBy.isEmpty || partitionBy == s.partitionColumns,
+          s"partitionBy $partitionBy does not match table partitioning ${s.partitionColumns}")
+        s.partitionColumns
+      }
+
+    // 1. data files: stage through a scratch dir (hive-layout for
+    //    partitioned writes), then move parts into the table layout.
+    val now = System.currentTimeMillis()
+    val added = PartitionedFiles.stageAndMove(df, tablePath, partCols)
+      .map(f => AddFile(f.relPath, f.partitionValues, f.sizeBytes, now))
+
+    // 2. publish the commit, retrying on version races.
+    var attempt = math.max(existing, -1L) + 1
+    var committed = -1L
+    while (committed < 0) {
+      val removes: Seq[String] =
+        if (mode == "overwrite" && attempt > 0) snapshot(spark, tablePath).files.map(_.path) else Nil
+      val lines = mutable.ArrayBuffer.empty[String]
+      val om = mapper
+      if (attempt == 0) {
+        lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        lines += metaDataJson(om, df.schema, partCols)
+      } else if (mode == "overwrite") {
+        lines += metaDataJson(om, df.schema, partCols)
+      }
+      removes.foreach { p =>
+        val o = om.createObjectNode()
+        val r = o.putObject("remove")
+        r.put("path", p); r.put("deletionTimestamp", now); r.put("dataChange", true)
+        lines += om.writeValueAsString(o)
+      }
+      added.foreach { a =>
+        val o = om.createObjectNode()
+        val ad = o.putObject("add")
+        ad.put("path", a.path)
+        val pv = ad.putObject("partitionValues")
+        a.partitionValues.foreach { case (k, v) => if (v == null) pv.putNull(k) else pv.put(k, v) }
+        ad.put("size", a.size); ad.put("modificationTime", a.modificationTime)
+        ad.put("dataChange", true)
+        lines += om.writeValueAsString(o)
+      }
+      val ci = om.createObjectNode()
+      val info = ci.putObject("commitInfo")
+      info.put("timestamp", now); info.put("operation", if (mode == "overwrite") "WRITE OVERWRITE" else "WRITE")
+      lines += om.writeValueAsString(ci)
+
+      Files.createDirectories(logDir(tablePath))
+      val tmp = logDir(tablePath).resolve(s".tmp-${UUID.randomUUID()}.json")
+      Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.move(tmp, commitFile(tablePath, attempt)) // fails if version taken
+        committed = attempt
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp); attempt += 1 // lost the race; recompute removes
+      }
+    }
+    committed
+  }
+
+  private def metaDataJson(om: ObjectMapper, schema: StructType, partCols: Seq[String]): String = {
+    val o = om.createObjectNode()
+    val m = o.putObject("metaData")
+    m.put("id", UUID.randomUUID().toString)
+    val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", schema.json)
+    val pc = m.putArray("partitionColumns"); partCols.foreach(pc.add)
+    m.putObject("configuration")
+    m.put("createdTime", System.currentTimeMillis())
+    om.writeValueAsString(o)
+  }
+
+  /** Write a parquet checkpoint of the current state plus the
+    * `_last_checkpoint` hint, so future reads replay only commits after
+    * it (spec §checkpoints, single-file classic form). */
+  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    val snap = snapshot(spark, tablePath)
+    val pvType = MapType(StringType, StringType)
+    val ckSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", pvType),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row(UUID.randomUUID().toString, snap.schema.json, snap.partitionColumns, System.currentTimeMillis()), null) +:
+      snap.files.map(f => Row(null, null, Row(f.path, f.partitionValues, f.size, f.modificationTime, true)))
+    val scratch = Paths.get(tablePath, s".ckpt-${UUID.randomUUID()}")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ckSchema)
+      .coalesce(1).write.parquet(scratch.toString)
+    val part = Files.walk(scratch).iterator().asScala
+      .find(p => p.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, checkpointFile(tablePath, snap.version), StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(scratch)
+    val hint = s"""{"version":${snap.version},"size":${rows.size}}"""
+    Files.write(logDir(tablePath).resolve("_last_checkpoint"), hint.getBytes(StandardCharsets.UTF_8))
+    snap.version
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+
+  private[graft] def deleteTable(tablePath: String): Unit =
+    deleteRecursively(Paths.get(tablePath))
+}

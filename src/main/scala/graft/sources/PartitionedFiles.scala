@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared machinery for table formats whose data files do not carry the
+  * partition columns (hive-layout staging on write, metadata-driven
+  * re-attachment on read). Used by [[Delta]] and [[Iceberg]].
+  *
+  * Scale shape: the read side is ONE parquet scan over the live file set;
+  * partition columns are re-attached by a BROADCAST join against the tiny
+  * file→partition-values map keyed on the scan's hidden
+  * `_metadata.file_path` column — never a union of one scan per partition
+  * (which explodes the plan at 10k partitions). The join key is the
+  * table-relative path (partition dirs + basename): a single `partitionBy`
+  * write job emits identically-named part files into every partition
+  * directory, so a basename alone would collide. */
+private[sources] object PartitionedFiles {
+
+  final case class StagedFile(relPath: String, partitionValues: Map[String, String],
+      sizeBytes: Long, rowCount: Long)
+
+  /** Write `df` through a hive-layout staging dir, move the value-pure
+    * part files into `tableRoot` (preserving `k=v` dirs under
+    * `subDir`, when given), and return one entry per file with its typed
+    * partition tuple parsed from the directory names. Row counts come
+    * from a single metadata-only job over the staged files, not one job
+    * per file. */
+  def stageAndMove(
+      df: DataFrame,
+      tableRoot: String,
+      partCols: Seq[String],
+      subDir: String = "",
+      countRows: Boolean = false): Seq[StagedFile] = {
+    val staging = Paths.get(tableRoot, s".staging-${UUID.randomUUID()}")
+    val w = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging.toString)
+
+    val counts: Map[String, Long] =
+      if (!countRows) Map.empty
+      else df.sparkSession.read.parquet(staging.toString)
+        .groupBy(col("_metadata.file_path").as("p")).count()
+        .collect().map(r => r.getString(0).replaceFirst("^file:(//)?", "") -> r.getLong(1)).toMap
+
+    val out = mutable.ArrayBuffer.empty[StagedFile]
+    Files.walk(staging).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .foreach { part =>
+        val relDirs = staging.relativize(part.getParent).toString // k1=v1/k2=v2 or ""
+        val pv: Map[String, String] = relDirs match {
+          case "" => Map.empty
+          case s => s.split('/').map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                  else java.net.URLDecoder.decode(v, "UTF-8"))
+          }.toMap
+        }
+        val prefix = if (subDir.isEmpty) "" else subDir + "/"
+        val relPath = prefix + (if (relDirs.isEmpty) "" else relDirs + "/") + part.getFileName
+        val target = Paths.get(tableRoot).resolve(relPath)
+        Files.createDirectories(target.getParent)
+        val n = counts.getOrElse(part.toString, 0L)
+        Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+        out += StagedFile(relPath, pv, Files.size(target), n)
+      }
+    deleteRecursively(staging)
+    out.toSeq
+  }
+
+  /** One scan over `paths` (schema = table schema minus partition
+    * columns), with partition columns re-attached from `filePv` (keyed by
+    * table-relative path, values as strings cast to the schema type). */
+  def readWithPartitions(
+      spark: SparkSession,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      paths: Seq[String],
+      filePv: Seq[(String, Map[String, String])]): DataFrame = {
+    val ordered: Seq[Column] = schema.map(f => col(f.name))
+    if (paths.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+    if (partitionColumns.isEmpty)
+      return spark.read.schema(dataSchema).parquet(paths: _*).select(ordered: _*)
+
+    val segs = partitionColumns.size + 1
+    val pvSchema = StructType(
+      StructField("__graft_file", StringType) +:
+        partitionColumns.map(c => StructField(s"__pv_$c", StringType)).toSeq)
+    val pvRows = filePv.map { case (rel, pv) =>
+      val key = rel.split('/').takeRight(segs).mkString("/")
+      Row.fromSeq(key +: partitionColumns.map(c => pv.getOrElse(c, null)))
+    }
+    val pvDf = spark.createDataFrame(spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+    val byName = schema.map(f => f.name -> f).toMap
+    val data = spark.read.schema(dataSchema).parquet(paths: _*)
+      .withColumn("__graft_file",
+        array_join(slice(split(col("_metadata.file_path"), "/"), -segs, segs), "/"))
+    val joined = data.join(broadcast(pvDf), Seq("__graft_file"))
+    val withParts = partitionColumns.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, col(s"__pv_$c").cast(byName(c).dataType))
+    }
+    withParts.select(ordered: _*)
+  }
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+}

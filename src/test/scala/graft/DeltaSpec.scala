@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Delta
+
+/** Delta Lake source/sink (open-protocol implementation): append/overwrite
+  * commit semantics, time travel, checkpoint reconstruction, partition
+  * pruning at planning time, and rejection of unsupported reader features. */
+class DeltaSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val p = s"/tmp/graft_delta_spec_$tag"
+    Delta.deleteTable(p)
+    p
+  }
+
+  private def fixture(from: Int, until: Int) =
+    (from until until).map(i => (i.toLong, s"name_$i", (i % 4).toString, i * 1.5))
+      .toDF("id", "name", "bucket", "score")
+
+  test("append commits accumulate; schema and values round-trip") {
+    val path = freshDir("append")
+    val v0 = Delta.write(fixture(0, 100), path)
+    val v1 = Delta.write(fixture(100, 250), path)
+    assert(v0 == 0 && v1 == 1)
+    val back = Delta.read(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "bucket", "score"))
+    assert(back.count() == 250)
+    assert(back.agg(sum("id")).as[Long].head() == (0L until 250).sum)
+  }
+
+  test("partitioned table: values rebuilt from partitionValues, one scan") {
+    val path = freshDir("part")
+    Delta.write(fixture(0, 200), path, partitionBy = Seq("bucket"))
+    val back = Delta.read(spark, path)
+    // bucket comes back typed and correct per-row, not baked into the files
+    val bad = back.filter(col("bucket") =!= (col("id") % 4).cast("string")).count()
+    assert(bad == 0)
+    assert(back.select("bucket").distinct().count() == 4)
+    // scale shape: ONE parquet scan regardless of partition count (the
+    // partition columns are re-attached by broadcast join, not per-value
+    // unions that explode the plan at 10k partitions)
+    val plan = back.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected a single parquet scan, got $scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "partition-value attach must be a broadcast join")
+  }
+
+  test("partition pruning culls files during planning") {
+    val path = freshDir("prune")
+    Delta.write(fixture(0, 200), path, partitionBy = Seq("bucket"))
+    val snap = Delta.snapshot(spark, path)
+    val all = snap.files.size
+    val pruned = Delta.read(spark, path, partitionFilter = pv => pv("bucket") == "2")
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles.length
+    }.sum
+    assert(scanned < all, s"pruned read should open fewer than $all files, opened $scanned")
+    assert(pruned.count() == 50)
+    assert(pruned.filter(col("bucket") =!= "2").count() == 0)
+  }
+
+  test("overwrite logically removes prior files; time travel still sees them") {
+    val path = freshDir("tt")
+    Delta.write(fixture(0, 100), path)                      // v0
+    Delta.write(fixture(100, 200), path)                    // v1
+    Delta.write(fixture(0, 10), path, mode = "overwrite")   // v2
+    assert(Delta.read(spark, path).count() == 10)
+    assert(Delta.read(spark, path, versionAsOf = Some(1L)).count() == 200)
+    assert(Delta.read(spark, path, versionAsOf = Some(0L)).count() == 100)
+    // physical files from v0/v1 still exist (no vacuum), the log hides them
+    val snap = Delta.snapshot(spark, path)
+    assert(snap.files.forall(f => Files.exists(Paths.get(path, f.path))))
+  }
+
+  test("checkpoint: state reconstructs from parquet + post-checkpoint replay") {
+    val path = freshDir("ckpt")
+    Delta.write(fixture(0, 50), path, partitionBy = Seq("bucket"))
+    Delta.write(fixture(50, 120), path)
+    val ckv = Delta.checkpoint(spark, path)
+    assert(ckv == 1)
+    Delta.write(fixture(120, 150), path) // commit after the checkpoint
+    // delete the pre-checkpoint JSON commits: replay MUST start from the
+    // checkpoint for this to pass
+    Files.delete(Paths.get(path, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(path, "_delta_log", f"${1L}%020d.json"))
+    val back = Delta.read(spark, path)
+    assert(back.count() == 150)
+    assert(back.filter(col("bucket") =!= (col("id") % 4).cast("string")).count() == 0)
+  }
+
+  test("empty snapshot read returns an empty frame with the table schema") {
+    val path = freshDir("empty")
+    Delta.write(fixture(0, 20), path)
+    Delta.write(fixture(0, 0), path, mode = "overwrite")
+    val back = Delta.read(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "bucket", "score"))
+    assert(back.count() == 0)
+  }
+
+  test("rejects tables that demand unsupported reader features") {
+    val path = freshDir("features")
+    Delta.write(fixture(0, 5), path)
+    val log = Paths.get(path, "_delta_log", f"${1L}%020d.json")
+    Files.write(log,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](Delta.read(spark, path))
+    assert(e.getMessage.contains("deletionVectors"))
+  }
+
+  test("errorifexists refuses to write over an existing table") {
+    val path = freshDir("eie")
+    Delta.write(fixture(0, 5), path)
+    intercept[IllegalArgumentException](
+      Delta.write(fixture(5, 10), path, mode = "errorifexists"))
+  }
+}
