@@ -240,6 +240,66 @@ object Io {
       |FROM orders WHERE o_orderkey < 500
       |ORDER BY version""".stripMargin
 
+  /** Iceberg round-trip (ref daft/io/_iceberg.py read_iceberg /
+    * write_iceberg; implemented from the open table spec — sources/
+    * Iceberg): two append snapshots through Avro manifests, snapshot
+    * time travel after an overwrite. */
+  def io_iceberg_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Iceberg
+    val path = s"$ioDir/iceberg_${math.abs(dir.hashCode)}"
+    Iceberg.deleteTable(path)
+    val cust = t(s, dir).customer
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    Iceberg.write(cust.filter(col("c_custkey") < 500), path,
+      partitionBy = Seq("c_nationkey"))
+    val keepId = Iceberg.write(
+      cust.filter(col("c_custkey") >= 500 && col("c_custkey") < 800), path)
+    Iceberg.write(cust.filter(col("c_custkey") < 100), path, mode = "overwrite")
+    def summarize(df: DataFrame, v: Int) =
+      df.agg(lit(v).as("snap"), count(lit(1)).as("n"),
+        round(sum("c_acctbal"), 2).as("bal"))
+    summarize(Iceberg.read(s, path, snapshotId = Some(keepId)), 1)
+      .unionAll(summarize(Iceberg.read(s, path), 2))
+      .orderBy("snap")
+  }
+
+  val ioIcebergRoundtripSql =
+    """SELECT 1 AS snap, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+      |FROM customer WHERE c_custkey < 800
+      |UNION ALL
+      |SELECT 2 AS snap, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+      |FROM customer WHERE c_custkey < 100
+      |ORDER BY snap""".stripMargin
+
+  /** Hudi copy-on-write round-trip (ref daft/io/_hudi.py read_hudi;
+    * implemented from the open table layout — sources/Hudi): partitioned
+    * append commits, a replacecommit overwrite, instant time travel. */
+  def io_hudi_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Hudi
+    val path = s"$ioDir/hudi_${math.abs(dir.hashCode)}"
+    Hudi.deleteTable(path)
+    val sup = t(s, dir).supplier
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    Hudi.write(sup.filter(col("s_suppkey") % 2 === 0), path,
+      partitionBy = Seq("s_nationkey"))
+    val t1 = Hudi.write(sup.filter(col("s_suppkey") % 2 === 1), path)
+    Hudi.write(sup.filter(col("s_suppkey") <= 10), path, mode = "overwrite")
+    def summarize(df: DataFrame, v: Int) =
+      df.agg(lit(v).as("snap"), count(lit(1)).as("n"),
+        round(sum("s_acctbal"), 2).as("bal"))
+    summarize(Hudi.read(s, path, asOfInstant = Some(t1)), 1)
+      .unionAll(summarize(Hudi.read(s, path), 2))
+      .orderBy("snap")
+  }
+
+  val ioHudiRoundtripSql =
+    """SELECT 1 AS snap, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+      |FROM supplier
+      |UNION ALL
+      |SELECT 2 AS snap, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+      |FROM supplier WHERE s_suppkey <= 10
+      |ORDER BY snap""".stripMargin
+
   /** read_sql (ref daft/io/_sql.py): stage an orders table into a DuckDB
     * database file, read it back through the range-partitioned JDBC source
     * (4 parallel stripes on o_orderkey), and aggregate. */
@@ -366,6 +426,8 @@ object Io {
     "io_mcap_roundtrip" -> (io_mcap_roundtrip _),
     "io_delta_roundtrip" -> (io_delta_roundtrip _),
     "io_delta_time_travel" -> (io_delta_time_travel _),
+    "io_iceberg_roundtrip" -> (io_iceberg_roundtrip _),
+    "io_hudi_roundtrip" -> (io_hudi_roundtrip _),
     "io_read_sql" -> (io_read_sql _),
     "io_write_sink" -> (io_write_sink _),
     "sql_entry" -> (sql_entry _))
@@ -383,6 +445,8 @@ object Io {
     "io_mcap_roundtrip" -> ioMcapRoundtripSql,
     "io_delta_roundtrip" -> ioDeltaRoundtripSql,
     "io_delta_time_travel" -> ioDeltaTimeTravelSql,
+    "io_iceberg_roundtrip" -> ioIcebergRoundtripSql,
+    "io_hudi_roundtrip" -> ioHudiRoundtripSql,
     "io_read_sql" -> ioReadSqlSql,
     "io_write_sink" -> ioWriteSinkSql,
     "sql_entry" -> sqlEntrySql)

@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Apache Hudi copy-on-write source/sink implemented from the OPEN TABLE
+  * LAYOUT (hudi.apache.org/docs concepts: timeline + file groups; ref
+  * surface `daft/io/_hudi.py` `read_hudi`). The Hudi runtime jars are
+  * absent here (SURVEY §8.7 probe), so — like [[Delta]]/[[Iceberg]] — the
+  * table layout is implemented from its published spec.
+  *
+  * Layout subset (copy-on-write snapshot queries):
+  *  - `.hoodie/hoodie.properties` holds table name/type/version;
+  *    `.hoodie/<instantTime>.commit` (JSON) records, per partition path,
+  *    the data files written by that commit; requested instants carry
+  *    `.commit.requested`/`.inflight` markers (uncommitted instants are
+  *    invisible to readers).
+  *  - data files are parquet named `<fileId>_<writeToken>_<instantTime>
+  *    .parquet`; all files sharing a fileId form a FILE GROUP, and a
+  *    copy-on-write commit that updates a file group writes a NEW version
+  *    (file slice) with the same fileId at the new instant time.
+  *  - snapshot read at instant T: for every file group, take the newest
+  *    file slice with instantTime <= T among completed commits. Overwrite
+  *    is expressed with the `replacecommit` action: partitions/file
+  *    groups it replaces are dropped from the view.
+  *  - merge-on-read tables (log files, compaction) are rejected
+  *    explicitly, not misread.
+  *
+  * Scale shape: the timeline walk is driver-side planning over KBs of
+  * JSON; data is ONE parquet scan of the selected slices; partition
+  * columns are re-attached from partition paths via the shared
+  * [[PartitionedFiles]] broadcast-join (pruning culls partitions before
+  * the scan).
+  */
+object Hudi {
+
+  private def mapper = new ObjectMapper()
+
+  private def hoodieDir(tablePath: String) = Paths.get(tablePath, ".hoodie")
+
+  final case class FileSlice(partitionPath: String, fileId: String,
+      instantTime: String, relPath: String)
+
+  final case class Timeline(
+      tablePath: String,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      completedInstants: Seq[String],
+      slices: Seq[FileSlice])
+
+  /** Parse the completed timeline up to `asOfInstant` and resolve the
+    * latest file slice per file group. */
+  def timeline(tablePath: String, asOfInstant: Option[String] = None): Timeline = {
+    val dir = hoodieDir(tablePath)
+    require(Files.isDirectory(dir), s"not a Hudi table (no .hoodie): $tablePath")
+    val props = Files.readAllLines(dir.resolve("hoodie.properties"), StandardCharsets.UTF_8)
+      .asScala.filterNot(l => l.startsWith("#") || l.isBlank)
+      .map { l => val Array(k, v) = l.split("=", 2); k.trim -> v.trim }.toMap
+    require(props.getOrElse("hoodie.table.type", "COPY_ON_WRITE") == "COPY_ON_WRITE",
+      "merge-on-read Hudi tables are not supported (log files/compaction not implemented)")
+    val schema = DataType.fromJson(props("hoodie.table.create.schema"))
+      .asInstanceOf[StructType]
+    val partCols = props.get("hoodie.table.partition.fields")
+      .filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil)
+
+    // completed commits: <instant>.commit / <instant>.replacecommit present
+    // (requested/inflight-only instants are invisible)
+    val commits = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect {
+        case n if n.endsWith(".commit") => (n.stripSuffix(".commit"), "commit")
+        case n if n.endsWith(".replacecommit") => (n.stripSuffix(".replacecommit"), "replacecommit")
+      }
+      .filter { case (t, _) => asOfInstant.forall(t <= _) }
+      .toSeq.sortBy(_._1)
+
+    var groups = Map.empty[(String, String), FileSlice] // (partition, fileId) -> latest slice
+    commits.foreach { case (instant, action) =>
+      val node = mapper.readTree(Files.readAllBytes(
+        dir.resolve(s"$instant.$action")))
+      if (action == "replacecommit") {
+        // file groups listed as replaced drop out of the snapshot view
+        Option(node.get("partitionToReplaceFileIds")).foreach { rep =>
+          rep.properties().asScala.foreach { e =>
+            val part = e.getKey
+            e.getValue.elements().asScala.foreach { fid =>
+              groups -= (part -> fid.asText)
+            }
+          }
+        }
+      }
+      Option(node.get("partitionToWriteStats")).foreach { pw =>
+        pw.properties().asScala.foreach { e =>
+          val part = e.getKey
+          e.getValue.elements().asScala.foreach { stat =>
+            val fileId = stat.get("fileId").asText
+            val path = stat.get("path").asText
+            groups += ((part, fileId) -> FileSlice(part, fileId, instant, path))
+          }
+        }
+      }
+    }
+    Timeline(tablePath, schema, partCols, commits.map(_._1), groups.values.toSeq)
+  }
+
+  /** Snapshot-read a Hudi CoW table (one parquet scan).
+    *
+    * @param asOfInstant      time travel: read the snapshot as of this
+    *                         instant time (inclusive)
+    * @param partitionFilter  planning-time pruning on the partition-path
+    *                         values */
+  def read(
+      spark: SparkSession,
+      tablePath: String,
+      asOfInstant: Option[String] = None,
+      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
+    val tl = timeline(tablePath, asOfInstant)
+    val live = tl.slices.filter(s => partitionFilter(partitionValues(tl, s.partitionPath)))
+    PartitionedFiles.readWithPartitions(
+      spark, tl.schema, tl.partitionColumns,
+      live.map(s => s"$tablePath/${s.relPath}"),
+      live.map(s => s.relPath -> partitionValues(tl, s.partitionPath)))
+  }
+
+  private def partitionValues(tl: Timeline, partitionPath: String): Map[String, String] =
+    if (partitionPath.isEmpty || tl.partitionColumns.isEmpty) Map.empty
+    else partitionPath.split('/').map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else java.net.URLDecoder.decode(v, "UTF-8"))
+    }.toMap
+
+  /** Write a commit. `mode` `"append"` adds new file groups;
+    * `"overwrite"` emits a `replacecommit` that replaces every live file
+    * group, then adds. Instant times are monotonically increasing
+    * timestamps per the spec (yyyyMMddHHmmssSSS). */
+  def write(
+      df: DataFrame,
+      tablePath: String,
+      mode: String = "append",
+      partitionBy: Seq[String] = Nil): String = {
+    require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
+    val dir = hoodieDir(tablePath)
+    val exists = Files.exists(dir.resolve("hoodie.properties"))
+    val prior = if (exists) Some(timeline(tablePath)) else None
+    val partCols = prior.map(_.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
+
+    val instant = newInstantTime(prior.map(_.completedInstants).getOrElse(Nil))
+    Files.createDirectories(dir)
+    if (!exists) {
+      val props = Seq(
+        "hoodie.table.name=" + Paths.get(tablePath).getFileName,
+        "hoodie.table.type=COPY_ON_WRITE",
+        "hoodie.table.version=6",
+        "hoodie.table.create.schema=" + df.schema.json,
+        "hoodie.table.partition.fields=" + partCols.mkString(","))
+      Files.write(dir.resolve("hoodie.properties"),
+        props.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    }
+
+    // spec ordering: requested -> inflight -> data -> completed
+    Files.write(dir.resolve(s"$instant.commit.requested"), Array.emptyByteArray)
+    Files.write(dir.resolve(s"$instant.commit.inflight"), Array.emptyByteArray)
+
+    val staged = PartitionedFiles.stageAndMove(df, tablePath, partCols,
+      renamePart = p => s"${UUID.randomUUID()}_0-0-0_$instant.parquet")
+
+    val om = mapper
+    val root = om.createObjectNode()
+    val byPart = staged.groupBy(f => partitionPathOf(f.relPath))
+    val pw = root.putObject("partitionToWriteStats")
+    byPart.foreach { case (part, files) =>
+      val arr = pw.putArray(part)
+      files.foreach { f =>
+        val st = arr.addObject()
+        st.put("fileId", f.relPath.substring(f.relPath.lastIndexOf('/') + 1).split('_')(0))
+        st.put("path", f.relPath)
+        st.put("fileSizeInBytes", f.sizeBytes)
+      }
+    }
+    if (mode == "overwrite") {
+      val rep = root.putObject("partitionToReplaceFileIds")
+      prior.map(_.slices).getOrElse(Nil).groupBy(_.partitionPath).foreach { case (part, ss) =>
+        val arr = rep.putArray(part)
+        ss.map(_.fileId).distinct.foreach(arr.add)
+      }
+    }
+    root.put("operation", if (mode == "overwrite") "insert_overwrite_table" else "insert")
+
+    val action = if (mode == "overwrite") "replacecommit" else "commit"
+    Files.write(dir.resolve(s"$instant.$action"), om.writeValueAsBytes(root))
+    Files.deleteIfExists(dir.resolve(s"$instant.commit.requested"))
+    Files.deleteIfExists(dir.resolve(s"$instant.commit.inflight"))
+    instant
+  }
+
+  private def partitionPathOf(relPath: String): String = {
+    val i = relPath.lastIndexOf('/')
+    if (i < 0) "" else relPath.substring(0, i)
+  }
+
+  /** Monotonic instant times even for back-to-back commits in one ms. */
+  private def newInstantTime(existing: Seq[String]): String = {
+    val fmt = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    var t = fmt.format(new java.util.Date())
+    val max = existing.maxOption.getOrElse("")
+    if (t <= max) t = (BigInt(max) + 1).toString
+    t
+  }
+
+  private[graft] def deleteTable(tablePath: String): Unit =
+    PartitionedFiles.deleteRecursively(Paths.get(tablePath))
+}

@@ -114,7 +114,9 @@ object Iceberg {
         val status = entry.get("status").asInstanceOf[Int]
         if (status != 2) { // not DELETED
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val content = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          def field(r: GenericRecord, n: String): Option[AnyRef] =
+            Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+          val content = field(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
           require(content == 0,
             s"unsupported Iceberg delete file (content=$content) — row-level deletes not implemented")
           val partition = Option(df.get("partition").asInstanceOf[GenericRecord]).map { p =>

@@ -38,21 +38,26 @@ private[sources] object PartitionedFiles {
       tableRoot: String,
       partCols: Seq[String],
       subDir: String = "",
-      countRows: Boolean = false): Seq[StagedFile] = {
+      countRows: Boolean = false,
+      renamePart: Path => String = _.getFileName.toString): Seq[StagedFile] = {
     val staging = Paths.get(tableRoot, s".staging-${UUID.randomUUID()}")
     val w = df.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging.toString)
 
+    val parts = Files.walk(staging).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toVector
+
+    // one metadata-only job for all per-file row counts (an empty input
+    // frame stages zero part files — nothing to read or count)
     val counts: Map[String, Long] =
-      if (!countRows) Map.empty
+      if (!countRows || parts.isEmpty) Map.empty
       else df.sparkSession.read.parquet(staging.toString)
         .groupBy(col("_metadata.file_path").as("p")).count()
         .collect().map(r => r.getString(0).replaceFirst("^file:(//)?", "") -> r.getLong(1)).toMap
 
     val out = mutable.ArrayBuffer.empty[StagedFile]
-    Files.walk(staging).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .foreach { part =>
+    parts.foreach { part =>
         val relDirs = staging.relativize(part.getParent).toString // k1=v1/k2=v2 or ""
         val pv: Map[String, String] = relDirs match {
           case "" => Map.empty
@@ -63,7 +68,7 @@ private[sources] object PartitionedFiles {
           }.toMap
         }
         val prefix = if (subDir.isEmpty) "" else subDir + "/"
-        val relPath = prefix + (if (relDirs.isEmpty) "" else relDirs + "/") + part.getFileName
+        val relPath = prefix + (if (relDirs.isEmpty) "" else relDirs + "/") + renamePart(part)
         val target = Paths.get(tableRoot).resolve(relPath)
         Files.createDirectories(target.getParent)
         val n = counts.getOrElse(part.toString, 0L)
