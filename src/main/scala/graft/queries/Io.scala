@@ -300,6 +300,54 @@ object Io {
       |FROM supplier WHERE s_suppkey <= 10
       |ORDER BY snap""".stripMargin
 
+  /** hf://datasets source (ref daft/io/huggingface read_huggingface):
+    * stage a documents subset as the parquet-conversion of an in-process
+    * hub (the public dataset-viewer API contract), resolve + download it
+    * through the distributed staged-fetch path, aggregate. */
+  def io_huggingface(s: SparkSession, dir: String): DataFrame = {
+    import java.net.InetSocketAddress
+    import java.nio.file.{Files, Paths}
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.sources.HuggingFace
+    val srcDir = s"$ioDir/hf_src_${math.abs(dir.hashCode)}"
+    t(s, dir).documents.filter(col("doc_id") < 400)
+      .select("doc_id", "lang", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val part = Files.list(Paths.get(srcDir)).iterator()
+    var bytes: Array[Byte] = null
+    part.forEachRemaining(p =>
+      if (p.getFileName.toString.endsWith(".parquet")) bytes = Files.readAllBytes(p))
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val data = bytes
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        val resp =
+          if (path.startsWith("/api/datasets/"))
+            s"""{"default":{"train":["http://127.0.0.1:${server.getAddress.getPort}/docs.parquet"]}}"""
+              .getBytes("UTF-8")
+          else data
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val cache = s"$ioDir/hf_cache_${math.abs(dir.hashCode)}"
+      graft.sources.PartitionedFiles.deleteRecursively(Paths.get(cache))
+      HuggingFace.read(s, "graft/docs",
+          endpoint = s"http://127.0.0.1:${server.getAddress.getPort}", cacheDir = cache)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), round(avg("n_chars"), 6).as("avg_chars"))
+        .orderBy("lang")
+    } finally server.stop(0)
+  }
+
+  val ioHuggingfaceSql =
+    """SELECT lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+      |FROM documents WHERE doc_id < 400
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** read_sql (ref daft/io/_sql.py): stage an orders table into a DuckDB
     * database file, read it back through the range-partitioned JDBC source
     * (4 parallel stripes on o_orderkey), and aggregate. */
@@ -428,6 +476,7 @@ object Io {
     "io_delta_time_travel" -> (io_delta_time_travel _),
     "io_iceberg_roundtrip" -> (io_iceberg_roundtrip _),
     "io_hudi_roundtrip" -> (io_hudi_roundtrip _),
+    "io_huggingface" -> (io_huggingface _),
     "io_read_sql" -> (io_read_sql _),
     "io_write_sink" -> (io_write_sink _),
     "sql_entry" -> (sql_entry _))
@@ -447,6 +496,7 @@ object Io {
     "io_delta_time_travel" -> ioDeltaTimeTravelSql,
     "io_iceberg_roundtrip" -> ioIcebergRoundtripSql,
     "io_hudi_roundtrip" -> ioHudiRoundtripSql,
+    "io_huggingface" -> ioHuggingfaceSql,
     "io_read_sql" -> ioReadSqlSql,
     "io_write_sink" -> ioWriteSinkSql,
     "sql_entry" -> sqlEntrySql)

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * table-relative path (partition dirs + basename): a single `partitionBy`
   * write job emits identically-named part files into every partition
   * directory, so a basename alone would collide. */
-private[sources] object PartitionedFiles {
+private[graft] object PartitionedFiles {
 
   final case class StagedFile(relPath: String, partitionValues: Map[String, String],
       sizeBytes: Long, rowCount: Long)
