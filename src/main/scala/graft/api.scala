@@ -48,6 +48,23 @@ object Graft {
     ops.Video.readFrames(spark, path, everyNth)
   def readSql(spark: SparkSession, jdbcUrl: String, table: String): DataFrame =
     sources.Sql.readSql(spark, jdbcUrl, table)
+  // lakehouse tables + HF hub (ref read_deltalake/read_iceberg/read_hudi/
+  // read_huggingface) — open-spec implementations, see graft.sources
+  def readDeltalake(spark: SparkSession, path: String, versionAsOf: Option[Long] = None): DataFrame =
+    sources.Delta.read(spark, path, versionAsOf)
+  def writeDeltalake(df: DataFrame, path: String, mode: String = "append",
+      partitionBy: Seq[String] = Nil): Long =
+    sources.Delta.write(df, path, mode, partitionBy)
+  def readIceberg(spark: SparkSession, path: String, snapshotId: Option[Long] = None): DataFrame =
+    sources.Iceberg.read(spark, path, snapshotId)
+  def writeIceberg(df: DataFrame, path: String, mode: String = "append",
+      partitionBy: Seq[String] = Nil): Long =
+    sources.Iceberg.write(df, path, mode, partitionBy)
+  def readHudi(spark: SparkSession, path: String, asOfInstant: Option[String] = None): DataFrame =
+    sources.Hudi.read(spark, path, asOfInstant)
+  def readHuggingface(spark: SparkSession, repo: String,
+      config: Option[String] = None, split: Option[String] = None): DataFrame =
+    sources.HuggingFace.read(spark, repo, config = config, split = split)
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 }
 

@@ -428,6 +428,17 @@ object Advanced {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Structured Streaming: exactly-once ingestion into a Delta table
+    * (txn-stamped micro-batch commits), read back via log replay. */
+  def streaming_delta_sink(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.deltaIngest(s, dir)
+      .withColumn("total_value", round(col("total_value"), 2))
+      .orderBy("event_type")
+
+  val streamingDeltaSinkSql =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Structured Streaming: stream-static broadcast enrichment join. */
   def streaming_enrich(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming
@@ -548,7 +559,8 @@ object Advanced {
     "streaming_window" -> (streaming_window _),
     "streaming_sessions" -> (streaming_sessions _),
     "streaming_dedup" -> (streaming_dedup _),
-    "streaming_enrich" -> (streaming_enrich _))
+    "streaming_enrich" -> (streaming_enrich _),
+    "streaming_delta_sink" -> (streaming_delta_sink _))
 
   val oracle: Map[String, String] = Map(
     "llm_generate" -> llmGenerateSql,
@@ -570,5 +582,6 @@ object Advanced {
     "streaming_window" -> streamingWindowSql,
     "streaming_sessions" -> streamingSessionsSql,
     "streaming_dedup" -> streamingDedupSql,
-    "streaming_enrich" -> streamingEnrichSql)
+    "streaming_enrich" -> streamingEnrichSql,
+    "streaming_delta_sink" -> streamingDeltaSinkSql)
 }

@@ -57,13 +57,17 @@ object Delta {
       size: Long,
       modificationTime: Long)
 
-  /** Reconstructed table state at a version. */
+  /** Reconstructed table state at a version. `appTxns` is the latest
+    * `txn` action version per application id (the spec's idempotent-
+    * writer mechanism — a streaming sink records its batch id here and
+    * skips batches at or below it on restart). */
   final case class Snapshot(
       tablePath: String,
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[AddFile]) {
+      files: Seq[AddFile],
+      appTxns: Map[String, Long] = Map.empty) {
     def dataSchema: StructType =
       StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
   }
@@ -76,13 +80,20 @@ object Delta {
   private def checkpointFile(tablePath: String, v: Long): Path =
     logDir(tablePath).resolve(f"$v%020d.checkpoint.parquet")
 
-  /** Latest committed version, or -1 for a nonexistent table. */
+  /** Latest committed version, or -1 for a nonexistent table. Checkpoint
+    * files count as committed versions too — the spec allows JSON commits
+    * at or before a checkpoint to be cleaned up. */
   def latestVersion(tablePath: String): Long = {
     val dir = logDir(tablePath)
     if (!Files.isDirectory(dir)) return -1L
     val versions = Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case n if n.endsWith(".json") && n.length == 25 => n.stripSuffix(".json").toLong }
+      .collect {
+        case n if n.endsWith(".json") && n.length == 25 =>
+          n.stripSuffix(".json").toLong
+        case n if n.endsWith(".checkpoint.parquet") =>
+          n.stripSuffix(".checkpoint.parquet").toLong
+      }
       .toSeq
     if (versions.isEmpty) -1L else versions.max
   }
@@ -109,6 +120,7 @@ object Delta {
     }
 
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
+    val appTxns = mutable.Map.empty[String, Long]
     var schemaString: String = null
     var partitionCols: Seq[String] = Nil
 
@@ -150,6 +162,8 @@ object Delta {
             a.getLong(a.fieldIndex("size")), a.getLong(a.fieldIndex("modificationTime")))
         }
         struct("remove").foreach(r => applyRemove(r.getString(r.fieldIndex("path"))))
+        struct("txn").foreach(t =>
+          appTxns(t.getString(t.fieldIndex("appId"))) = t.getLong(t.fieldIndex("version")))
       }
     }
 
@@ -178,13 +192,17 @@ object Delta {
             Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L))
         }
         if (node.has("remove")) applyRemove(node.get("remove").get("path").asText)
+        if (node.has("txn")) {
+          val t = node.get("txn")
+          appTxns(t.get("appId").asText) = t.get("version").asLong
+        }
       }
     }
 
     require(schemaString != null, s"Delta log of $tablePath has no metaData action")
     Snapshot(tablePath, target,
       DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partitionCols, adds.values.toSeq)
+      partitionCols, adds.values.toSeq, appTxns.toMap)
   }
 
   /** Read a Delta table as a DataFrame.
@@ -234,7 +252,8 @@ object Delta {
       df: DataFrame,
       tablePath: String,
       mode: String = "append",
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val existing = latestVersion(tablePath)
     require(existing < 0 || mode != "errorifexists", s"Delta table already exists: $tablePath")
@@ -281,6 +300,12 @@ object Delta {
         a.partitionValues.foreach { case (k, v) => if (v == null) pv.putNull(k) else pv.put(k, v) }
         ad.put("size", a.size); ad.put("modificationTime", a.modificationTime)
         ad.put("dataChange", true)
+        lines += om.writeValueAsString(o)
+      }
+      txn.foreach { case (appId, v) =>
+        val o = om.createObjectNode()
+        val t = o.putObject("txn")
+        t.put("appId", appId); t.put("version", v); t.put("lastUpdated", now)
         lines += om.writeValueAsString(o)
       }
       val ci = om.createObjectNode()
@@ -334,11 +359,15 @@ object Delta {
         StructField("partitionValues", pvType),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType))))))
     val rows =
-      Row(Row(1, 2), null, null) +:
-      Row(null, Row(UUID.randomUUID().toString, snap.schema.json, snap.partitionColumns, System.currentTimeMillis()), null) +:
-      snap.files.map(f => Row(null, null, Row(f.path, f.partitionValues, f.size, f.modificationTime, true)))
+      Row(Row(1, 2), null, null, null) +:
+      Row(null, Row(UUID.randomUUID().toString, snap.schema.json, snap.partitionColumns, System.currentTimeMillis()), null, null) +:
+      (snap.files.map(f => Row(null, null, Row(f.path, f.partitionValues, f.size, f.modificationTime, true), null)) ++
+       snap.appTxns.toSeq.map { case (app, v) => Row(null, null, null, Row(app, v)) })
     val scratch = Paths.get(tablePath, s".ckpt-${UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ckSchema)
       .coalesce(1).write.parquet(scratch.toString)

@@ -114,6 +114,26 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Streaming ingestion into a Delta table ([[DeltaSink]]): the events
+    * stream drains through exactly-once txn-stamped micro-batch commits,
+    * then the table is read back through the log-replay reader — the
+    * write-side analog of the reference's streaming `write_deltalake`. */
+  def deltaIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir)
+    val tag = math.abs(sfDir.hashCode)
+    val table = s"/tmp/graft_stream_delta_$tag"
+    val ckpt = s"/tmp/graft_stream_delta_ckpt_$tag"
+    graft.sources.Delta.deleteTable(table)
+    graft.sources.PartitionedFiles.deleteRecursively(Paths.get(ckpt))
+    val events = spark.readStream.schema(rawSchema).parquet(dir)
+      .select("event_id", "event_type", "value")
+    val q = DeltaSink.start(events, table, ckpt, appId = "graft-events-ingest")
+    q.awaitTermination(300000)
+    graft.sources.Delta.read(spark, table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+  }
+
   case class Ev(user_id: Long, tsMicros: Long)
 
   /** O(1) per-user sessionization state: last seen timestamp + counters. */
