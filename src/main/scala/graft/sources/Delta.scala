@@ -263,6 +263,8 @@ object Delta {
         val s = snapshot(spark, tablePath)
         require(partitionBy.isEmpty || partitionBy == s.partitionColumns,
           s"partitionBy $partitionBy does not match table partitioning ${s.partitionColumns}")
+        if (mode == "append")
+          PartitionedFiles.requireSameSchema(s.schema, df.schema, s"delta append to $tablePath")
         s.partitionColumns
       }
 
@@ -337,6 +339,90 @@ object Delta {
     m.putObject("configuration")
     m.put("createdTime", System.currentTimeMillis())
     om.writeValueAsString(o)
+  }
+
+  /** Small-file compaction (the OPTIMIZE operation): rewrite each
+    * partition's files into ~`targetFileBytes` outputs and commit the
+    * swap with `dataChange=false` adds + removes — per the spec, readers
+    * streaming change feeds skip such commits, and time travel still
+    * works because the old files stay on disk until [[vacuum]].
+    *
+    * At 100 TB this is the essential companion to streaming ingest: a
+    * micro-batch sink produces one small file per batch per partition,
+    * and scans degrade linearly with file count until compaction folds
+    * them back to ~128 MB objects. Only partitions with more than one
+    * file are rewritten. */
+  def compact(
+      spark: SparkSession,
+      tablePath: String,
+      targetFileBytes: Long = 128L << 20): Long = {
+    val snap = snapshot(spark, tablePath)
+    val byPartition = snap.files.groupBy(_.partitionValues)
+    val toCompact = byPartition.filter(_._2.size > 1)
+    if (toCompact.isEmpty) return snap.version
+
+    val now = System.currentTimeMillis()
+    val removed = toCompact.values.flatten.toSeq
+    val added = toCompact.toSeq.flatMap { case (pv, files) =>
+      val bytes = files.map(_.size).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val slice = readSnapshot(spark, snap.copy(files = files))
+        .coalesce(n)
+      PartitionedFiles.stageAndMove(slice, tablePath, snap.partitionColumns)
+        .map(f => AddFile(f.relPath, f.partitionValues, f.sizeBytes, now))
+    }
+
+    val om = mapper
+    val lines = mutable.ArrayBuffer.empty[String]
+    removed.foreach { f =>
+      val o = om.createObjectNode()
+      val r = o.putObject("remove")
+      r.put("path", f.path); r.put("deletionTimestamp", now); r.put("dataChange", false)
+      lines += om.writeValueAsString(o)
+    }
+    added.foreach { a =>
+      val o = om.createObjectNode()
+      val ad = o.putObject("add")
+      ad.put("path", a.path)
+      val pv = ad.putObject("partitionValues")
+      a.partitionValues.foreach { case (k, v) => if (v == null) pv.putNull(k) else pv.put(k, v) }
+      ad.put("size", a.size); ad.put("modificationTime", a.modificationTime)
+      ad.put("dataChange", false)
+      lines += om.writeValueAsString(o)
+    }
+    val ci = om.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "OPTIMIZE")
+    lines += om.writeValueAsString(ci)
+
+    var attempt = snap.version + 1
+    var committed = -1L
+    while (committed < 0) {
+      val tmp = logDir(tablePath).resolve(s".tmp-${UUID.randomUUID()}.json")
+      Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      try { Files.move(tmp, commitFile(tablePath, attempt)); committed = attempt }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        Files.delete(tmp); attempt += 1
+      }
+    }
+    committed
+  }
+
+  /** Physically delete data files no longer referenced by the CURRENT
+    * snapshot (the VACUUM operation). Time travel to versions whose
+    * files were vacuumed stops working — that is vacuum's documented
+    * contract. Returns the number of files deleted. */
+  def vacuum(spark: SparkSession, tablePath: String): Int = {
+    val live: Set[String] = snapshot(spark, tablePath).files
+      .map(f => Paths.get(absolutePath(tablePath, f.path)).normalize.toString).toSet
+    val root = Paths.get(tablePath)
+    var deleted = 0
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .filterNot(_.startsWith(root.resolve("_delta_log")))
+      .filterNot(p => live.contains(p.normalize.toString))
+      .foreach { p => Files.delete(p); deleted += 1 }
+    deleted
   }
 
   /** Write a parquet checkpoint of the current state plus the

@@ -151,6 +151,10 @@ object Hudi {
     val exists = Files.exists(dir.resolve("hoodie.properties"))
     val prior = if (exists) Some(timeline(tablePath)) else None
     val partCols = prior.map(_.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
+    // both modes: the table schema lives in hoodie.properties, written
+    // once at create — overwrite replaces data, not schema
+    prior.foreach(tl =>
+      PartitionedFiles.requireSameSchema(tl.schema, df.schema, s"hudi $mode to $tablePath"))
 
     val instant = newInstantTime(prior.map(_.completedInstants).getOrElse(Nil))
     Files.createDirectories(dir)

@@ -190,6 +190,9 @@ object Iceberg {
         Some(m -> st.getOrElse(TableState(tablePath, -1, df.schema, partitionBy, Nil)))
       } else None
     val partCols = prior.map(_._2.partitionFields).filter(_.nonEmpty).getOrElse(partitionBy)
+    if (mode == "append") prior.foreach { case (_, st) =>
+      PartitionedFiles.requireSameSchema(st.schema, df.schema, s"iceberg append to $tablePath")
+    }
 
     // 1. data files: hive-layout staging guarantees value-pure files so
     //    each manifest entry's partition tuple is exact (pruning-safe);

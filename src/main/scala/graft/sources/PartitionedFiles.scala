@@ -115,6 +115,17 @@ private[graft] object PartitionedFiles {
     withParts.select(ordered: _*)
   }
 
+  /** Guard appends: same column names and types (nullability ignored —
+    * relaxing nullable is harmless for readers). A mismatched append
+    * would otherwise silently corrupt the table, since only the creating
+    * commit records the schema. */
+  def requireSameSchema(table: StructType, incoming: StructType, ctx: String): Unit = {
+    def norm(s: StructType) = s.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+    require(norm(table) == norm(incoming),
+      s"$ctx: appended schema ${incoming.simpleString} does not match table schema " +
+        s"${table.simpleString}; schema changes require mode=overwrite")
+  }
+
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())

@@ -115,6 +115,62 @@ class DeltaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deletionVectors"))
   }
 
+  test("append with a mismatched schema is rejected, not silently corrupted") {
+    val path = freshDir("schema")
+    Delta.write(fixture(0, 10), path)
+    val wrong = Seq((1L, 2L)).toDF("id", "other")
+    val e = intercept[IllegalArgumentException](Delta.write(wrong, path))
+    assert(e.getMessage.contains("does not match table schema"))
+    // overwrite may evolve the schema
+    Delta.write(wrong, path, mode = "overwrite")
+    assert(Delta.read(spark, path).schema.fieldNames.toSeq == Seq("id", "other"))
+  }
+
+  test("compact folds small files per partition; dataChange=false; time travel intact") {
+    val path = freshDir("compact")
+    // 5 small commits -> 5 files per partition value
+    (0 until 5).foreach(i => Delta.write(fixture(i * 40, (i + 1) * 40), path,
+      partitionBy = Seq("bucket")))
+    val before = Delta.snapshot(spark, path)
+    assert(before.files.groupBy(_.partitionValues).forall(_._2.size >= 5),
+      "each partition should hold at least one small file per commit")
+    val v = Delta.compact(spark, path)
+    val after = Delta.snapshot(spark, path)
+    assert(after.version == v)
+    assert(after.files.groupBy(_.partitionValues).forall(_._2.size == 1),
+      "each partition should fold to one file at this size")
+    // same data, and the pre-compaction version still reads (files kept)
+    assert(Delta.read(spark, path).count() == 200)
+    assert(Delta.read(spark, path).agg(sum("id")).as[Long].head() == (0L until 200).sum)
+    assert(Delta.read(spark, path, versionAsOf = Some(before.version)).count() == 200)
+    // compaction is invisible to change consumers: all actions carry dataChange=false
+    val txt = new String(Files.readAllBytes(
+      Paths.get(path, "_delta_log", f"$v%020d.json")), "UTF-8")
+    assert(!txt.contains("\"dataChange\":true"))
+  }
+
+  test("vacuum deletes unreferenced files; current snapshot unaffected") {
+    val path = freshDir("vacuum")
+    (0 until 3).foreach(i => Delta.write(fixture(i * 30, (i + 1) * 30), path))
+    Delta.compact(spark, path)
+    val deleted = Delta.vacuum(spark, path)
+    assert(deleted >= 3, s"expected the 3+ pre-compaction files gone, got $deleted")
+    assert(Delta.read(spark, path).count() == 90)
+    assert(Delta.vacuum(spark, path) == 0, "second vacuum finds nothing")
+  }
+
+  test("data-column filters and pruning reach the scan through the reattach join") {
+    val path = freshDir("pushdown")
+    Delta.write(fixture(0, 100), path, partitionBy = Seq("bucket"))
+    val df = Delta.read(spark, path)
+      .filter(col("score") > 100.0).select("id", "score")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(score,100.0)"),
+      s"filter must be pushed to the parquet scan:\n$plan")
+    assert(plan.contains("struct<id:bigint,score:double>"),
+      s"scan must read only id+score (column pruning):\n$plan")
+  }
+
   test("errorifexists refuses to write over an existing table") {
     val path = freshDir("eie")
     Delta.write(fixture(0, 5), path)
