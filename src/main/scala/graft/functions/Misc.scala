@@ -17,6 +17,56 @@ object Misc {
   def fillNull(c: Column, v: Column): Column = coalesce(c, v)
   def isIn(c: Column, vs: Any*): Column = c.isin(vs: _*)
 
+  /** UUID generation, v4 or time-ordered v7 (ref misc.py:53 `uuid`).
+    * v4 is Spark's builtin; v7 per RFC 9562: 48-bit unix-ms timestamp,
+    * 4-bit version, 12 random bits, 2-bit variant, 62 random bits —
+    * assembled from codegen'd builtins (hex/conv/rand), no UDF. */
+  def uuidGen(version: String = "v4"): Column = version match {
+    case "v4" => expr("uuid()")
+    case "v7" => uuid7At(unix_millis(now()))
+    case other => throw new IllegalArgumentException(s"unsupported uuid version $other")
+  }
+
+  /** UUIDv7 with an explicit millisecond timestamp column — the
+    * deterministic-prefix building block (`uuidGen("v7")` passes now()).
+    * Random bits come from unseeded rand() so rows are distinct. */
+  def uuid7At(ms: Column): Column = {
+    val t = lpad(lower(hex(ms)), 12, "0")
+    def randHex(bits: Int, digits: Int): Column =
+      lpad(lower(conv(floor(rand() * pow(lit(2), lit(bits))).cast("long").cast("string"),
+        10, 16)), digits, "0")
+    val variant = lower(hex((floor(rand() * 4) + 8).cast("long"))) // 8|9|a|b
+    concat(
+      substring(t, 1, 8), lit("-"),
+      substring(t, 9, 4), lit("-"),
+      lit("7"), randHex(12, 3), lit("-"),
+      variant, randHex(12, 3), lit("-"),
+      randHex(24, 6), randHex(24, 6))
+  }
+
+  /** Millisecond timestamp encoded in a UUIDv7 string (the inverse of
+    * [[uuid7At]]'s prefix). */
+  def uuid7Millis(u: Column): Column =
+    conv(concat(substring(u, 1, 8), substring(u, 10, 4)), 16, 10).cast("long")
+
+  private def uuid7Ts(u: Column): Column = timestamp_millis(uuid7Millis(u))
+
+  /** Timestamp-part extraction from UUIDv7 (ref misc.py
+    * extract_{day,hour,minute,month}_uuid7). */
+  def extractDayUuid7(u: Column): Column = dayofmonth(uuid7Ts(u))
+  def extractHourUuid7(u: Column): Column = hour(uuid7Ts(u))
+  def extractMinuteUuid7(u: Column): Column = minute(uuid7Ts(u))
+  def extractMonthUuid7(u: Column): Column = month(uuid7Ts(u))
+
+  /** Uniform random integer in [low, high] (ref misc.py:94 random_int);
+    * seeded variant is best-effort stable per row layout, like the
+    * reference. */
+  def randomInt(low: Long, high: Long, seed: Option[Long] = None): Column = {
+    require(high >= low, s"random_int bounds [$low, $high] are inverted")
+    val r = seed.map(rand(_)).getOrElse(rand())
+    (floor(r * lit(high - low + 1)) + lit(low)).cast("long")
+  }
+
   /** 64-bit avalanche hash (splitmix64 finalizer) — deterministic across
     * JVMs, used as the base hash for minhash/simhash. */
   @inline private[graft] def mix64(zIn: Long): Long = {

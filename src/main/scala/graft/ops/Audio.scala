@@ -87,10 +87,35 @@ object Audio {
     AudioClip(out, clip.sampleRate / factor, 1)
   }
 
+  /** Arbitrary-rate resampling by linear interpolation (ref
+    * functions/audio.py:122 `resample`; the reference delegates to an
+    * audio library — this is the same operation from first principles).
+    * Mono PCM in, mono PCM at `targetRate` out. */
+  def resample(clip: AudioClip, targetRate: Float): AudioClip = {
+    require(clip.channels == 1, "resample expects mono")
+    require(targetRate > 0, s"bad target rate $targetRate")
+    if (targetRate == clip.sampleRate || clip.samples.isEmpty)
+      return clip.copy(sampleRate = targetRate.min(clip.sampleRate))
+    val ratio = clip.sampleRate / targetRate
+    val outLen = math.max(1, math.round(clip.samples.length / ratio).toInt)
+    val out = Array.tabulate(outLen) { i =>
+      val pos = i * ratio
+      val i0 = math.min(pos.toInt, clip.samples.length - 1)
+      val i1 = math.min(i0 + 1, clip.samples.length - 1)
+      val frac = pos - i0
+      (clip.samples(i0) + (clip.samples(i1) - clip.samples(i0)) * frac).toFloat
+    }
+    AudioClip(out, targetRate, 1)
+  }
+
   // ---- Column-level UDF surface ----
   val decodeUdf = udf((b: Array[Byte]) => decode(b))
   val durationUdf = udf((b: Array[Byte]) => decode(b).map(_.durationSec))
   val rmsUdf = udf((b: Array[Byte]) => decode(b).map { c =>
     math.sqrt(c.samples.foldLeft(0.0)((a, x) => a + x.toDouble * x) / math.max(c.samples.length, 1))
   })
+  /** WAV bytes → resampled sample tensor (float64, like the reference's
+    * resample return dtype). */
+  val resampleUdf = udf((b: Array[Byte], rate: Int) =>
+    decode(b).map(c => resample(c, rate.toFloat).samples.map(_.toDouble)))
 }

@@ -91,6 +91,21 @@ object Aggregates {
         round(var_pop("l_quantity"), 4).as("var_p"))
       .orderBy("l_returnflag")
 
+  /** Pearson correlation + covariance (ref functions/agg.py
+    * pearson_correlation): Spark's codegen'd corr/covar aggregates. */
+  def agg_corr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("r"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("cov_s"))
+      .orderBy("l_returnflag")
+
+  val aggCorrSql =
+    """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS r,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // Small-magnitude column + round(4) on both sides: Spark and DuckDB use
   // different accumulation algorithms, so last-ulp drift is expected; at
   // l_quantity scale (~50) the drift (~1e-12) can't straddle a 1e-4 boundary.
@@ -362,6 +377,7 @@ object Aggregates {
     "agg_basic" -> (agg_basic _),
     "agg_product" -> (agg_product _),
     "agg_stats" -> (agg_stats _),
+    "agg_corr" -> (agg_corr _),
     "agg_skew" -> (agg_skew _),
     "agg_percentile" -> (agg_percentile _),
     "agg_approx_count_distinct" -> (agg_approx_count_distinct _),
@@ -383,6 +399,7 @@ object Aggregates {
     "agg_basic" -> aggBasicSql,
     "agg_product" -> aggProductSql,
     "agg_stats" -> aggStatsSql,
+    "agg_corr" -> aggCorrSql,
     "agg_skew" -> aggSkewSql,
     "agg_percentile" -> aggPercentileSql,
     "agg_approx_count_distinct" -> aggApproxCountDistinctSql,

@@ -371,6 +371,52 @@ object Functions {
       |  true AS h64_injective, true AS h32_sane
       |FROM lineitem""".stripMargin
 
+  /** UUIDv7 construction + timestamp-part extraction (ref misc.py `uuid`,
+    * `extract_*_uuid7`): build v7 uuids whose 48-bit prefix encodes a
+    * known millisecond value, then extract the parts back from the STRING
+    * only — a cross-check of the RFC 9562 layout in both directions. The
+    * random bits differ per run; only the extracted parts are compared. */
+  def fn_uuid7(s: SparkSession, dir: String): DataFrame = {
+    val ms = (col("o_orderkey") * lit(3061007L)).as("ms") // varies month/day/hour/min
+    val u = GMisc.uuid7At(col("ms"))
+    t(s, dir).orders.filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), ms)
+      .withColumn("u", u)
+      .select(
+        col("o_orderkey"),
+        (GMisc.uuid7Millis(col("u")) === col("ms")).as("ms_roundtrip"),
+        GMisc.extractMonthUuid7(col("u")).as("mo"),
+        GMisc.extractDayUuid7(col("u")).as("d"),
+        GMisc.extractHourUuid7(col("u")).as("h"),
+        GMisc.extractMinuteUuid7(col("u")).as("mi"))
+      .orderBy("o_orderkey")
+  }
+
+  val fnUuid7Sql =
+    """SELECT o_orderkey, true AS ms_roundtrip,
+      |  month(epoch_ms(o_orderkey * 3061007)) AS mo,
+      |  day(epoch_ms(o_orderkey * 3061007)) AS d,
+      |  hour(epoch_ms(o_orderkey * 3061007)) AS h,
+      |  minute(epoch_ms(o_orderkey * 3061007)) AS mi
+      |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin
+
+  /** value_counts over token lists (ref list.py value_counts): map of
+    * element→count, exploded to rows for the oracle compare. */
+  def fn_value_counts(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Lists => GLists}
+    t(s, dir).documents.filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        explode(GLists.valueCounts(split(lower(col("text")), " "))).as("wc"))
+      .select(col("doc_id"), col("wc.value").as("word"), col("wc.count").as("cnt"))
+      .orderBy("doc_id", "word")
+  }
+
+  val fnValueCountsSql =
+    """SELECT doc_id, word, count(*) AS cnt FROM (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents WHERE doc_id < 60)
+      |GROUP BY doc_id, word ORDER BY doc_id, word""".stripMargin
+
   // ---- embedding distances (HOFs over array<float>) vs DuckDB list fns ----
   def fn_embedding_distance(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir).embeddings
@@ -604,6 +650,8 @@ object Functions {
     "fn_binary" -> (fn_binary _),
     "fn_conditional" -> (fn_conditional _),
     "fn_hash" -> (fn_hash _),
+    "fn_uuid7" -> (fn_uuid7 _),
+    "fn_value_counts" -> (fn_value_counts _),
     "fn_embedding_distance" -> (fn_embedding_distance _),
     "fn_minhash_simhash" -> (fn_minhash_simhash _))
 
@@ -625,6 +673,8 @@ object Functions {
     "fn_binary" -> fnBinarySql,
     "fn_conditional" -> fnConditionalSql,
     "fn_hash" -> fnHashSql,
+    "fn_uuid7" -> fnUuid7Sql,
+    "fn_value_counts" -> fnValueCountsSql,
     "fn_embedding_distance" -> fnEmbeddingDistanceSql,
     "fn_minhash_simhash" -> fnMinhashSimhashSql)
 }

@@ -94,4 +94,54 @@ class FunctionsSpec extends AnyFunSuite {
       assert(rt.sameElements(payload), s"codec $codec failed round-trip")
     }
   }
+
+  test("uuid v4/v7 format, v7 time ordering and distinctness") {
+    import graft.functions.{Misc => GM}
+    import org.apache.spark.sql.functions._
+    val df = (1 to 200).toDF("i")
+      .withColumn("u4", GM.uuidGen("v4"))
+      .withColumn("u7", GM.uuidGen("v7"))
+      .withColumn("u7At", GM.uuid7At(lit(1700000000123L)))
+      .cache()
+    val rows = df.collect()
+    val hex = "[0-9a-f]"
+    val v4re = s"$hex{8}-$hex{4}-4$hex{3}-[89ab]$hex{3}-$hex{12}".r
+    val v7re = s"$hex{8}-$hex{4}-7$hex{3}-[89ab]$hex{3}-$hex{12}".r
+    rows.foreach { r =>
+      assert(v4re.matches(r.getAs[String]("u4")), r.getAs[String]("u4"))
+      assert(v7re.matches(r.getAs[String]("u7")), r.getAs[String]("u7"))
+    }
+    assert(rows.map(_.getAs[String]("u4")).distinct.length == 200)
+    assert(rows.map(_.getAs[String]("u7At")).distinct.length == 200, "random bits differ per row")
+    // fixed-ms v7 decodes back to its timestamp
+    val ms = df.select(GM.uuid7Millis(col("u7At"))).head().getLong(0)
+    assert(ms == 1700000000123L)
+    df.unpersist()
+  }
+
+  test("random_int stays in bounds, covers the range, and seeds reproduce") {
+    import graft.functions.{Misc => GM}
+    val vals = (1 to 2000).toDF("i")
+      .select(GM.randomInt(-3, 4).as("r")).as[Long].collect()
+    assert(vals.forall(v => v >= -3 && v <= 4))
+    assert(vals.distinct.sorted.toSeq == (-3L to 4L), "all 8 values should appear in 2000 draws")
+    intercept[IllegalArgumentException](GM.randomInt(5, 4))
+  }
+
+  test("audio resample preserves duration and tone shape") {
+    import graft.ops.Audio
+    val rate = 8000f
+    val secs = 0.5
+    val sine = Array.tabulate((rate * secs).toInt)(i =>
+      math.sin(2 * math.Pi * 440 * i / rate).toFloat)
+    val clip = Audio.AudioClip(sine, rate, 1)
+    for (target <- Seq(4000f, 16000f, 11025f)) {
+      val rs = Audio.resample(clip, target)
+      assert(rs.sampleRate == target)
+      assert(math.abs(rs.durationSec - secs) < 0.01, s"duration drift at $target")
+      // a resampled pure tone keeps its RMS (~1/sqrt(2) for sine)
+      val rms = math.sqrt(rs.samples.foldLeft(0.0)((a, x) => a + x.toDouble * x) / rs.samples.length)
+      assert(math.abs(rms - 1 / math.sqrt(2)) < 0.02, s"rms $rms at $target")
+    }
+  }
 }
