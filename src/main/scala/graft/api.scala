@@ -145,6 +145,16 @@ class GraftSession(val spark: SparkSession) {
   def attachPath(name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)
 
+  /** Attach a lakehouse table (open-spec readers, graft.sources) for SQL
+    * — the view reflects the snapshot at attach time; re-attach to see
+    * later commits (same semantics as the reference's catalog attach). */
+  def attachDelta(name: String, path: String, versionAsOf: Option[Long] = None): Unit =
+    sources.Delta.read(spark, path, versionAsOf).createOrReplaceTempView(name)
+  def attachIceberg(name: String, path: String, snapshotId: Option[Long] = None): Unit =
+    sources.Iceberg.read(spark, path, snapshotId).createOrReplaceTempView(name)
+  def attachHudi(name: String, path: String, asOfInstant: Option[String] = None): Unit =
+    sources.Hudi.read(spark, path, asOfInstant).createOrReplaceTempView(name)
+
   def sql(query: String): DataFrame = spark.sql(query)
 }
 

@@ -57,6 +57,21 @@ class ApiSpec extends AnyFunSuite {
     sess.dropTable("apispec_persist")
   }
 
+  test("lakehouse tables attach to the catalog for SQL") {
+    import spark.implicits._
+    val sess = GraftSession(spark)
+    val path = "/tmp/graft_api_attach_delta"
+    sources.Delta.deleteTable(path)
+    sources.Delta.write(
+      (1 to 50).map(i => (i.toLong, (i % 5).toString)).toDF("id", "g"), path,
+      partitionBy = Seq("g"))
+    sess.attachDelta("attached_delta", path)
+    val n = sess.sql(
+      "SELECT g, count(*) AS n FROM attached_delta GROUP BY g ORDER BY g").collect()
+    assert(n.length == 5 && n.forall(_.getLong(1) == 10))
+    sess.dropTempTable("attached_delta")
+  }
+
   test("tokenize round-trips through a corpus vocab") {
     val docs = Tables(spark, dir).documents.limit(50)
     val vocab = ops.Tokenize.buildVocab(docs, "text")
