@@ -171,6 +171,29 @@ class DeltaSpec extends AnyFunSuite {
       s"scan must read only id+score (column pruning):\n$plan")
   }
 
+  test("racing appenders both commit via optimistic retry; no lost updates") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val path = freshDir("race")
+    Delta.write(fixture(0, 10), path) // v0 creates the table
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    val futures = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          val df = fixture(100 + i * 50, 150 + i * 50)
+          gate.await()
+          Delta.write(df, path) // all four race for the next version
+        }
+      })
+    }
+    gate.countDown()
+    val versions = futures.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions.toSet.size == 4, s"each writer needs its own version, got $versions")
+    assert(versions.toSet == Set(1L, 2L, 3L, 4L))
+    assert(Delta.read(spark, path).count() == 10 + 4 * 50, "no commit may be lost")
+  }
+
   test("errorifexists refuses to write over an existing table") {
     val path = freshDir("eie")
     Delta.write(fixture(0, 5), path)
