@@ -249,13 +249,25 @@ object Tpch {
   def q8(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
     val supNation = tt.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    tt.lineitem
-      .join(tt.part.filter(col("p_type") === "PROMO"), col("l_partkey") === col("p_partkey"))
-      .join(tt.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(tt.customer, col("o_custkey") === col("c_custkey"))
+    // part/orders/customer are FACTS (they scale with the data): pin their
+    // joins to shuffle-merge — the compressed scaled fixture slips each
+    // under the broadcast threshold, and broadcasting a fact is the plan
+    // that dies at 100 TB. Selective dims (nation/region) broadcast into
+    // customer first so the customer⋈orders shuffle carries only 1/5 of
+    // customers; lineitem is bloom-pruned to promo parts before its first
+    // shuffle (p_type=PROMO keeps ~1/5 of parts).
+    val partPromo = tt.part.filter(col("p_type") === "PROMO")
+    val custEur = tt.customer
       .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(tt.region), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "EUROPE")
+      .select("c_custkey")
+    val li = graft.ops.Prune.bloomSemiPrefilter(
+      tt.lineitem, "l_partkey", partPromo.select("p_partkey"), "p_partkey")
+    li
+      .join(partPromo.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
+      .join(tt.orders.hint("shuffle_merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(custEur.hint("shuffle_merge"), col("o_custkey") === col("c_custkey"))
       .join(tt.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(supNation), col("s_nationkey") === col("s_nk"))
       .withColumn("o_year", year(col("o_orderdate")).cast("long"))
@@ -288,11 +300,17 @@ object Tpch {
     * and year; cost proxied by 10% of retail price. */
   def q9(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    tt.lineitem
-      .join(tt.part.filter(col("p_name").contains("red")), col("l_partkey") === col("p_partkey"))
+    // same fact-join discipline as q8: part and orders scale with the
+    // data — shuffle-merge, never broadcast; lineitem bloom-pruned to
+    // the 'red' parts before its first shuffle.
+    val partRed = tt.part.filter(col("p_name").contains("red"))
+    val li = graft.ops.Prune.bloomSemiPrefilter(
+      tt.lineitem, "l_partkey", partRed.select("p_partkey"), "p_partkey")
+    li
+      .join(partRed.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
       .join(tt.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(tt.nation), col("s_nationkey") === col("n_nationkey"))
-      .join(tt.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(tt.orders.hint("shuffle_merge"), col("l_orderkey") === col("o_orderkey"))
       .withColumn("o_year", year(col("o_orderdate")).cast("long"))
       .withColumn("amount",
         col("l_extendedprice") * (lit(1) - col("l_discount")) -

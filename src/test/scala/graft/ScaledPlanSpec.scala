@@ -49,11 +49,25 @@ class ScaledPlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), s"customer⋈orders must shuffle:\n$p")
   }
 
-  test("q4/q5/q7 carry the bloom semi-prefilter on their fact scan side") {
-    for (q <- Seq("q4", "q5", "q7")) {
+  test("q4/q5/q7/q8/q9 carry the bloom semi-prefilter on their fact scan side") {
+    for (q <- Seq("q4", "q5", "q7", "q8", "q9")) {
       val p = plan(q)
       assert(p.contains("UDF"),
         s"$q: expected the bloom mightContain filter in the plan:\n$p")
+    }
+  }
+
+  test("q8/q9 never broadcast their fact tables (orders/customer/part)") {
+    // all three scale with the data; the compressed fixture slips each
+    // under the broadcast threshold, so the shuffle-merge hints must hold
+    for (q <- Seq("q8", "q9")) {
+      val p = plan(q)
+      assert(p.contains("SortMergeJoin"), s"$q: fact joins must shuffle:\n$p")
+      val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+      // q8: nation, region, supNation, supplier-side allowance; q9: nation
+      // (+ AQE-chosen supplier). The fact tables joined above them would
+      // each add one more — cap well below that.
+      assert(broadcasts <= 4, s"$q: too many broadcasts ($broadcasts) — a fact slipped in:\n$p")
     }
   }
 
