@@ -87,7 +87,10 @@ object Tpch {
     val oF = graft.ops.Prune.bloomSemiPrefilter(
       tt.orders.filter(col("o_orderdate") < cutoff), "o_custkey",
       cF.select("c_custkey"), "c_custkey")
-    cF
+    // customer scales with the data — even reduced to keys it must not
+    // be broadcast (the bloom above already did the cheap reduction);
+    // pin the exact join to shuffle-merge like q5/q8/q9
+    cF.hint("shuffle_merge")
       .join(oF, col("c_custkey") === col("o_custkey"))
       .join(tt.lineitem, col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > cutoff)
@@ -343,8 +346,10 @@ object Tpch {
     val li = graft.ops.Prune.bloomSemiPrefilter(
       tt.lineitem.filter(col("l_returnflag") === "R"), "l_orderkey",
       o.select("o_orderkey"), "o_orderkey")
+    // the quarter's orders scale with the data too: shuffle-merge, not
+    // broadcast (same fact discipline as q3/q5/q8/q9)
     tt.customer
-      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(o.hint("shuffle_merge"), col("c_custkey") === col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))

@@ -28,9 +28,10 @@ class ScaledPlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && p.contains("partial_sum"))
   }
 
-  test("q3 keeps the broadcast dim join and top-k operator at bench scale") {
+  test("q3 keeps the top-k operator at bench scale") {
+    // q3 joins three FACTS and no dim — since round 4 nothing in it may
+    // broadcast; the top-10 must still be TakeOrderedAndProject
     val p = plan("q3")
-    assert(p.contains("BroadcastHashJoin"), s"dim join demoted to shuffle:\n$p")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
   }
 
@@ -57,16 +58,16 @@ class ScaledPlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q8/q9 never broadcast their fact tables (orders/customer/part)") {
-    // all three scale with the data; the compressed fixture slips each
-    // under the broadcast threshold, so the shuffle-merge hints must hold
-    for (q <- Seq("q8", "q9")) {
+  test("q3/q8/q9/q10 never broadcast their fact tables") {
+    // part/orders/customer all scale with the data; the compressed
+    // fixture slips each under the broadcast threshold, so the
+    // shuffle-merge hints must hold
+    for (q <- Seq("q3", "q8", "q9", "q10")) {
       val p = plan(q)
       assert(p.contains("SortMergeJoin"), s"$q: fact joins must shuffle:\n$p")
       val broadcasts = "BroadcastExchange".r.findAllIn(p).size
-      // q8: nation, region, supNation, supplier-side allowance; q9: nation
-      // (+ AQE-chosen supplier). The fact tables joined above them would
-      // each add one more — cap well below that.
+      // remaining broadcasts are true dims (nation/region/supNation) plus
+      // an AQE supplier allowance; a broadcast fact would push past this
       assert(broadcasts <= 4, s"$q: too many broadcasts ($broadcasts) — a fact slipped in:\n$p")
     }
   }
