@@ -192,6 +192,9 @@ object implicits {
       ops.Dedup.minhashLshPairs(df, idCol, textCol, shingleN, k, bandRows, threshold)
 
     /** Exact n-gram jaccard near-dup pairs (inverted index). */
+    def decontaminate(evalSet: DataFrame, textCol: String,
+        evalTextCol: String, n: Int = 13): DataFrame =
+      ops.Dedup.decontaminate(df, textCol, evalSet, evalTextCol, n)
     def ngramDedup(idCol: String, textCol: String, n: Int = 3,
         threshold: Double = 0.8): DataFrame =
       ops.Dedup.ngramJaccardPairs(df, idCol, textCol, n, threshold)

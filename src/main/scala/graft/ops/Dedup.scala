@@ -29,6 +29,44 @@ object Dedup {
       x => x.isNotNull)
   }
 
+  /** Benchmark decontamination (the training-data hygiene companion to
+    * dedup, cf. GPT-3/Llama data cards: drop any training document that
+    * shares an n-gram — canonically a 13-gram — with an evaluation set).
+    *
+    * Scale shape (same contract as [[graft.ops.Prune]]): the eval set is
+    * tiny next to the corpus, so its distinct hashed n-grams are
+    * collected into one broadcast Set (benchmarks are ~10k docs → a few
+    * million longs, tens of MB); every corpus document then streams
+    * through a map-side membership probe — the corpus is never shuffled,
+    * never exploded, never self-joined, and drops rows at the scan.
+    * Grams are xxhash64'd so the broadcast moves 8-byte longs, not
+    * 13-word strings. Texts are normalized (lowercase, collapsed
+    * whitespace) so formatting differences don't mask contamination.
+    * Exact membership, not a Bloom filter: a false positive here would
+    * silently delete clean training documents. Returns surviving rows.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      textCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      n: Int = 13): DataFrame = {
+    def norm(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(lower(c), "\\s+", " "))
+    def gramHashes(c: org.apache.spark.sql.Column) =
+      transform(shingles(norm(c), n), g => xxhash64(g))
+    val evalGrams: Array[Long] = evalSet
+      .select(explode(gramHashes(col(evalTextCol))).as("g"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val bc = corpus.sparkSession.sparkContext.broadcast(evalGrams.toSet)
+    val clean = udf { grams: Seq[Long] =>
+      val s = bc.value
+      grams == null || !grams.exists(s.contains)
+    }
+    corpus.filter(clean(gramHashes(col(textCol))))
+  }
+
   /** Exact dedup: keep the first row (min of `keepBy`) per duplicate group
     * — plain hash groupBy, fully distributed. */
   def exact(df: DataFrame, dupCols: Seq[String], keepBy: String): DataFrame = {

@@ -26,6 +26,38 @@ object Pipeline {
   val dedupExactSql =
     "SELECT doc_id FROM documents ORDER BY doc_id"
 
+  /** Benchmark decontamination (ops/Dedup.decontaminate): drop corpus
+    * documents sharing any normalized 3-gram with a small "eval set"
+    * (every 97th document); map-side broadcast-set probe, no shuffle. */
+  def dedup_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documents
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") < 2000), "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 3)
+      .agg(count(lit(1)).as("n_clean"), sum("doc_id").as("id_sum"))
+  }
+
+  val dedupDecontaminateSql =
+    """WITH corp AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents WHERE doc_id < 2000),
+      |ev AS (
+      |  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |cg AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g FROM (
+      |    SELECT doc_id, toks,
+      |      unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+      |    FROM corp)),
+      |eg AS (
+      |  SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS g FROM (
+      |    SELECT toks,
+      |      unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+      |    FROM ev)),
+      |dirty AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (g))
+      |SELECT count(*) AS n_clean, sum(doc_id) AS id_sum
+      |FROM corp WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin
+
   // ---- dedup: n-gram jaccard (exact inverted-index pipeline) ----
   def dedup_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir).documents, "doc_id", "text", n = 3, threshold = 0.2)
@@ -371,6 +403,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> (dedup_exact _),
+    "dedup_decontaminate" -> (dedup_decontaminate _),
     "dedup_ngram_jaccard" -> (dedup_ngram_jaccard _),
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
     "dedup_simhash" -> (dedup_simhash _),
@@ -392,6 +425,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -101,4 +101,24 @@ class SkewClusterSpec extends AnyFunSuite {
       .select(countDistinct("s")).head().getLong(0)
     assert(nPartials > 1, s"identical rows must still spread, got $nPartials buckets")
   }
+
+  test("decontaminate drops exactly the n-gram-overlapping docs, map-side") {
+    val evalSet = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "a corpus document about Spark joins and shuffles entirely"),
+      // shares the 5-gram "quick brown fox jumps over" (case/space differ)
+      (11L, "she saw THE   Quick Brown FOX jumps over something else"),
+      (12L, "another clean training document with plenty of words inside"),
+      // verbatim eval sentence embedded mid-document
+      (13L, "prefix pack my box with five dozen liquor jugs suffix")).toDF("id", "text")
+    val out = graft.ops.Dedup.decontaminate(corpus, "text", evalSet, "text", n = 5)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(10L, 12L))
+    // scale shape: the corpus side is a pure scan+filter — no shuffle,
+    // no explode, no join operator in the probe plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"corpus probe must be map-side:\n$plan")
+    assert(!plan.contains("Generate"), s"corpus must not be exploded:\n$plan")
+  }
 }
