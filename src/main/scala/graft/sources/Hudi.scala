@@ -205,6 +205,33 @@ object Hudi {
     instant
   }
 
+  /** Physically delete file slices no longer visible to the latest
+    * snapshot (Hudi's cleaner with KEEP_LATEST_COMMITS=1 semantics).
+    * Time travel to cleaned instants stops resolving those slices.
+    * Returns the number of files deleted. */
+  def clean(tablePath: String): Int = {
+    val tl = timeline(tablePath)
+    val live = tl.slices.map(_.relPath).toSet
+    // every file any commit ever wrote, minus the live set
+    var deleted = 0
+    tl.completedInstants.foreach { instant =>
+      val dir = hoodieDir(tablePath)
+      val f = Seq("commit", "replacecommit").map(a => dir.resolve(s"$instant.$a"))
+        .find(Files.exists(_)).get
+      val node = mapper.readTree(Files.readAllBytes(f))
+      Option(node.get("partitionToWriteStats")).foreach { pw =>
+        pw.properties().asScala.foreach { e =>
+          e.getValue.elements().asScala.foreach { stat =>
+            val p = stat.get("path").asText
+            if (!live.contains(p) && Files.deleteIfExists(Paths.get(tablePath, p)))
+              deleted += 1
+          }
+        }
+      }
+    }
+    deleted
+  }
+
   private def partitionPathOf(relPath: String): String = {
     val i = relPath.lastIndexOf('/')
     if (i < 0) "" else relPath.substring(0, i)

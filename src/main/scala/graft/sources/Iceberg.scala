@@ -276,6 +276,39 @@ object Iceberg {
   private def relativize(tablePath: String, abs: String): String =
     if (abs.startsWith(tablePath + "/")) abs.substring(tablePath.length + 1) else abs
 
+  /** Expire all snapshots except the current one and physically delete
+    * data files only the expired snapshots referenced (the spec's
+    * expire_snapshots maintenance op; time travel to expired ids stops
+    * working — that is its documented contract). Returns the number of
+    * data files deleted. */
+  def expireSnapshots(tablePath: String): Int = {
+    val meta = readMetadata(tablePath)
+    val current = meta.get("current-snapshot-id").asLong
+    val live = state(tablePath).files.map(_.path).toSet
+    val expired = meta.get("snapshots").elements().asScala
+      .filter(_.get("snapshot-id").asLong != current).toSeq
+    // delete data files referenced by expired snapshots but not live
+    var deleted = 0
+    expired.foreach { sn =>
+      val st = state(tablePath, Some(sn.get("snapshot-id").asLong))
+      st.files.map(_.path).filterNot(live).foreach { p =>
+        if (Files.deleteIfExists(Paths.get(p))) deleted += 1
+      }
+    }
+    // rewrite metadata keeping only the current snapshot
+    val om = mapper
+    val root = meta.deepCopy[JsonNode]().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = root.putArray("snapshots")
+    meta.get("snapshots").elements().asScala
+      .filter(_.get("snapshot-id").asLong == current).foreach(snaps.add)
+    val hint = metadataDir(tablePath).resolve("version-hint.text")
+    val next = new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt + 1
+    Files.write(metadataDir(tablePath).resolve(s"v$next.metadata.json"),
+      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    Files.write(hint, next.toString.getBytes(StandardCharsets.UTF_8))
+    deleted
+  }
+
   // ------------------------------------------------------- avro structures
 
   private def partitionAvroSchema(partCols: Seq[String], types: Map[String, DataType]): String =

@@ -67,6 +67,17 @@ class HudiSpec extends AnyFunSuite {
     assert(Hudi.read(spark, path).count() == 50)
   }
 
+  test("clean deletes replaced file slices; snapshot intact") {
+    val path = freshDir("clean")
+    Hudi.write(fixture(0, 100), path)
+    Hudi.write(fixture(100, 150), path)
+    Hudi.write(fixture(0, 30), path, mode = "overwrite")
+    val deleted = Hudi.clean(path)
+    assert(deleted >= 2, s"replaced slices should be deleted, got $deleted")
+    assert(Hudi.read(spark, path).count() == 30)
+    assert(Hudi.clean(path) == 0, "second clean finds nothing")
+  }
+
   test("merge-on-read tables are rejected, not misread") {
     val path = freshDir("mor")
     Hudi.write(fixture(0, 10), path)

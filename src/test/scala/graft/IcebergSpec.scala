@@ -90,6 +90,19 @@ class IcebergSpec extends AnyFunSuite {
     assert(back == schema)
   }
 
+  test("expireSnapshots deletes only overwritten files; current snapshot intact") {
+    val path = freshDir("expire")
+    Iceberg.write(fixture(0, 100), path)
+    Iceberg.write(fixture(100, 150), path)
+    Iceberg.write(fixture(0, 20), path, mode = "overwrite")
+    val deleted = Iceberg.expireSnapshots(path)
+    assert(deleted >= 2, s"the two overwritten snapshots' files should go, got $deleted")
+    assert(Iceberg.read(spark, path).count() == 20)
+    assert(Iceberg.state(path).files.forall(f => Files.exists(Paths.get(f.path))))
+    // expired ids are gone from the metadata
+    intercept[RuntimeException](Iceberg.read(spark, path, snapshotId = Some(0L)))
+  }
+
   test("rejects v2 delete files instead of silently misreading") {
     val path = freshDir("deletes")
     Iceberg.write(fixture(0, 10), path)
