@@ -199,6 +199,58 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    * public recipe): k-means over L2-normalized embeddings bounds the
+    * pairwise search to WITHIN each cluster, where pairs with cosine ≥
+    * `threshold` are near-duplicates. Cross-cluster pairs are sacrificed
+    * by design — the published approximation that makes web-scale corpora
+    * tractable (O(Σ cluster²) instead of O(n²)).
+    *
+    * Scale shape: centroids broadcast, cell assignment is a map pass
+    * (argmin over the centroid table, no crossJoin/window), then ONE
+    * shuffle on cell for the intra-cluster equi-join; exact cosine
+    * verifies every emitted pair, so precision is 1 — only recall is
+    * approximate. Returns (id_a, id_b, cos_sim), id_a < id_b. */
+  def semanticDedupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nClusters: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    def l2norm(v: org.apache.spark.sql.Column) =
+      transform(v, x => x.cast("double") / GDist.norm(v))
+    val train = vecs.select(array_to_vector(l2norm(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10).fit(train)
+    val cents = model.clusterCenters.map(_.toArray)
+    val bc = vecs.sparkSession.sparkContext.broadcast(cents)
+    val cellOf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      var inv = 0.0
+      var j = 0
+      while (j < v.length) { inv += v(j).toDouble * v(j); j += 1 }
+      inv = 1.0 / math.max(math.sqrt(inv), 1e-12)
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cent = cs(c)
+        while (i < cent.length) {
+          val diff = v(i) * inv - cent(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val withCell = vecs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", cellOf(col("v")))
+    val a = withCell.select(col("id").as("id_a"), col("v").as("va"), col("cell"))
+    val b = withCell.select(col("id").as("id_b"), col("v").as("vb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", GDist.cosineSimilarityNative(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Embedding cosine near-dup, blocked: random-hyperplane LSH
     * (sign-pattern banding over `k` fixed Gaussian hyperplanes) generates
     * candidates via a bucket equi-join, then exact cosine verifies — the

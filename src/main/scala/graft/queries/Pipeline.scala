@@ -141,6 +141,28 @@ object Pipeline {
       |  CAST(1.0 AS DOUBLE) AS cos_sim
       |FROM embeddings ORDER BY id_a""".stripMargin
 
+  /** SemDeDup-style semantic dedup (ops/Dedup.semanticDedupPairs):
+    * k-means clustering bounds the pairwise search; planted
+    * direction-preserved copies (cosine exactly 1) must land in their
+    * original's cluster, so at threshold 0.9 the output is exactly the
+    * planted pairs — deterministic despite the approximate blocking. */
+  def dedup_semantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    val scaled = e
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding", transform(col("embedding"), x => (x * lit(2.0f)).cast("float")))
+    val corpus = e.unionByName(scaled)
+    Dedup.semanticDedupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, nClusters = 8)
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupSemanticSql =
+    """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+      |  CAST(1.0 AS DOUBLE) AS cos_sim
+      |FROM embeddings ORDER BY id_a""".stripMargin
+
   // ---- dedup: connected-components cluster assignment ----
   /** Transitive closure over candidate pairs — near-dup similarity is not
     * transitive, so keep-one-per-group needs components, not pairs. The
@@ -409,6 +431,7 @@ object Pipeline {
     "dedup_simhash" -> (dedup_simhash _),
     "dedup_embedding_cosine" -> (dedup_embedding_cosine _),
     "dedup_embedding_lsh" -> (dedup_embedding_lsh _),
+    "dedup_semantic" -> (dedup_semantic _),
     "dedup_clusters" -> (dedup_clusters _),
     "dedup_pipeline" -> (dedup_pipeline _),
     "text_pii_scrub" -> (text_pii_scrub _),
@@ -430,6 +453,7 @@ object Pipeline {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_pipeline" -> dedupPipelineSql,
