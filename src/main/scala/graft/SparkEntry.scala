@@ -16,6 +16,7 @@ object SparkEntry {
   def queries: Map[String, Q] =
     graft.queries.Tpch.queries ++
     graft.queries.Tpch2.queries ++
+    graft.queries.ClickBench.queries ++
     graft.queries.Relational.queries ++
     graft.queries.Aggregates.queries ++
     graft.queries.Windows.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Tpch.oracle ++
     graft.queries.Tpch2.oracle ++
+    graft.queries.ClickBench.oracle ++
     graft.queries.Relational.oracle ++
     graft.queries.Aggregates.oracle ++
     graft.queries.Windows.oracle ++
