@@ -95,7 +95,7 @@ object Audio {
     require(clip.channels == 1, "resample expects mono")
     require(targetRate > 0, s"bad target rate $targetRate")
     if (targetRate == clip.sampleRate || clip.samples.isEmpty)
-      return clip.copy(sampleRate = targetRate.min(clip.sampleRate))
+      return clip.copy(sampleRate = targetRate)
     val ratio = clip.sampleRate / targetRate
     val outLen = math.max(1, math.round(clip.samples.length / ratio).toInt)
     val out = Array.tabulate(outLen) { i =>

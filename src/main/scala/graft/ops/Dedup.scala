@@ -42,8 +42,10 @@ object Dedup {
     * Grams are xxhash64'd so the broadcast moves 8-byte longs, not
     * 13-word strings. Texts are normalized (lowercase, collapsed
     * whitespace) so formatting differences don't mask contamination.
-    * Exact membership, not a Bloom filter: a false positive here would
-    * silently delete clean training documents. Returns surviving rows.
+    * Exact set membership, not a Bloom filter, because a false positive
+    * silently deletes clean training documents — the only residual FP
+    * source is a 64-bit gram-hash collision (~n²/2⁶⁵, negligible at any
+    * eval-set size). Returns surviving rows.
     */
   def decontaminate(
       corpus: DataFrame,

@@ -22,15 +22,23 @@ object Process {
           if (shell) Seq("/bin/sh", "-c", argv.mkString(" "))
           else argv
         val pb = new ProcessBuilder(tokens: _*)
-        // Merge stderr into stdout: without this a command writing more
-        // than the OS pipe buffer (~64KB) to stderr blocks, and
-        // readAllBytes() on stdout never reaches EOF → the task hangs.
-        pb.redirectErrorStream(true)
         val p = pb.start()
         p.getOutputStream.close()
+        // Drain stderr on its own thread: a command writing more than the
+        // OS pipe buffer (~64KB) there would otherwise block, and stdout
+        // never reaches EOF → the task hangs. Kept SEPARATE from stdout —
+        // merging would interleave diagnostics into the data column.
+        val errBuf = new java.io.ByteArrayOutputStream()
+        val drainer = new Thread(() => p.getErrorStream.transferTo(errBuf))
+        drainer.setDaemon(true)
+        drainer.start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
         val code = p.waitFor()
-        if (code != 0) throw new RuntimeException(s"process exited $code: $tokens")
+        drainer.join(10000)
+        if (code != 0) {
+          val err = errBuf.toString("UTF-8").take(4096)
+          throw new RuntimeException(s"process exited $code: $tokens; stderr: $err")
+        }
         Some(out)
       } catch {
         case e: Exception =>

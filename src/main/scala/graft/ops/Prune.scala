@@ -24,12 +24,16 @@ object Prune {
       bigKey: String, smallKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val spark = big.sparkSession
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    // key-type agnostic, same as bloomSemiPrefilter: hash both sides —
+    // inserting raw values while probing a cast-to-long would silently
+    // drop every string/decimal-keyed row
+    val bf = small.select(xxhash64(col(smallKey)).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val mightContain = udf { (k: java.lang.Long) =>
       k != null && bc.value.mightContainLong(k)
     }
-    big.filter(mightContain(col(bigKey).cast("long")))
+    big.filter(col(bigKey).isNotNull && mightContain(xxhash64(col(bigKey))))
       .join(small, big(bigKey) === small(smallKey))
   }
 

@@ -43,6 +43,8 @@ object Video {
       val p = fileRow.getString(0)
       val local = if (p.startsWith("file:")) Paths.get(new java.net.URI(p)) else Paths.get(p)
       val in = new BufferedInputStream(Files.newInputStream(local), 1 << 16)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
       parseFrames(in, everyNth).map { case (idx, bytes) => Row(p, idx, bytes) }
     }(enc)
   }

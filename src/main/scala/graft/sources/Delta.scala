@@ -86,15 +86,18 @@ object Delta {
   def latestVersion(tablePath: String): Long = {
     val dir = logDir(tablePath)
     if (!Files.isDirectory(dir)) return -1L
-    val versions = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect {
-        case n if n.endsWith(".json") && n.length == 25 =>
-          n.stripSuffix(".json").toLong
-        case n if n.endsWith(".checkpoint.parquet") =>
-          n.stripSuffix(".checkpoint.parquet").toLong
-      }
-      .toSeq
+    val stream = Files.list(dir)
+    val versions =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect {
+          case n if n.endsWith(".json") && n.length == 25 =>
+            n.stripSuffix(".json").toLong
+          case n if n.endsWith(".checkpoint.parquet") =>
+            n.stripSuffix(".checkpoint.parquet").toLong
+        }
+        .toSeq
+      finally stream.close()
     if (versions.isEmpty) -1L else versions.max
   }
 
@@ -228,7 +231,7 @@ object Delta {
     PartitionedFiles.readWithPartitions(
       spark, snap.schema, snap.partitionColumns,
       live.map(f => absolutePath(snap.tablePath, f.path)),
-      live.map(f => java.net.URLDecoder.decode(f.path, "UTF-8") -> f.partitionValues))
+      live.map(_.partitionValues))
   }
 
   private def absolutePath(tablePath: String, rel: String): String = {
@@ -271,8 +274,12 @@ object Delta {
     // 1. data files: stage through a scratch dir (hive-layout for
     //    partitioned writes), then move parts into the table layout.
     val now = System.currentTimeMillis()
+    // add.path is percent-encoded per the spec ("relative path, encoded
+    // as a URL") so readers' decode restores the on-disk literal even
+    // for partition values containing '%', '+', spaces, or non-ASCII
     val added = PartitionedFiles.stageAndMove(df, tablePath, partCols)
-      .map(f => AddFile(f.relPath, f.partitionValues, f.sizeBytes, now))
+      .map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
+        f.partitionValues, f.sizeBytes, now))
 
     // 2. publish the commit, retrying on version races.
     var attempt = math.max(existing, -1L) + 1
@@ -369,7 +376,8 @@ object Delta {
       val slice = readSnapshot(spark, snap.copy(files = files))
         .coalesce(n)
       PartitionedFiles.stageAndMove(slice, tablePath, snap.partitionColumns)
-        .map(f => AddFile(f.relPath, f.partitionValues, f.sizeBytes, now))
+        .map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
+          f.partitionValues, f.sizeBytes, now))
     }
 
     val om = mapper
@@ -402,7 +410,18 @@ object Delta {
       Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
       try { Files.move(tmp, commitFile(tablePath, attempt)); committed = attempt }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
-        Files.delete(tmp); attempt += 1
+        Files.delete(tmp)
+        // conflict check: if a concurrent commit removed any file this
+        // compaction rewrote, publishing would resurrect overwritten
+        // rows — abort instead (compaction is only an optimization)
+        val latest = snapshot(spark, tablePath)
+        val stillLive = latest.files.map(_.path).toSet
+        if (!removed.forall(f => stillLive.contains(f.path))) {
+          added.foreach(a =>
+            Files.deleteIfExists(Paths.get(absolutePath(tablePath, a.path))))
+          return latest.version
+        }
+        attempt = latest.version + 1
       }
     }
     committed
@@ -411,16 +430,24 @@ object Delta {
   /** Physically delete data files no longer referenced by the CURRENT
     * snapshot (the VACUUM operation). Time travel to versions whose
     * files were vacuumed stops working — that is vacuum's documented
-    * contract. Returns the number of files deleted. */
-  def vacuum(spark: SparkSession, tablePath: String): Int = {
+    * contract. `retainMillis` (default 7 days, like production Delta)
+    * protects files an in-flight writer has landed but not yet
+    * committed: only unreferenced files OLDER than the window are
+    * deleted, and active `.staging-*` dirs are never touched. Returns
+    * the number of files deleted. */
+  def vacuum(spark: SparkSession, tablePath: String,
+      retainMillis: Long = 7L * 24 * 3600 * 1000): Int = {
     val live: Set[String] = snapshot(spark, tablePath).files
       .map(f => Paths.get(absolutePath(tablePath, f.path)).normalize.toString).toSet
     val root = Paths.get(tablePath)
+    val cutoff = System.currentTimeMillis() - math.max(retainMillis, 0L)
     var deleted = 0
     Files.walk(root).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .filterNot(_.startsWith(root.resolve("_delta_log")))
+      .filterNot(p => p.iterator().asScala.exists(_.toString.startsWith(".staging-")))
       .filterNot(p => live.contains(p.normalize.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .foreach { p => Files.delete(p); deleted += 1 }
     deleted
   }

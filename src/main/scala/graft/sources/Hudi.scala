@@ -73,14 +73,17 @@ object Hudi {
 
     // completed commits: <instant>.commit / <instant>.replacecommit present
     // (requested/inflight-only instants are invisible)
-    val commits = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect {
-        case n if n.endsWith(".commit") => (n.stripSuffix(".commit"), "commit")
-        case n if n.endsWith(".replacecommit") => (n.stripSuffix(".replacecommit"), "replacecommit")
-      }
-      .filter { case (t, _) => asOfInstant.forall(t <= _) }
-      .toSeq.sortBy(_._1)
+    val listing = Files.list(dir)
+    val commits =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect {
+          case n if n.endsWith(".commit") => (n.stripSuffix(".commit"), "commit")
+          case n if n.endsWith(".replacecommit") => (n.stripSuffix(".replacecommit"), "replacecommit")
+        }
+        .filter { case (t, _) => asOfInstant.forall(t <= _) }
+        .toSeq.sortBy(_._1)
+      finally listing.close()
 
     var groups = Map.empty[(String, String), FileSlice] // (partition, fileId) -> latest slice
     commits.foreach { case (instant, action) =>
@@ -127,14 +130,15 @@ object Hudi {
     PartitionedFiles.readWithPartitions(
       spark, tl.schema, tl.partitionColumns,
       live.map(s => s"$tablePath/${s.relPath}"),
-      live.map(s => s.relPath -> partitionValues(tl, s.partitionPath)))
+      live.map(s => partitionValues(tl, s.partitionPath)))
   }
 
   private def partitionValues(tl: Timeline, partitionPath: String): Map[String, String] =
     if (partitionPath.isEmpty || tl.partitionColumns.isEmpty) Map.empty
     else partitionPath.split('/').map { seg =>
       val Array(k, v) = seg.split("=", 2)
-      k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else java.net.URLDecoder.decode(v, "UTF-8"))
+      k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
     }.toMap
 
   /** Write a commit. `mode` `"append"` adds new file groups;
@@ -150,7 +154,13 @@ object Hudi {
     val dir = hoodieDir(tablePath)
     val exists = Files.exists(dir.resolve("hoodie.properties"))
     val prior = if (exists) Some(timeline(tablePath)) else None
-    val partCols = prior.map(_.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
+    val partCols = prior match {
+      case Some(tl) =>
+        require(partitionBy.isEmpty || partitionBy == tl.partitionColumns,
+          s"partitionBy $partitionBy does not match table partitioning ${tl.partitionColumns}")
+        tl.partitionColumns
+      case None => partitionBy
+    }
     // both modes: the table schema lives in hoodie.properties, written
     // once at create — overwrite replaces data, not schema
     prior.foreach(tl =>

@@ -153,7 +153,7 @@ object Iceberg {
     val live = st.files.filter(f => partitionFilter(f.partition))
     PartitionedFiles.readWithPartitions(
       spark, st.schema, st.partitionFields,
-      live.map(_.path), live.map(f => f.path -> f.partition))
+      live.map(_.path), live.map(_.partition))
   }
 
   private def resolve(tablePath: String, p: String): String =
@@ -189,7 +189,13 @@ object Iceberg {
           Some(state(tablePath)) else None
         Some(m -> st.getOrElse(TableState(tablePath, -1, df.schema, partitionBy, Nil)))
       } else None
-    val partCols = prior.map(_._2.partitionFields).filter(_.nonEmpty).getOrElse(partitionBy)
+    val partCols = prior match {
+      case Some((_, st)) =>
+        require(partitionBy.isEmpty || partitionBy == st.partitionFields,
+          s"partitionBy $partitionBy does not match table partitioning ${st.partitionFields}")
+        st.partitionFields
+      case None => partitionBy
+    }
     if (mode == "append") prior.foreach { case (_, st) =>
       PartitionedFiles.requireSameSchema(st.schema, df.schema, s"iceberg append to $tablePath")
     }

@@ -68,6 +68,10 @@ object Mcap {
       val p = fileRow.getString(0)
       val local = if (p.startsWith("file:")) Paths.get(new java.net.URI(p)) else Paths.get(p)
       val in = new BufferedInputStream(Files.newInputStream(local), 1 << 16)
+      // close on task end regardless of iterator consumption — a limit()
+      // that abandons the iterator mid-file must not leak the fd
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
       parseStream(in, topicSet, startTime, endTime)
     }(enc)
   }
@@ -319,11 +323,19 @@ object Mcap {
   }
 
   /** Serialize one record: opcode, u64le content length, content. The
-    * builder writes into a conservatively-sized buffer (256B + payload). */
+    * builder starts from a conservatively-sized buffer (256B + payload)
+    * and grows on demand — a Channel record with a long topic string
+    * must not overflow a fixed buffer. */
   private def writeRecord(out: java.io.OutputStream, op: Int,
       fill: ByteBuffer => Unit, extra: Int = 0): Unit = {
-    val b = ByteBuffer.allocate(256 + extra).order(ByteOrder.LITTLE_ENDIAN)
-    fill(b)
+    var cap = 256 + extra
+    var b: ByteBuffer = null
+    var done = false
+    while (!done) {
+      b = ByteBuffer.allocate(cap).order(ByteOrder.LITTLE_ENDIAN)
+      try { fill(b); done = true }
+      catch { case _: java.nio.BufferOverflowException => cap *= 2 }
+    }
     val content = java.util.Arrays.copyOf(b.array(), b.position())
     val hdr = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
     hdr.put(op.toByte)

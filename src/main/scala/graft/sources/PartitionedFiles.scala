@@ -63,8 +63,10 @@ private[graft] object PartitionedFiles {
           case "" => Map.empty
           case s => s.split('/').map { seg =>
             val Array(k, v) = seg.split("=", 2)
+            // Catalyst's unescape is the exact inverse of partitionBy's
+            // dir-name escaping (URLDecoder would corrupt '+' to space)
             k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
-                  else java.net.URLDecoder.decode(v, "UTF-8"))
+                  else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
           }.toMap
         }
         val prefix = if (subDir.isEmpty) "" else subDir + "/"
@@ -80,14 +82,20 @@ private[graft] object PartitionedFiles {
   }
 
   /** One scan over `paths` (schema = table schema minus partition
-    * columns), with partition columns re-attached from `filePv` (keyed by
-    * table-relative path, values as strings cast to the schema type). */
+    * columns), with partition columns re-attached from `filePv` (one
+    * entry per path, same order, values as strings cast to the schema
+    * type). The join key is the tail of the ABSOLUTE path (one segment
+    * more than the partition depth), which works for hive layouts and
+    * flat/foreign layouts alike — a file at the table root still has
+    * enough absolute segments to key on. The scan-side `file_path` is
+    * URI-encoded; when any path needs it, both sides key on the decoded
+    * form (pure %XX decode — URI '+' is a literal, unlike forms). */
   def readWithPartitions(
       spark: SparkSession,
       schema: StructType,
       partitionColumns: Seq[String],
       paths: Seq[String],
-      filePv: Seq[(String, Map[String, String])]): DataFrame = {
+      filePv: Seq[Map[String, String]]): DataFrame = {
     val ordered: Seq[Column] = schema.map(f => col(f.name))
     if (paths.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -96,23 +104,56 @@ private[graft] object PartitionedFiles {
       return spark.read.schema(dataSchema).parquet(paths: _*).select(ordered: _*)
 
     val segs = partitionColumns.size + 1
+    def tailKey(p: String): String = p.split('/').takeRight(segs).mkString("/")
     val pvSchema = StructType(
       StructField("__graft_file", StringType) +:
         partitionColumns.map(c => StructField(s"__pv_$c", StringType)).toSeq)
-    val pvRows = filePv.map { case (rel, pv) =>
-      val key = rel.split('/').takeRight(segs).mkString("/")
-      Row.fromSeq(key +: partitionColumns.map(c => pv.getOrElse(c, null)))
+    val pvRows = paths.zip(filePv).map { case (p, pv) =>
+      Row.fromSeq(tailKey(p) +: partitionColumns.map(c => pv.getOrElse(c, null)))
     }
     val pvDf = spark.createDataFrame(spark.sparkContext.parallelize(pvRows, 1), pvSchema)
     val byName = schema.map(f => f.name -> f).toMap
+    val rawKey =
+      array_join(slice(split(col("_metadata.file_path"), "/"), -segs, segs), "/")
+    val needsDecode = paths.exists(p => p.exists(c => c == '%' || c == ' ' || c > 126))
+    val scanKey = if (needsDecode) percentDecodeUdf(rawKey) else rawKey
     val data = spark.read.schema(dataSchema).parquet(paths: _*)
-      .withColumn("__graft_file",
-        array_join(slice(split(col("_metadata.file_path"), "/"), -segs, segs), "/"))
+      .withColumn("__graft_file", scanKey)
     val joined = data.join(broadcast(pvDf), Seq("__graft_file"))
     val withParts = partitionColumns.foldLeft(joined) { (df, c) =>
       df.withColumn(c, col(s"__pv_$c").cast(byName(c).dataType))
     }
     withParts.select(ordered: _*)
+  }
+
+  /** Pure percent-decode (%XX → byte, '+' left literal — URI path
+    * semantics, not x-www-form). */
+  private[sources] def percentDecode(s: String): String = {
+    if (!s.contains('%')) return s
+    val bytes = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+      } else { bytes.write(c.toString.getBytes("UTF-8")); i += 1 }
+    }
+    new String(bytes.toByteArray, "UTF-8")
+  }
+
+  private val percentDecodeUdf = udf((s: String) => percentDecode(s))
+
+  /** Percent-encode a table-relative path so that [[percentDecode]] (and
+    * java.net.URLDecoder) restore the on-disk literal: everything outside
+    * unreserved + '/' + '=' is %XX-escaped, including '%' and '+'. */
+  private[sources] def percentEncodePath(p: String): String = {
+    val safe = ((('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')) ++ Seq('-', '_', '.', '~', '/', '=')).toSet
+    val sb = new StringBuilder(p.length)
+    p.getBytes("UTF-8").foreach { b =>
+      val c = (b & 0xff).toChar
+      if (safe(c)) sb.append(c) else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
   }
 
   /** Guard appends: same column names and types (nullability ignored —

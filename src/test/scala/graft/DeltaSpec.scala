@@ -153,10 +153,10 @@ class DeltaSpec extends AnyFunSuite {
     val path = freshDir("vacuum")
     (0 until 3).foreach(i => Delta.write(fixture(i * 30, (i + 1) * 30), path))
     Delta.compact(spark, path)
-    val deleted = Delta.vacuum(spark, path)
+    val deleted = Delta.vacuum(spark, path, retainMillis = 0L)
     assert(deleted >= 3, s"expected the 3+ pre-compaction files gone, got $deleted")
     assert(Delta.read(spark, path).count() == 90)
-    assert(Delta.vacuum(spark, path) == 0, "second vacuum finds nothing")
+    assert(Delta.vacuum(spark, path, retainMillis = 0L) == 0, "second vacuum finds nothing")
   }
 
   test("data-column filters and pruning reach the scan through the reattach join") {
@@ -192,6 +192,19 @@ class DeltaSpec extends AnyFunSuite {
     assert(versions.toSet.size == 4, s"each writer needs its own version, got $versions")
     assert(versions.toSet == Set(1L, 2L, 3L, 4L))
     assert(Delta.read(spark, path).count() == 10 + 4 * 50, "no commit may be lost")
+  }
+
+  test("partition values with spaces/%/+ round-trip through path encoding") {
+    val path = freshDir("specialchars")
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "x%y"), (4L, "p+q"), (5L, "plain"))
+      .toDF("id", "seg")
+    Delta.write(df, path, partitionBy = Seq("seg"))
+    val back = Delta.read(spark, path)
+    assert(back.count() == 5)
+    assert(back.filter(col("seg") === "a b").count() == 2)
+    assert(back.filter(col("seg") === "x%y").agg(sum("id")).head().getLong(0) == 3L)
+    assert(back.filter(col("seg") === "p+q").count() == 1)
   }
 
   test("errorifexists refuses to write over an existing table") {
