@@ -55,7 +55,8 @@ object Delta {
       path: String,
       partitionValues: Map[String, String],
       size: Long,
-      modificationTime: Long)
+      modificationTime: Long,
+      stats: Option[String] = None)
 
   /** Reconstructed table state at a version. `appTxns` is the latest
     * `txn` action version per application id (the spec's idempotent-
@@ -127,8 +128,9 @@ object Delta {
     var schemaString: String = null
     var partitionCols: Seq[String] = Nil
 
-    def applyAdd(path: String, pv: Map[String, String], size: Long, mtime: Long): Unit =
-      adds(path) = AddFile(path, pv, size, mtime)
+    def applyAdd(path: String, pv: Map[String, String], size: Long, mtime: Long,
+        stats: Option[String] = None): Unit =
+      adds(path) = AddFile(path, pv, size, mtime, stats)
     def applyRemove(path: String): Unit = adds.remove(path)
     def applyMeta(schema: String, parts: Seq[String]): Unit = {
       schemaString = schema; partitionCols = parts
@@ -161,8 +163,12 @@ object Delta {
         struct("add").foreach { a =>
           val pv = Option(a.getMap[String, String](a.fieldIndex("partitionValues")))
             .map(_.toMap).getOrElse(Map.empty)
+          val stats =
+            if (a.schema.fieldNames.contains("stats") && !a.isNullAt(a.fieldIndex("stats")))
+              Some(a.getString(a.fieldIndex("stats")))
+            else None
           applyAdd(a.getString(a.fieldIndex("path")), pv,
-            a.getLong(a.fieldIndex("size")), a.getLong(a.fieldIndex("modificationTime")))
+            a.getLong(a.fieldIndex("size")), a.getLong(a.fieldIndex("modificationTime")), stats)
         }
         struct("remove").foreach(r => applyRemove(r.getString(r.fieldIndex("path"))))
         struct("txn").foreach(t =>
@@ -192,7 +198,8 @@ object Delta {
             o.properties().asScala.map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)).toMap
           }.getOrElse(Map.empty[String, String])
           applyAdd(a.get("path").asText, pv, a.get("size").asLong,
-            Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L))
+            Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText))
         }
         if (node.has("remove")) applyRemove(node.get("remove").get("path").asText)
         if (node.has("txn")) {
@@ -213,21 +220,38 @@ object Delta {
     * @param versionAsOf      time travel to this log version
     * @param partitionFilter  planning-time pruning over the log's
     *                         partitionValues — pruned files are never read
+    * @param dataFilter       planning-time file skipping over per-file
+    *                         min/max/nullCount stats ([[DeltaStats.prune]]);
+    *                         ALSO applied as a row filter, so results are
+    *                         identical with or without stats — skipping
+    *                         only changes which files are opened
     */
   def read(
       spark: SparkSession,
       tablePath: String,
       versionAsOf: Option[Long] = None,
-      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
+      partitionFilter: Map[String, String] => Boolean = _ => true,
+      dataFilter: Option[Column] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, versionAsOf)
-    readSnapshot(spark, snap, partitionFilter)
+    val df = readSnapshot(spark, snap, partitionFilter, dataFilter)
+    dataFilter.fold(df)(df.filter)
+  }
+
+  /** The file subset [[read]] would open for `dataFilter` — exposed so
+    * tests (and planners) can assert skipping effectiveness. */
+  def filesForScan(spark: SparkSession, tablePath: String, dataFilter: Column): Seq[AddFile] = {
+    val snap = snapshot(spark, tablePath)
+    DeltaStats.prune(snap.files, dataFilter, snap.schema, snap.partitionColumns)
   }
 
   private[graft] def readSnapshot(
       spark: SparkSession,
       snap: Snapshot,
-      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
-    val live = snap.files.filter(f => partitionFilter(f.partitionValues))
+      partitionFilter: Map[String, String] => Boolean = _ => true,
+      dataFilter: Option[Column] = None): DataFrame = {
+    val partLive = snap.files.filter(f => partitionFilter(f.partitionValues))
+    val live = dataFilter.fold(partLive)(
+      DeltaStats.prune(partLive, _, snap.schema, snap.partitionColumns))
     PartitionedFiles.readWithPartitions(
       spark, snap.schema, snap.partitionColumns,
       live.map(f => absolutePath(snap.tablePath, f.path)),

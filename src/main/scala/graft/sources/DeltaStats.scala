@@ -1,0 +1,321 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics + data skipping for [[Delta]] — the spec's
+  * `add.stats` JSON (`numRecords` / `minValues` / `maxValues` /
+  * `nullCount`, delta.io PROTOCOL.md §Per-file Statistics; ref surface
+  * `daft/io/_delta_lake.py` relies on the same stats for its scan
+  * pruning).
+  *
+  * Scale shape: this is THE mechanism that makes a 100 TB Delta table
+  * queryable — partition pruning cuts whole directories, but file-level
+  * min/max skipping cuts inside a partition, so a point/range query over
+  * a clustered column opens dozens of files instead of tens of
+  * thousands. Stats are collected in ONE distributed pass over the
+  * just-written files (grouped by `_metadata.file_path` — no per-file
+  * jobs), and pruning is driver-side interval arithmetic over the log's
+  * metadata, exactly where production Delta does it (the planner already
+  * owns the file list).
+  *
+  * Pruning is conservative: a file is dropped only when the predicate is
+  * provably false for every row given the file's min/max/nullCount;
+  * anything unrecognized keeps the file. Supported leaves: =, <, <=, >,
+  * >=, <=> , IN, IS NULL, IS NOT NULL, STARTSWITH, under AND/OR/NOT, on
+  * numeric / string / boolean / date / timestamp columns (including
+  * partition columns, whose min = max = the partition value).
+  */
+private[graft] object DeltaStats {
+
+  private def mapper = new ObjectMapper()
+
+  /** Column types whose min/max participate in skipping. */
+  def skippable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _: DecimalType => true
+    case StringType | BooleanType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  // ------------------------------------------------------------ collection
+
+  /** One distributed pass computing per-file stats for every staged file;
+    * returns relPath -> stats JSON. `dataSchema` is the table schema
+    * minus partition columns (what the files actually contain). */
+  def collect(
+      spark: SparkSession,
+      tableRoot: String,
+      files: Seq[PartitionedFiles.StagedFile],
+      dataSchema: StructType): Map[String, String] = {
+    if (files.isEmpty) return Map.empty
+    val statCols = dataSchema.fields.filter(f => skippable(f.dataType)).toSeq
+    val root = java.nio.file.Paths.get(tableRoot).normalize
+    val paths = files.map(f => root.resolve(f.relPath).toString)
+
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +:
+      statCols.flatMap { f =>
+        Seq(
+          min(col(f.name)).as(s"__min_${f.name}"),
+          max(col(f.name)).as(s"__max_${f.name}"),
+          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nc_${f.name}"))
+      }
+    val perFile = spark.read.schema(dataSchema).parquet(paths: _*)
+      .groupBy(col("_metadata.file_path").as("__p"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    perFile.map { row =>
+      val abs = PartitionedFiles.percentDecode(
+        row.getString(0).replaceFirst("^file:(//)?", ""))
+      val rel = root.relativize(java.nio.file.Paths.get(abs).normalize).toString
+      val om = mapper
+      val o = om.createObjectNode()
+      o.put("numRecords", row.getLong(row.fieldIndex("__n")))
+      val mins = o.putObject("minValues")
+      val maxs = o.putObject("maxValues")
+      val ncs = o.putObject("nullCount")
+      statCols.foreach { f =>
+        def putVal(node: com.fasterxml.jackson.databind.node.ObjectNode, v: Any): Unit = v match {
+          case null => ()
+          case b: Boolean => node.put(f.name, b)
+          case b: Byte => node.put(f.name, b.toLong)
+          case s: Short => node.put(f.name, s.toLong)
+          case i: Int => node.put(f.name, i.toLong)
+          case l: Long => node.put(f.name, l)
+          case fl: Float => node.put(f.name, fl.toDouble)
+          case d: Double => node.put(f.name, d)
+          case d: java.math.BigDecimal => node.put(f.name, d)
+          case d: java.sql.Date => node.put(f.name, d.toString)
+          case t: java.sql.Timestamp => node.put(f.name, tsFmt.format(t.toInstant))
+          case s: String => node.put(f.name, s)
+          case other => node.put(f.name, other.toString)
+        }
+        val mi = row.get(row.fieldIndex(s"__min_${f.name}"))
+        val ma = row.get(row.fieldIndex(s"__max_${f.name}"))
+        putVal(mins, mi); putVal(maxs, ma)
+        ncs.put(f.name, row.getLong(row.fieldIndex(s"__nc_${f.name}")))
+      }
+      rel -> om.writeValueAsString(o)
+    }.toMap
+  }
+
+  // --------------------------------------------------------------- pruning
+
+  /** Parsed per-file stats in a comparable domain: numerics as
+    * BigDecimal, everything else as its lexicographically-ordered string
+    * form (ISO dates/timestamps sort correctly as text). */
+  final case class FileStat(
+      numRecords: Option[Long],
+      min: Map[String, Any],
+      max: Map[String, Any],
+      nullCount: Map[String, Long])
+
+  private def parseDomain(node: JsonNode, dt: DataType): Any = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+        _: DecimalType => node.decimalValue(): java.math.BigDecimal
+    case BooleanType => if (node.asBoolean) "true" else "false"
+    case _ => node.asText
+  }
+
+  def parseStats(json: String, schema: StructType): FileStat = {
+    val byName = schema.map(f => f.name -> f.dataType).toMap
+    val node = mapper.readTree(json)
+    def vals(field: String): Map[String, Any] =
+      Option(node.get(field)).map { o =>
+        o.properties().asScala.flatMap { e =>
+          byName.get(e.getKey).map(dt => e.getKey -> parseDomain(e.getValue, dt))
+        }.toMap
+      }.getOrElse(Map.empty)
+    val ncs = Option(node.get("nullCount")).map { o =>
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+    }.getOrElse(Map.empty[String, Long])
+    FileStat(Option(node.get("numRecords")).map(_.asLong), vals("minValues"), vals("maxValues"), ncs)
+  }
+
+  /** Convert a predicate literal into the same comparable domain as
+    * [[parseDomain]]; None = unsupported, caller keeps the file. */
+  private def litDomain(value: Any, dt: DataType): Option[Any] = (value, dt) match {
+    case (null, _) => None
+    case (n: Number, ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType | _: DecimalType) => Some(new java.math.BigDecimal(n.toString))
+    case (d: Decimal, _: DecimalType) => Some(d.toJavaBigDecimal)
+    case (s, StringType) => Some(s.toString) // UTF8String or String
+    case (b: Boolean, BooleanType) => Some(if (b) "true" else "false")
+    // Catalyst internal forms: DateType = days since epoch, TimestampType = micros
+    case (days: Integer, DateType) => Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
+    case (micros: java.lang.Long, TimestampType) =>
+      Some(tsFmt.format(java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)))
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0
+  }
+
+  /** Per-file view merging data-column stats with partition values (for
+    * which min = max = the value and nullCount is all-or-nothing). */
+  private final class FileView(
+      stat: Option[FileStat],
+      pv: Map[String, String],
+      schema: StructType,
+      partCols: Set[String]) {
+    private val byName = schema.map(f => f.name -> f.dataType).toMap
+    private def pvDomain(c: String): Option[Any] =
+      pv.get(c).filter(_ != null).flatMap { s =>
+        byName.get(c).map {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+              DoubleType | _: DecimalType => new java.math.BigDecimal(s)
+          case _ => s
+        }
+      }
+    def minOf(c: String): Option[Any] =
+      if (partCols(c)) pvDomain(c) else stat.flatMap(_.min.get(c))
+    def maxOf(c: String): Option[Any] =
+      if (partCols(c)) pvDomain(c) else stat.flatMap(_.max.get(c))
+    def nullCountOf(c: String): Option[Long] =
+      if (partCols(c))
+        numRecords.map(n => if (pv.get(c).contains(null) || pv.get(c).isEmpty) n else 0L)
+      else stat.flatMap(_.nullCount.get(c))
+    def numRecords: Option[Long] = stat.flatMap(_.numRecords)
+    /** True when stats prove the column has at least one non-null row. */
+    def definitelyAllNull(c: String): Boolean =
+      (for (n <- numRecords; nc <- nullCountOf(c)) yield nc >= n).getOrElse(false)
+  }
+
+  private def nameOf(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.name)
+    case a: AttributeReference => Some(a.name)
+    case c: Cast => nameOf(c.child)
+    case _ => None
+  }
+
+  /** Could any row of the file match `pred`? Conservative tri-state
+    * collapsed to Boolean (unknown = true = keep). */
+  private def mightMatch(pred: Expression, f: FileView, dts: Map[String, DataType]): Boolean = {
+    def rangeOverlaps(c: String, v: Any, op: (Int, Int) => Boolean): Boolean = {
+      if (f.definitelyAllNull(c)) return false
+      (f.minOf(c), f.maxOf(c)) match {
+        case (Some(mi), Some(ma)) => op(cmp(mi, v), cmp(ma, v))
+        case _ => true
+      }
+    }
+    def litOf(c: String, l: Literal): Option[Any] =
+      dts.get(c).flatMap(dt => litDomain(l.value, dt))
+
+    pred match {
+      case And(a, b) => mightMatch(a, f, dts) && mightMatch(b, f, dts)
+      case Or(a, b) => mightMatch(a, f, dts) || mightMatch(b, f, dts)
+      case Not(IsNull(e)) => mightMatch(IsNotNull(e), f, dts)
+      case Not(IsNotNull(e)) => mightMatch(IsNull(e), f, dts)
+      case EqualTo(e, l: Literal) =>
+        (for (c <- nameOf(e); v <- litOf(c, l))
+          yield rangeOverlaps(c, v, (lo, hi) => lo <= 0 && hi >= 0)).getOrElse(true)
+      case EqualTo(l: Literal, e) => mightMatch(EqualTo(e, l), f, dts)
+      case EqualNullSafe(e, l: Literal) if l.value != null => mightMatch(EqualTo(e, l), f, dts)
+      case LessThan(e, l: Literal) =>
+        (for (c <- nameOf(e); v <- litOf(c, l))
+          yield rangeOverlaps(c, v, (lo, _) => lo < 0)).getOrElse(true)
+      case LessThan(l: Literal, e) => mightMatch(GreaterThan(e, l), f, dts)
+      case LessThanOrEqual(e, l: Literal) =>
+        (for (c <- nameOf(e); v <- litOf(c, l))
+          yield rangeOverlaps(c, v, (lo, _) => lo <= 0)).getOrElse(true)
+      case LessThanOrEqual(l: Literal, e) => mightMatch(GreaterThanOrEqual(e, l), f, dts)
+      case GreaterThan(e, l: Literal) =>
+        (for (c <- nameOf(e); v <- litOf(c, l))
+          yield rangeOverlaps(c, v, (_, hi) => hi > 0)).getOrElse(true)
+      case GreaterThan(l: Literal, e) => mightMatch(LessThan(e, l), f, dts)
+      case GreaterThanOrEqual(e, l: Literal) =>
+        (for (c <- nameOf(e); v <- litOf(c, l))
+          yield rangeOverlaps(c, v, (_, hi) => hi >= 0)).getOrElse(true)
+      case GreaterThanOrEqual(l: Literal, e) => mightMatch(LessThanOrEqual(e, l), f, dts)
+      case In(e, list) if list.forall(_.isInstanceOf[Literal]) =>
+        nameOf(e) match {
+          case Some(c) =>
+            list.exists(l => mightMatch(EqualTo(e, l.asInstanceOf[Literal]), f, dts)) ||
+              list.exists(l => litOf(c, l.asInstanceOf[Literal]).isEmpty)
+          case None => true
+        }
+      case IsNull(e) =>
+        nameOf(e).flatMap(c => f.nullCountOf(c)).forall(_ > 0)
+      case IsNotNull(e) =>
+        nameOf(e).forall(c => !f.definitelyAllNull(c))
+      case StartsWith(e, l: Literal) =>
+        (for (c <- nameOf(e); v <- litDomain(l.value, StringType).map(_.toString)) yield {
+          if (f.definitelyAllNull(c)) false
+          else (f.minOf(c), f.maxOf(c)) match {
+            case (Some(mi: String), Some(ma: String)) =>
+              mi.take(v.length) <= v && v <= ma.take(v.length)
+            case _ => true
+          }
+        }).getOrElse(true)
+      case _ => true
+    }
+  }
+
+  /** Cull `files` to those that might contain rows matching `pred`. */
+  def prune(
+      files: Seq[Delta.AddFile],
+      pred: Column,
+      schema: StructType,
+      partitionColumns: Seq[String]): Seq[Delta.AddFile] = {
+    val dts = schema.map(f => f.name -> f.dataType).toMap
+    val partSet = partitionColumns.toSet
+    val e = pred.expr
+    files.filter { af =>
+      val view = new FileView(
+        af.stats.map(parseStats(_, schema)), af.partitionValues, schema, partSet)
+      mightMatch(e, view, dts)
+    }
+  }
+
+  // --------------------------------------------------------------- z-order
+
+  /** Z-value column for multi-dimensional clustering: each (numeric /
+    * date / timestamp) dimension is min-max scaled to 16 bits, then the
+    * bits are interleaved MSB-first into a Long. Range-partitioning +
+    * sorting by this value gives every output file a tight min/max box
+    * in EVERY dimension, so [[prune]] works on all of them at once —
+    * the OPTIMIZE ZORDER BY of the spec. `ranges` maps each dimension
+    * to its (min, max) over the data being rewritten. */
+  def zValue(ranges: Seq[(String, (Double, Double))]): Column = {
+    require(ranges.nonEmpty && ranges.size <= 4, s"zorder supports 1-4 columns, got ${ranges.size}")
+    val buckets: Seq[Column] = ranges.map { case (name, (lo, hi)) =>
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      val scaled = (col(name).cast(DoubleType) - lit(lo)) / lit(span) * lit(65535.0)
+      coalesce(least(greatest(scaled.cast(IntegerType), lit(0)), lit(65535)), lit(0))
+    }
+    interleaveBits(array(buckets: _*))
+  }
+
+  /** MSB-first bit interleave of up to 4 16-bit bucket indices. A UDF is
+    * justified here (SURVEY §7.1): variable-arity bit weaving has no
+    * builtin, and it runs once per row during OPTIMIZE only. */
+  private val interleaveBits = udf { (xs: Seq[Int]) =>
+    var z = 0L
+    var bit = 15
+    while (bit >= 0) {
+      var i = 0
+      while (i < xs.length) {
+        z = (z << 1) | ((xs(i) >> bit) & 1L)
+        i += 1
+      }
+      bit -= 1
+    }
+    z
+  }
+}
