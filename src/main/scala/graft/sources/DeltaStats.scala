@@ -8,6 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** Per-file column statistics + data skipping for [[Delta]] — the spec's
@@ -123,11 +124,34 @@ private[graft] object DeltaStats {
       max: Map[String, Any],
       nullCount: Map[String, Long])
 
-  private def parseDomain(node: JsonNode, dt: DataType): Any = dt match {
+  /** Epoch-micros for a stats/partition timestamp string. Writers differ:
+    * this engine emits `uuuu-MM-dd HH:mm:ss.SSSSSS` UTC, delta-spark emits
+    * ISO-8601 with a `T` separator and a zone offset — lexicographic
+    * comparison across the two formats is unsound, so everything is
+    * normalized to epoch-micros. None = unparseable → caller keeps the
+    * file (conservative). */
+  private[sources] def tsMicros(s: String): Option[Long] = {
+    val t = s.trim.replace(' ', 'T')
+    def micros(i: java.time.Instant): Long =
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), (i.getNano / 1000).toLong)
+    try Some(micros(java.time.OffsetDateTime.parse(t).toInstant))
+    catch {
+      case _: Exception =>
+        try Some(micros(java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)))
+        catch { case _: Exception => None }
+    }
+  }
+
+  /** None = stat unusable for this type (e.g. NaN/Infinity serialized as a
+    * quoted string, unparseable timestamp) → treat as absent, keep file. */
+  private def parseDomain(node: JsonNode, dt: DataType): Option[Any] = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-        _: DecimalType => node.decimalValue(): java.math.BigDecimal
-    case BooleanType => if (node.asBoolean) "true" else "false"
-    case _ => node.asText
+        _: DecimalType =>
+      if (node.isNumber) Some(node.decimalValue(): java.math.BigDecimal) else None
+    case BooleanType => Some(if (node.asBoolean) "true" else "false")
+    case TimestampType =>
+      tsMicros(node.asText).map(m => new java.math.BigDecimal(m): java.math.BigDecimal)
+    case _ => Some(node.asText)
   }
 
   def parseStats(json: String, schema: StructType): FileStat = {
@@ -136,7 +160,10 @@ private[graft] object DeltaStats {
     def vals(field: String): Map[String, Any] =
       Option(node.get(field)).map { o =>
         o.properties().asScala.flatMap { e =>
-          byName.get(e.getKey).map(dt => e.getKey -> parseDomain(e.getValue, dt))
+          for {
+            dt <- byName.get(e.getKey)
+            v <- parseDomain(e.getValue, dt)
+          } yield e.getKey -> v
         }.toMap
       }.getOrElse(Map.empty)
     val ncs = Option(node.get("nullCount")).map { o =>
@@ -157,7 +184,7 @@ private[graft] object DeltaStats {
     // Catalyst internal forms: DateType = days since epoch, TimestampType = micros
     case (days: Integer, DateType) => Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
     case (micros: java.lang.Long, TimestampType) =>
-      Some(tsFmt.format(java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)))
+      Some(new java.math.BigDecimal(micros.longValue))
     case _ => None
   }
 
@@ -177,10 +204,12 @@ private[graft] object DeltaStats {
     private val byName = schema.map(f => f.name -> f.dataType).toMap
     private def pvDomain(c: String): Option[Any] =
       pv.get(c).filter(_ != null).flatMap { s =>
-        byName.get(c).map {
+        byName.get(c).flatMap {
           case ByteType | ShortType | IntegerType | LongType | FloatType |
-              DoubleType | _: DecimalType => new java.math.BigDecimal(s)
-          case _ => s
+              DoubleType | _: DecimalType =>
+            try Some(new java.math.BigDecimal(s)) catch { case _: NumberFormatException => None }
+          case TimestampType => tsMicros(s).map(m => new java.math.BigDecimal(m))
+          case _ => Some(s)
         }
       }
     def minOf(c: String): Option[Any] =
@@ -197,10 +226,18 @@ private[graft] object DeltaStats {
       (for (n <- numRecords; nc <- nullCountOf(c)) yield nc >= n).getOrElse(false)
   }
 
-  private def nameOf(e: Expression): Option[String] = e match {
+  /** Attribute behind `e`, looking through up-casts only: a narrowing
+    * cast (e.g. double→int) changes which values satisfy a predicate —
+    * `cast(d as int) = 5` matches d∈[5.0,6.0) — so min/max reasoning in
+    * the child's domain would wrongly drop files. `dts` supplies the
+    * source column type (the expression tree may be unresolved). */
+  private def nameOf(e: Expression, dts: Map[String, DataType]): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.name)
     case a: AttributeReference => Some(a.name)
-    case c: Cast => nameOf(c.child)
+    case c: Cast =>
+      nameOf(c.child, dts).filter { n =>
+        dts.get(n).exists(src => src == c.dataType || Cast.canUpCast(src, c.dataType))
+      }
     case _ => None
   }
 
@@ -223,39 +260,39 @@ private[graft] object DeltaStats {
       case Not(IsNull(e)) => mightMatch(IsNotNull(e), f, dts)
       case Not(IsNotNull(e)) => mightMatch(IsNull(e), f, dts)
       case EqualTo(e, l: Literal) =>
-        (for (c <- nameOf(e); v <- litOf(c, l))
+        (for (c <- nameOf(e, dts); v <- litOf(c, l))
           yield rangeOverlaps(c, v, (lo, hi) => lo <= 0 && hi >= 0)).getOrElse(true)
       case EqualTo(l: Literal, e) => mightMatch(EqualTo(e, l), f, dts)
       case EqualNullSafe(e, l: Literal) if l.value != null => mightMatch(EqualTo(e, l), f, dts)
       case LessThan(e, l: Literal) =>
-        (for (c <- nameOf(e); v <- litOf(c, l))
+        (for (c <- nameOf(e, dts); v <- litOf(c, l))
           yield rangeOverlaps(c, v, (lo, _) => lo < 0)).getOrElse(true)
       case LessThan(l: Literal, e) => mightMatch(GreaterThan(e, l), f, dts)
       case LessThanOrEqual(e, l: Literal) =>
-        (for (c <- nameOf(e); v <- litOf(c, l))
+        (for (c <- nameOf(e, dts); v <- litOf(c, l))
           yield rangeOverlaps(c, v, (lo, _) => lo <= 0)).getOrElse(true)
       case LessThanOrEqual(l: Literal, e) => mightMatch(GreaterThanOrEqual(e, l), f, dts)
       case GreaterThan(e, l: Literal) =>
-        (for (c <- nameOf(e); v <- litOf(c, l))
+        (for (c <- nameOf(e, dts); v <- litOf(c, l))
           yield rangeOverlaps(c, v, (_, hi) => hi > 0)).getOrElse(true)
       case GreaterThan(l: Literal, e) => mightMatch(LessThan(e, l), f, dts)
       case GreaterThanOrEqual(e, l: Literal) =>
-        (for (c <- nameOf(e); v <- litOf(c, l))
+        (for (c <- nameOf(e, dts); v <- litOf(c, l))
           yield rangeOverlaps(c, v, (_, hi) => hi >= 0)).getOrElse(true)
       case GreaterThanOrEqual(l: Literal, e) => mightMatch(LessThanOrEqual(e, l), f, dts)
       case In(e, list) if list.forall(_.isInstanceOf[Literal]) =>
-        nameOf(e) match {
+        nameOf(e, dts) match {
           case Some(c) =>
             list.exists(l => mightMatch(EqualTo(e, l.asInstanceOf[Literal]), f, dts)) ||
               list.exists(l => litOf(c, l.asInstanceOf[Literal]).isEmpty)
           case None => true
         }
       case IsNull(e) =>
-        nameOf(e).flatMap(c => f.nullCountOf(c)).forall(_ > 0)
+        nameOf(e, dts).flatMap(c => f.nullCountOf(c)).forall(_ > 0)
       case IsNotNull(e) =>
-        nameOf(e).forall(c => !f.definitelyAllNull(c))
+        nameOf(e, dts).forall(c => !f.definitelyAllNull(c))
       case StartsWith(e, l: Literal) =>
-        (for (c <- nameOf(e); v <- litDomain(l.value, StringType).map(_.toString)) yield {
+        (for (c <- nameOf(e, dts); v <- litDomain(l.value, StringType).map(_.toString)) yield {
           if (f.definitelyAllNull(c)) false
           else (f.minOf(c), f.maxOf(c)) match {
             case (Some(mi: String), Some(ma: String)) =>
@@ -275,7 +312,7 @@ private[graft] object DeltaStats {
       partitionColumns: Seq[String]): Seq[Delta.AddFile] = {
     val dts = schema.map(f => f.name -> f.dataType).toMap
     val partSet = partitionColumns.toSet
-    val e = pred.expr
+    val e = Bridge.expression(pred)
     files.filter { af =>
       val view = new FileView(
         af.stats.map(parseStats(_, schema)), af.partitionValues, schema, partSet)
