@@ -210,6 +210,37 @@ object Io {
       |FROM lineitem WHERE l_orderkey < 2000
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Delta per-file stats skipping + OPTIMIZE ZORDER (delta.io
+    * PROTOCOL.md §Per-file Statistics; production Delta's OPTIMIZE
+    * ZORDER BY): write unclustered, z-order by (l_orderkey, l_partkey),
+    * then read through a stats-pruned scan. The `skipped` column is
+    * computed from actual file counts (opened < total), so the DuckDB
+    * oracle comparison fails if skipping ever stops working — the scale
+    * mechanism itself is under the correctness gate, not just a spec. */
+  def io_delta_stats_skip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Delta
+    val path = s"$ioDir/delta_stats_${math.abs(dir.hashCode)}"
+    Delta.deleteTable(path)
+    val li = t(s, dir).lineitem
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    Delta.write(li.repartition(8), path)
+    val totalBytes = Delta.snapshot(s, path).files.map(_.size).sum
+    Delta.optimizeZorder(s, path, Seq("l_orderkey", "l_partkey"),
+      targetFileBytes = math.max(1L, totalBytes / 8))
+    val total = Delta.snapshot(s, path).files.size
+    val pred = col("l_orderkey") <= 100L
+    val opened = Delta.filesForScan(s, path, pred).size
+    Delta.read(s, path, dataFilter = Some(pred))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"),
+           round(sum("l_extendedprice"), 2).as("price"))
+      .withColumn("skipped", lit(opened < total))
+  }
+
+  val ioDeltaStatsSkipSql =
+    """SELECT count(*) AS n, sum(l_quantity) AS qty,
+      |  round(sum(l_extendedprice), 2) AS price, true AS skipped
+      |FROM lineitem WHERE l_orderkey <= 100""".stripMargin
+
   /** Delta time travel + overwrite semantics: version 2 overwrites the
     * table down to l_orderkey < 500; reading versionAsOf=1 still sees the
     * pre-overwrite state, the latest snapshot honors the removes. A
@@ -474,6 +505,7 @@ object Io {
     "io_mcap_roundtrip" -> (io_mcap_roundtrip _),
     "io_delta_roundtrip" -> (io_delta_roundtrip _),
     "io_delta_time_travel" -> (io_delta_time_travel _),
+    "io_delta_stats_skip" -> (io_delta_stats_skip _),
     "io_iceberg_roundtrip" -> (io_iceberg_roundtrip _),
     "io_hudi_roundtrip" -> (io_hudi_roundtrip _),
     "io_huggingface" -> (io_huggingface _),
@@ -494,6 +526,7 @@ object Io {
     "io_mcap_roundtrip" -> ioMcapRoundtripSql,
     "io_delta_roundtrip" -> ioDeltaRoundtripSql,
     "io_delta_time_travel" -> ioDeltaTimeTravelSql,
+    "io_delta_stats_skip" -> ioDeltaStatsSkipSql,
     "io_iceberg_roundtrip" -> ioIcebergRoundtripSql,
     "io_hudi_roundtrip" -> ioHudiRoundtripSql,
     "io_huggingface" -> ioHuggingfaceSql,

@@ -104,9 +104,27 @@ object Delta {
 
   // ---------------------------------------------------------------- reader
 
-  /** Reconstruct the snapshot at `versionAsOf` (default: latest). `spark`
-    * is needed only when state must be loaded from a parquet checkpoint. */
-  def snapshot(spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): Snapshot = {
+  /** Reconstructed log state with the checkpoint's (possibly huge) add
+    * set kept DISTRIBUTED: `ckptAdds` is a DataFrame over the checkpoint
+    * parquet (one row per live file), and only the JSON commits after the
+    * checkpoint are replayed on the driver. Driver memory is therefore
+    * O(commits since checkpoint) + O(files that survive pruning), never
+    * O(all live files) — at millions of files × stats JSON a full
+    * driver-side materialization would be multi-GB of heap. */
+  private[graft] final case class State(
+      tablePath: String,
+      version: Long,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      appTxns: Map[String, Long],
+      ckptAdds: Option[DataFrame],
+      tailAdds: Seq[AddFile]) {
+    def dataSchema: StructType =
+      StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+  }
+
+  private[graft] def state(
+      spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): State = {
     val latest = latestVersion(tablePath)
     require(latest >= 0, s"not a Delta table (no _delta_log): $tablePath")
     val target = versionAsOf.getOrElse(latest)
@@ -123,15 +141,9 @@ object Delta {
       fromHint.filter(v => v <= target && Files.exists(checkpointFile(tablePath, v)))
     }
 
-    val adds = mutable.LinkedHashMap.empty[String, AddFile]
     val appTxns = mutable.Map.empty[String, Long]
     var schemaString: String = null
     var partitionCols: Seq[String] = Nil
-
-    def applyAdd(path: String, pv: Map[String, String], size: Long, mtime: Long,
-        stats: Option[String] = None): Unit =
-      adds(path) = AddFile(path, pv, size, mtime, stats)
-    def applyRemove(path: String): Unit = adds.remove(path)
     def applyMeta(schema: String, parts: Seq[String]): Unit = {
       schemaString = schema; partitionCols = parts
     }
@@ -142,40 +154,59 @@ object Delta {
           "(deletion vectors / column mapping are not implemented)")
     }
 
-    ckptVersion.foreach { cv =>
-      // Checkpoint = parquet with one action per row in struct columns.
+    // Checkpoint: protocol / metaData / txn rows are O(1) / O(writer apps)
+    // — collect only those. The add rows (one per live file) stay in a
+    // DataFrame; remove tombstones (other writers retain them for vacuum
+    // bookkeeping) cancel adds via an anti-join, also distributed.
+    val rawCkptAdds: Option[DataFrame] = ckptVersion.map { cv =>
       val ck = spark.read.parquet(checkpointFile(tablePath, cv).toString)
       val cols = ck.columns.toSet
-      ck.collect().foreach { row =>
-        def struct(name: String): Option[Row] =
-          if (cols(name) && !row.isNullAt(row.fieldIndex(name))) Some(row.getStruct(row.fieldIndex(name))) else None
-        struct("protocol").foreach { p =>
+      if (cols("protocol"))
+        ck.where(col("protocol").isNotNull).select("protocol.*").collect().foreach { p =>
           val feats =
             if (p.schema.fieldNames.contains("readerFeatures") && !p.isNullAt(p.fieldIndex("readerFeatures")))
               p.getSeq[String](p.fieldIndex("readerFeatures"))
             else Nil
           applyProtocol(p.getInt(p.fieldIndex("minReaderVersion")), feats)
         }
-        struct("metaData").foreach { m =>
+      if (cols("metaData"))
+        ck.where(col("metaData").isNotNull).select("metaData.*").collect().foreach { m =>
           applyMeta(m.getString(m.fieldIndex("schemaString")),
             m.getSeq[String](m.fieldIndex("partitionColumns")))
         }
-        struct("add").foreach { a =>
-          val pv = Option(a.getMap[String, String](a.fieldIndex("partitionValues")))
-            .map(_.toMap).getOrElse(Map.empty)
-          val stats =
-            if (a.schema.fieldNames.contains("stats") && !a.isNullAt(a.fieldIndex("stats")))
-              Some(a.getString(a.fieldIndex("stats")))
-            else None
-          applyAdd(a.getString(a.fieldIndex("path")), pv,
-            a.getLong(a.fieldIndex("size")), a.getLong(a.fieldIndex("modificationTime")), stats)
+      if (cols("txn"))
+        ck.where(col("txn").isNotNull).select("txn.*").collect().foreach { t =>
+          appTxns(t.getString(t.fieldIndex("appId"))) = t.getLong(t.fieldIndex("version"))
         }
-        struct("remove").foreach(r => applyRemove(r.getString(r.fieldIndex("path"))))
-        struct("txn").foreach(t =>
-          appTxns(t.getString(t.fieldIndex("appId"))) = t.getLong(t.fieldIndex("version")))
-      }
+      val addsSchema = StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("stats", StringType)))
+      val adds =
+        if (!cols("add"))
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], addsSchema)
+        else {
+          val addHasStats = ck.schema("add").dataType
+            .asInstanceOf[StructType].fieldNames.contains("stats")
+          ck.where(col("add").isNotNull).select(
+            col("add.path").as("path"),
+            col("add.partitionValues").as("partitionValues"),
+            col("add.size").as("size"),
+            col("add.modificationTime").as("modificationTime"),
+            (if (addHasStats) col("add.stats") else lit(null).cast(StringType)).as("stats"))
+        }
+      if (cols("remove"))
+        adds.join(
+          ck.where(col("remove").isNotNull).select(col("remove.path").as("__rm")),
+          col("path") === col("__rm"), "left_anti")
+      else adds
     }
 
+    // Driver-side tail replay: final per-path outcome of every JSON
+    // action after the checkpoint (Some = live add, None = removed).
+    val touched = mutable.LinkedHashMap.empty[String, Option[AddFile]]
     val replayFrom = ckptVersion.map(_ + 1).getOrElse(0L)
     (replayFrom to target).foreach { v =>
       val f = commitFile(tablePath, v)
@@ -197,11 +228,12 @@ object Delta {
           val pv = Option(a.get("partitionValues")).map { o =>
             o.properties().asScala.map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)).toMap
           }.getOrElse(Map.empty[String, String])
-          applyAdd(a.get("path").asText, pv, a.get("size").asLong,
+          val path = a.get("path").asText
+          touched(path) = Some(AddFile(path, pv, a.get("size").asLong,
             Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText))
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText)))
         }
-        if (node.has("remove")) applyRemove(node.get("remove").get("path").asText)
+        if (node.has("remove")) touched(node.get("remove").get("path").asText) = None
         if (node.has("txn")) {
           val t = node.get("txn")
           appTxns(t.get("appId").asText) = t.get("version").asLong
@@ -210,9 +242,60 @@ object Delta {
     }
 
     require(schemaString != null, s"Delta log of $tablePath has no metaData action")
-    Snapshot(tablePath, target,
+    // A checkpoint add for a path the tail touched (re-added or removed)
+    // is superseded; the filter ships the touched set with the task.
+    val touchedPaths = touched.keySet.toSet
+    val ckptAdds = rawCkptAdds.map { df =>
+      if (touchedPaths.isEmpty) df
+      else {
+        val untouched = udf((p: String) => !touchedPaths.contains(p))
+        df.filter(untouched(col("path")))
+      }
+    }
+    State(tablePath, target,
       DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partitionCols, adds.values.toSeq, appTxns.toMap)
+      partitionCols, appTxns.toMap, ckptAdds, touched.values.flatten.toSeq)
+  }
+
+  /** Materialize the live file list, applying partition- and stats-based
+    * pruning BEFORE anything is collected to the driver. */
+  private def collectAdds(
+      st: State,
+      partitionFilter: Map[String, String] => Boolean = _ => true,
+      dataFilter: Option[Column] = None): Seq[AddFile] = {
+    val keepStats: (Option[String], Map[String, String]) => Boolean =
+      dataFilter.map(DeltaStats.keep(_, st.schema, st.partitionColumns))
+        .getOrElse((_, _) => true)
+    val fromCkpt = st.ckptAdds.toSeq.flatMap { df =>
+      val pf = partitionFilter
+      val ks = keepStats
+      val keepUdf = udf { (pv: Map[String, String], stats: String) =>
+        val m = Option(pv).getOrElse(Map.empty[String, String])
+        pf(m) && ks(Option(stats), m)
+      }
+      df.filter(keepUdf(col("partitionValues"), col("stats"))).collect().map { r =>
+        AddFile(
+          r.getString(r.fieldIndex("path")),
+          Option(r.getMap[String, String](r.fieldIndex("partitionValues")))
+            .map(_.toMap).getOrElse(Map.empty),
+          r.getLong(r.fieldIndex("size")),
+          r.getLong(r.fieldIndex("modificationTime")),
+          if (r.isNullAt(r.fieldIndex("stats"))) None else Some(r.getString(r.fieldIndex("stats"))))
+      }
+    }
+    fromCkpt ++ st.tailAdds.filter(f =>
+      partitionFilter(f.partitionValues) && keepStats(f.stats, f.partitionValues))
+  }
+
+  /** Reconstruct the snapshot at `versionAsOf` (default: latest). `spark`
+    * is needed only when state must be loaded from a parquet checkpoint.
+    * Materializes the FULL file list — maintenance paths (compact /
+    * vacuum / checkpoint) need it; the scan path goes through [[state]] +
+    * pruned [[collectAdds]] instead. */
+  def snapshot(spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): Snapshot = {
+    val st = state(spark, tablePath, versionAsOf)
+    Snapshot(st.tablePath, st.version, st.schema, st.partitionColumns,
+      collectAdds(st), st.appTxns)
   }
 
   /** Read a Delta table as a DataFrame.
@@ -232,16 +315,20 @@ object Delta {
       versionAsOf: Option[Long] = None,
       partitionFilter: Map[String, String] => Boolean = _ => true,
       dataFilter: Option[Column] = None): DataFrame = {
-    val snap = snapshot(spark, tablePath, versionAsOf)
-    val df = readSnapshot(spark, snap, partitionFilter, dataFilter)
+    val st = state(spark, tablePath, versionAsOf)
+    val live = collectAdds(st, partitionFilter, dataFilter)
+    val df = PartitionedFiles.readWithPartitions(
+      spark, st.schema, st.partitionColumns,
+      live.map(f => absolutePath(tablePath, f.path)),
+      live.map(_.partitionValues))
     dataFilter.fold(df)(df.filter)
   }
 
   /** The file subset [[read]] would open for `dataFilter` — exposed so
     * tests (and planners) can assert skipping effectiveness. */
   def filesForScan(spark: SparkSession, tablePath: String, dataFilter: Column): Seq[AddFile] = {
-    val snap = snapshot(spark, tablePath)
-    DeltaStats.prune(snap.files, dataFilter, snap.schema, snap.partitionColumns)
+    val st = state(spark, tablePath)
+    collectAdds(st, dataFilter = Some(dataFilter))
   }
 
   private[graft] def readSnapshot(
@@ -301,9 +388,11 @@ object Delta {
     // add.path is percent-encoded per the spec ("relative path, encoded
     // as a URL") so readers' decode restores the on-disk literal even
     // for partition values containing '%', '+', spaces, or non-ASCII
-    val added = PartitionedFiles.stageAndMove(df, tablePath, partCols)
-      .map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
-        f.partitionValues, f.sizeBytes, now))
+    val staged = PartitionedFiles.stageAndMove(df, tablePath, partCols)
+    val dataSchema = StructType(df.schema.filterNot(f => partCols.contains(f.name)))
+    val statsByRel = DeltaStats.collect(spark, tablePath, staged, dataSchema)
+    val added = staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
+      f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
 
     // 2. publish the commit, retrying on version races.
     var attempt = math.max(existing, -1L) + 1
@@ -333,6 +422,7 @@ object Delta {
         a.partitionValues.foreach { case (k, v) => if (v == null) pv.putNull(k) else pv.put(k, v) }
         ad.put("size", a.size); ad.put("modificationTime", a.modificationTime)
         ad.put("dataChange", true)
+        a.stats.foreach(ad.put("stats", _))
         lines += om.writeValueAsString(o)
       }
       txn.foreach { case (appId, v) =>
@@ -399,11 +489,28 @@ object Delta {
       val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       val slice = readSnapshot(spark, snap.copy(files = files))
         .coalesce(n)
-      PartitionedFiles.stageAndMove(slice, tablePath, snap.partitionColumns)
-        .map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
-          f.partitionValues, f.sizeBytes, now))
+      val staged = PartitionedFiles.stageAndMove(slice, tablePath, snap.partitionColumns)
+      val statsByRel = DeltaStats.collect(spark, tablePath, staged, snap.dataSchema)
+      staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
+        f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
     }
 
+    commitRewrite(spark, tablePath, snap.version, removed, added, now, "OPTIMIZE")
+  }
+
+  /** Publish a dataChange=false rewrite (the OPTIMIZE commit shape):
+    * removes + adds, retrying on version races. If a concurrent commit
+    * removed any file this rewrite covers, publishing would resurrect
+    * overwritten rows — abort instead (a rewrite is only an
+    * optimization), deleting the staged outputs. */
+  private def commitRewrite(
+      spark: SparkSession,
+      tablePath: String,
+      startVersion: Long,
+      removed: Seq[AddFile],
+      added: Seq[AddFile],
+      now: Long,
+      operation: String): Long = {
     val om = mapper
     val lines = mutable.ArrayBuffer.empty[String]
     removed.foreach { f =>
@@ -420,14 +527,15 @@ object Delta {
       a.partitionValues.foreach { case (k, v) => if (v == null) pv.putNull(k) else pv.put(k, v) }
       ad.put("size", a.size); ad.put("modificationTime", a.modificationTime)
       ad.put("dataChange", false)
+      a.stats.foreach(ad.put("stats", _))
       lines += om.writeValueAsString(o)
     }
     val ci = om.createObjectNode()
     val info = ci.putObject("commitInfo")
-    info.put("timestamp", now); info.put("operation", "OPTIMIZE")
+    info.put("timestamp", now); info.put("operation", operation)
     lines += om.writeValueAsString(ci)
 
-    var attempt = snap.version + 1
+    var attempt = startVersion + 1
     var committed = -1L
     while (committed < 0) {
       val tmp = logDir(tablePath).resolve(s".tmp-${UUID.randomUUID()}.json")
@@ -435,9 +543,6 @@ object Delta {
       try { Files.move(tmp, commitFile(tablePath, attempt)); committed = attempt }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         Files.delete(tmp)
-        // conflict check: if a concurrent commit removed any file this
-        // compaction rewrote, publishing would resurrect overwritten
-        // rows — abort instead (compaction is only an optimization)
         val latest = snapshot(spark, tablePath)
         val stillLive = latest.files.map(_.path).toSet
         if (!removed.forall(f => stillLive.contains(f.path))) {
@@ -449,6 +554,65 @@ object Delta {
       }
     }
     committed
+  }
+
+  /** OPTIMIZE ZORDER BY (production Delta's multi-dimensional
+    * clustering): rewrite every partition with rows ordered by the
+    * interleaved z-value of `zorderBy` ([[DeltaStats.zValue]]), so every
+    * output file gets a tight min/max box in ALL listed dimensions at
+    * once — [[DeltaStats.prune]] then answers a point/range predicate on
+    * any of them by opening a small fraction of the files. Old files stay
+    * until [[vacuum]]; the commit is dataChange=false like [[compact]].
+    * Supported dimension types: numeric, date, timestamp. */
+  def optimizeZorder(
+      spark: SparkSession,
+      tablePath: String,
+      zorderBy: Seq[String],
+      targetFileBytes: Long = 128L << 20): Long = {
+    val snap = snapshot(spark, tablePath)
+    require(zorderBy.nonEmpty, "zorderBy must list at least one column")
+    zorderBy.foreach { c =>
+      require(snap.schema.fieldNames.contains(c), s"no such column: $c")
+      require(!snap.partitionColumns.contains(c),
+        s"cannot z-order by partition column $c (directories already segregate it)")
+    }
+    if (snap.files.isEmpty) return snap.version
+
+    // Per-dimension numeric view (dates/timestamps → epoch numbers).
+    val dims: Seq[Column] = zorderBy.map { c =>
+      snap.schema(c).dataType match {
+        case DateType => unix_date(col(c)).cast(DoubleType)
+        case TimestampType => unix_micros(col(c)).cast(DoubleType)
+        case _: NumericType => col(c).cast(DoubleType)
+        case other => throw new IllegalArgumentException(
+          s"zorder column $c has unsupported type ${other.catalogString}")
+      }
+    }
+
+    val now = System.currentTimeMillis()
+    val byPartition = snap.files.groupBy(_.partitionValues)
+    val added = byPartition.toSeq.flatMap { case (_, files) =>
+      val slice = readSnapshot(spark, snap.copy(files = files))
+      val rangeAggs = dims.zipWithIndex.flatMap { case (d, i) =>
+        Seq(min(d).as(s"__lo$i"), max(d).as(s"__hi$i")) }
+      val r = slice.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
+      val ranged = dims.zipWithIndex.map { case (d, i) =>
+        def at(n: String) = if (r.isNullAt(r.fieldIndex(n))) 0.0 else r.getDouble(r.fieldIndex(n))
+        d -> (at(s"__lo$i"), at(s"__hi$i"))
+      }
+      val bytes = files.map(_.size).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val clustered = slice
+        .withColumn("__z", DeltaStats.zValue(ranged))
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+      val staged = PartitionedFiles.stageAndMove(clustered, tablePath, snap.partitionColumns)
+      val statsByRel = DeltaStats.collect(spark, tablePath, staged, snap.dataSchema)
+      staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
+        f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
+    }
+    commitRewrite(spark, tablePath, snap.version, snap.files, added, now, "OPTIMIZE ZORDER")
   }
 
   /** Physically delete data files no longer referenced by the CURRENT
@@ -496,14 +660,15 @@ object Delta {
         StructField("partitionValues", pvType),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType)))),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType))))))
     val rows =
       Row(Row(1, 2), null, null, null) +:
       Row(null, Row(UUID.randomUUID().toString, snap.schema.json, snap.partitionColumns, System.currentTimeMillis()), null, null) +:
-      (snap.files.map(f => Row(null, null, Row(f.path, f.partitionValues, f.size, f.modificationTime, true), null)) ++
+      (snap.files.map(f => Row(null, null, Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull), null)) ++
        snap.appTxns.toSeq.map { case (app, v) => Row(null, null, null, Row(app, v)) })
     val scratch = Paths.get(tablePath, s".ckpt-${UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ckSchema)

@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.functions._
@@ -143,10 +143,22 @@ private[graft] object DeltaStats {
   }
 
   /** None = stat unusable for this type (e.g. NaN/Infinity serialized as a
-    * quoted string, unparseable timestamp) → treat as absent, keep file. */
+    * quoted string, unparseable timestamp) → treat as absent, keep file.
+    *
+    * Float/double stats go through the BINARY value (round the JSON text
+    * to the nearest double, then expand exactly): the stat text "0.1" is
+    * shortest-decimal for the stored binary 0.1000000000000000055…, and
+    * comparing the decimal text against an exact binary literal would
+    * wrongly prune equality probes on the stored value. */
   private def parseDomain(node: JsonNode, dt: DataType): Option[Any] = dt match {
-    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-        _: DecimalType =>
+    case FloatType | DoubleType =>
+      if (!node.isNumber) None
+      else {
+        val d = node.asDouble
+        if (java.lang.Double.isFinite(d)) Some(new java.math.BigDecimal(d): java.math.BigDecimal)
+        else None
+      }
+    case ByteType | ShortType | IntegerType | LongType | _: DecimalType =>
       if (node.isNumber) Some(node.decimalValue(): java.math.BigDecimal) else None
     case BooleanType => Some(if (node.asBoolean) "true" else "false")
     case TimestampType =>
@@ -176,8 +188,13 @@ private[graft] object DeltaStats {
     * [[parseDomain]]; None = unsupported, caller keeps the file. */
   private def litDomain(value: Any, dt: DataType): Option[Any] = (value, dt) match {
     case (null, _) => None
-    case (n: Number, ByteType | ShortType | IntegerType | LongType | FloatType |
-        DoubleType | _: DecimalType) => Some(new java.math.BigDecimal(n.toString))
+    // exact binary value, matching parseDomain's float/double domain;
+    // a Float literal widens exactly via doubleValue
+    case (n: Number, FloatType | DoubleType) =>
+      val d = n.doubleValue
+      if (java.lang.Double.isFinite(d)) Some(new java.math.BigDecimal(d)) else None
+    case (n: Number, ByteType | ShortType | IntegerType | LongType | _: DecimalType) =>
+      Some(new java.math.BigDecimal(n.toString))
     case (d: Decimal, _: DecimalType) => Some(d.toJavaBigDecimal)
     case (s, StringType) => Some(s.toString) // UTF8String or String
     case (b: Boolean, BooleanType) => Some(if (b) "true" else "false")
@@ -205,8 +222,13 @@ private[graft] object DeltaStats {
     private def pvDomain(c: String): Option[Any] =
       pv.get(c).filter(_ != null).flatMap { s =>
         byName.get(c).flatMap {
-          case ByteType | ShortType | IntegerType | LongType | FloatType |
-              DoubleType | _: DecimalType =>
+          case FloatType =>
+            try Some(new java.math.BigDecimal(java.lang.Float.parseFloat(s).toDouble))
+            catch { case _: NumberFormatException => None }
+          case DoubleType =>
+            try Some(new java.math.BigDecimal(java.lang.Double.parseDouble(s)))
+            catch { case _: NumberFormatException => None }
+          case ByteType | ShortType | IntegerType | LongType | _: DecimalType =>
             try Some(new java.math.BigDecimal(s)) catch { case _: NumberFormatException => None }
           case TimestampType => tsMicros(s).map(m => new java.math.BigDecimal(m))
           case _ => Some(s)
@@ -304,37 +326,69 @@ private[graft] object DeltaStats {
     }
   }
 
+  /** Resolve `pred` against `schema` through Spark's analyzer — a Spark 4
+    * Column carries a ColumnNode tree (`UnresolvedFunction("=", …)`), not
+    * the Catalyst predicate nodes [[mightMatch]] understands, so the
+    * predicate is planted in a Filter over an empty relation of the
+    * table's schema and the analyzed condition is extracted. Coercion
+    * casts the analyzer wraps around literals are then constant-folded
+    * back to plain literals. Must run on the driver with an active
+    * session. */
+  private def resolvedPredicate(pred: Column, schema: StructType): Expression = {
+    val spark = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException("stats pruning requires an active SparkSession"))
+    val empty = spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    val cond = Bridge.analyzedPlan(empty.filter(pred))
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .getOrElse(Literal.TrueLiteral)
+    cond.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        try Literal.create(e.eval(), e.dataType)
+        catch { case _: Exception => e } // ANSI eval error → leave unknown, keeps the file
+    }
+  }
+
+  /** Per-file keep decision, usable both driver-side ([[prune]]) and as a
+    * distributed filter over a file-list DataFrame (the returned closure
+    * captures only serializable state: the Catalyst expression, the
+    * schema, and name maps). */
+  def keep(
+      pred: Column,
+      schema: StructType,
+      partitionColumns: Seq[String]): (Option[String], Map[String, String]) => Boolean = {
+    val dts = schema.map(f => f.name -> f.dataType).toMap
+    val partSet = partitionColumns.toSet
+    val e = resolvedPredicate(pred, schema)
+    (stats, pv) =>
+      mightMatch(e, new FileView(stats.map(parseStats(_, schema)), pv, schema, partSet), dts)
+  }
+
   /** Cull `files` to those that might contain rows matching `pred`. */
   def prune(
       files: Seq[Delta.AddFile],
       pred: Column,
       schema: StructType,
       partitionColumns: Seq[String]): Seq[Delta.AddFile] = {
-    val dts = schema.map(f => f.name -> f.dataType).toMap
-    val partSet = partitionColumns.toSet
-    val e = Bridge.expression(pred)
-    files.filter { af =>
-      val view = new FileView(
-        af.stats.map(parseStats(_, schema)), af.partitionValues, schema, partSet)
-      mightMatch(e, view, dts)
-    }
+    val k = keep(pred, schema, partitionColumns)
+    files.filter(af => k(af.stats, af.partitionValues))
   }
 
   // --------------------------------------------------------------- z-order
 
-  /** Z-value column for multi-dimensional clustering: each (numeric /
-    * date / timestamp) dimension is min-max scaled to 16 bits, then the
-    * bits are interleaved MSB-first into a Long. Range-partitioning +
-    * sorting by this value gives every output file a tight min/max box
-    * in EVERY dimension, so [[prune]] works on all of them at once —
-    * the OPTIMIZE ZORDER BY of the spec. `ranges` maps each dimension
+  /** Z-value column for multi-dimensional clustering: each numeric-view
+    * dimension is min-max scaled to 16 bits, then the bits are
+    * interleaved MSB-first into a Long. Range-partitioning + sorting by
+    * this value gives every output file a tight min/max box in EVERY
+    * dimension, so [[prune]] works on all of them at once — the OPTIMIZE
+    * ZORDER BY of the spec. `dims` maps each dimension's numeric column
     * to its (min, max) over the data being rewritten. */
-  def zValue(ranges: Seq[(String, (Double, Double))]): Column = {
-    require(ranges.nonEmpty && ranges.size <= 4, s"zorder supports 1-4 columns, got ${ranges.size}")
-    val buckets: Seq[Column] = ranges.map { case (name, (lo, hi)) =>
+  def zValue(dims: Seq[(Column, (Double, Double))]): Column = {
+    require(dims.nonEmpty && dims.size <= 4, s"zorder supports 1-4 columns, got ${dims.size}")
+    val buckets: Seq[Column] = dims.map { case (dim, (lo, hi)) =>
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      val scaled = (col(name).cast(DoubleType) - lit(lo)) / lit(span) * lit(65535.0)
-      coalesce(least(greatest(scaled.cast(IntegerType), lit(0)), lit(65535)), lit(0))
+      val scaled = (dim.cast(DoubleType) - lit(lo)) / lit(span) * lit(65535.0)
+      // clamp BEFORE the int cast: ANSI mode rejects overflowing casts
+      coalesce(least(greatest(scaled, lit(0.0)), lit(65535.0)).cast(IntegerType), lit(0))
     }
     interleaveBits(array(buckets: _*))
   }
