@@ -55,6 +55,17 @@ object Graft {
   def writeDeltalake(df: DataFrame, path: String, mode: String = "append",
       partitionBy: Seq[String] = Nil): Long =
     sources.Delta.write(df, path, mode, partitionBy)
+  // Delta maintenance (ref write_deltalake's companion operations;
+  // production Delta's OPTIMIZE [ZORDER BY] / VACUUM)
+  def optimizeDeltalake(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Long =
+    sources.Delta.compact(spark, path, targetFileBytes)
+  def optimizeDeltalakeZorder(spark: SparkSession, path: String, cols: Seq[String],
+      targetFileBytes: Long = 128L << 20): Long =
+    sources.Delta.optimizeZorder(spark, path, cols, targetFileBytes)
+  def vacuumDeltalake(spark: SparkSession, path: String,
+      retainMillis: Long = 7L * 24 * 3600 * 1000): Int =
+    sources.Delta.vacuum(spark, path, retainMillis)
   def readIceberg(spark: SparkSession, path: String, snapshotId: Option[Long] = None): DataFrame =
     sources.Iceberg.read(spark, path, snapshotId)
   def writeIceberg(df: DataFrame, path: String, mode: String = "append",
@@ -62,6 +73,9 @@ object Graft {
     sources.Iceberg.write(df, path, mode, partitionBy)
   def readHudi(spark: SparkSession, path: String, asOfInstant: Option[String] = None): DataFrame =
     sources.Hudi.read(spark, path, asOfInstant)
+  def writeHudi(df: DataFrame, path: String, mode: String = "append",
+      partitionBy: Seq[String] = Nil): String =
+    sources.Hudi.write(df, path, mode, partitionBy)
   def readHuggingface(spark: SparkSession, repo: String,
       config: Option[String] = None, split: Option[String] = None): DataFrame =
     sources.HuggingFace.read(spark, repo, config = config, split = split)

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.BloomMightContainExpr
+
 /** Pre-shuffle row pruning (builder brief) — the cheapest 100 TB win there
   * is: rows that cannot join are dropped at the SCAN side, before they pay
   * the shuffle write + network + sort of a fact⋈fact join.
@@ -24,16 +26,19 @@ object Prune {
       bigKey: String, smallKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val spark = big.sparkSession
+    // empty small side: the join is empty; Spark's bloomFilter NPEs on
+    // zero rows, so short-circuit the big-side scan away entirely
+    if (small.isEmpty)
+      return big.filter(lit(false)).join(small, big(bigKey) === small(smallKey))
     // key-type agnostic, same as bloomSemiPrefilter: hash both sides —
     // inserting raw values while probing a cast-to-long would silently
     // drop every string/decimal-keyed row
     val bf = small.select(xxhash64(col(smallKey)).as("__k"))
       .stat.bloomFilter("__k", expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf { (k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k)
-    }
-    big.filter(col(bigKey).isNotNull && mightContain(xxhash64(col(bigKey))))
+    // codegen probe: stays inside whole-stage codegen, no per-row boxing
+    big.filter(col(bigKey).isNotNull &&
+        BloomMightContainExpr.mightContain(bc, xxhash64(col(bigKey))))
       .join(small, big(bigKey) === small(smallKey))
   }
 
@@ -48,16 +53,17 @@ object Prune {
     * only pass extra rows that the downstream join drops. */
   def bloomSemiPrefilter(big: DataFrame, bigKey: String,
       build: DataFrame, buildKey: String, fpp: Double = 0.01): DataFrame = {
-    val n = math.max(build.count(), 1L)
+    val n = build.count()
+    // empty build side: no key can match, and Spark's bloomFilter NPEs on
+    // zero rows — the exact answer is the empty prefilter result
+    if (n == 0) return big.filter(lit(false))
     // key-type agnostic: the filter holds xxhash64 of the key, so string/
     // decimal/struct keys work identically (a long cast would null out
     // non-numeric keys and silently drop their rows)
     val bf = build.select(xxhash64(col(buildKey)).as("__k"))
       .stat.bloomFilter("__k", n, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf { (k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k)
-    }
-    big.filter(col(bigKey).isNotNull && mightContain(xxhash64(col(bigKey))))
+    big.filter(col(bigKey).isNotNull &&
+        BloomMightContainExpr.mightContain(bc, xxhash64(col(bigKey))))
   }
 }

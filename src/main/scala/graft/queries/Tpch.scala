@@ -219,8 +219,17 @@ object Tpch {
     // q4/q5 — the filtered-customer key set is a ~MB-scale broadcast)
     val oF = graft.ops.Prune.bloomSemiPrefilter(
       tt.orders, "o_custkey", custF.select("c_custkey"), "c_custkey")
+    // lineitem is the largest fact and joins only 2/25-nation suppliers
+    // AND only surviving orders: bloom-prune BOTH keys at the scan, so
+    // <1% of lineitem pays the two fact shuffles instead of 100%. No
+    // pre-aggregation: (l_orderkey, l_suppkey) is near-unique in
+    // lineitem, so a pre-agg would add a shuffle and remove ~no rows.
+    val liF = graft.ops.Prune.bloomSemiPrefilter(
+      graft.ops.Prune.bloomSemiPrefilter(
+        tt.lineitem, "l_suppkey", supF.select("s_suppkey"), "s_suppkey"),
+      "l_orderkey", oF.select("o_orderkey"), "o_orderkey")
     supF
-      .join(tt.lineitem, col("s_suppkey") === col("l_suppkey"))
+      .join(liF, col("s_suppkey") === col("l_suppkey"))
       .join(oF, col("o_orderkey") === col("l_orderkey"))
       .join(custF, col("c_custkey") === col("o_custkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||

@@ -72,6 +72,65 @@ class ApiSpec extends AnyFunSuite {
     sess.dropTempTable("attached_delta")
   }
 
+  test("dedup pipeline verbs: near-dup pairs cluster and keep one per group") {
+    val docs = Tables(spark, dir).documents
+    // plant exact near-dups: shifted ids, same text
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 100000))
+    val pairs = corpus.minhashDedup("doc_id", "text", shingleN = 3, threshold = 0.9)
+    assert(pairs.count() >= docs.count(), "each planted duplicate must pair with its source")
+    val clusters = pairs.dedupClusters("doc_a", "doc_b")
+    assert(clusters.select("cluster").distinct().count() <= docs.count())
+    // decontaminate drops every doc sharing 13-grams with the eval set
+    val eval = docs.limit(5).select(col("text").as("eval_text"))
+    val clean = docs.decontaminate(eval, "text", "eval_text")
+    assert(clean.count() <= docs.count() - 5)
+  }
+
+  test("similarity and skew verbs through the implicit API") {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.limit(3)
+    val top = emb.similarTopK(queries, "vec_id", "embedding", k = 5)
+    // every query returns its k neighbors, best-first
+    assert(top.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+
+    val orders = Tables(spark, dir).orders
+    val keys = orders.select(col("o_orderkey").as("k")).limit(100)
+    val joined = orders.bloomPrefilteredJoin(keys, "o_orderkey", "k", expectedItems = 100)
+    assert(joined.count() == 100)
+  }
+
+  test("text column namespace: counts, language, quality, fingerprint, pii") {
+    import spark.implicits._
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog and runs home today", "en"),
+      ("contact me at alice@example.com or 192.168.0.1 now", "pii"))
+      .toDF("text", "tag")
+    val r = df.select(
+      col("tag"), col("text").tokenCount.as("n"), col("text").langId.as("lang"),
+      col("text").qualityScore.as("q"), col("text").fingerprint.as("fp"),
+      col("text").scrubPii.as("clean")).collect()
+    val en = r.find(_.getString(0) == "en").get
+    assert(en.getInt(1) >= 10 && en.getDouble(3) > 0.0)
+    val pii = r.find(_.getString(0) == "pii").get
+    assert(!pii.getString(5).contains("alice@example.com") &&
+      !pii.getString(5).contains("192.168.0.1"))
+  }
+
+  test("delta maintenance through the facade: optimize zorder, then vacuum") {
+    import spark.implicits._
+    val path = "/tmp/graft_api_maintain_delta"
+    sources.Delta.deleteTable(path)
+    val df = (1 to 4096).map(i => (i.toLong, (i * 37 % 4096).toLong)).toDF("x", "y")
+    Graft.writeDeltalake(df.repartition(8), path)
+    val bytes = sources.Delta.snapshot(spark, path).files.map(_.size).sum
+    Graft.optimizeDeltalakeZorder(spark, path, Seq("x", "y"), targetFileBytes = bytes / 8)
+    assert(Graft.readDeltalake(spark, path).count() == 4096)
+    // old files are unreferenced after the rewrite; a 0-retention vacuum removes them
+    val deleted = Graft.vacuumDeltalake(spark, path, retainMillis = 0L)
+    assert(deleted >= 8, s"expected the pre-zorder files vacuumed, got $deleted")
+    assert(Graft.readDeltalake(spark, path).count() == 4096)
+  }
+
   test("tokenize round-trips through a corpus vocab") {
     val docs = Tables(spark, dir).documents.limit(50)
     val vocab = ops.Tokenize.buildVocab(docs, "text")

@@ -51,6 +51,18 @@ class ScaleSpec extends AnyFunSuite {
       s"expected the native expression inside a codegen stage:\n$plan")
   }
 
+  test("bloom probe stays inside whole-stage codegen") {
+    val li = Tables(spark, dir).lineitem
+    val ord = Tables(spark, dir).orders.filter(col("o_orderkey") < 100)
+    val df = graft.ops.Prune.bloomSemiPrefilter(li, "l_orderkey", ord, "o_orderkey")
+    val plan = executedPlan(df)
+    assert(plan.contains("bloommightcontainexpr"), s"expected the native probe:\n$plan")
+    // the filter stage must be codegen'd: the probe appears inside a "*(n)" span
+    val line = plan.linesIterator.find(_.contains("bloommightcontainexpr")).get
+    assert(line.trim.matches("^[+\\-:\\s]*\\*\\(\\d+\\).*"),
+      s"bloom probe stage not codegen'd:\n$plan")
+  }
+
   test("minhash LSH dedup never materializes a cartesian product") {
     val plan = executedPlan(queries.Pipeline.dedup_minhash_lsh(spark, dir))
     assert(!plan.contains("CartesianProduct"),

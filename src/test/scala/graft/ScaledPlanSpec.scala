@@ -53,8 +53,10 @@ class ScaledPlanSpec extends AnyFunSuite {
   test("q4/q5/q7/q8/q9 carry the bloom semi-prefilter on their fact scan side") {
     for (q <- Seq("q4", "q5", "q7", "q8", "q9")) {
       val p = plan(q)
-      assert(p.contains("UDF"),
-        s"$q: expected the bloom mightContain filter in the plan:\n$p")
+      assert(p.contains("bloommightcontainexpr"),
+        s"$q: expected the native bloom probe in the plan:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("UDF("),
+        s"$q: bloom probe must not fall back to a UDF:\n$p")
     }
   }
 

@@ -45,6 +45,15 @@ class SkewClusterSpec extends AnyFunSuite {
     assert(filtered.count() < t.lineitem.count() / 2)
   }
 
+  test("bloomSemiPrefilter with an empty build side yields exactly no rows") {
+    import spark.implicits._
+    val big = (1L to 100L).toDF("k")
+    val empty = big.filter(col("k") < 0)
+    assert(graft.ops.Prune.bloomSemiPrefilter(big, "k", empty, "k").count() == 0)
+    assert(graft.ops.Prune.bloomPrefilteredJoin(big, empty.select(col("k").as("bk")),
+      "k", "bk", expectedItems = 1).count() == 0)
+  }
+
   test("bloomSemiPrefilter works on string keys (no silent long-cast drop)") {
     val big = Seq(("alpha", 1), ("beta", 2), ("gamma", 3), (null, 4)).toDF("k", "v")
     val build = Seq("alpha", "gamma").toDF("bk")
