@@ -271,6 +271,29 @@ object Io {
       |FROM orders WHERE o_orderkey < 500
       |ORDER BY version""".stripMargin
 
+  /** Iceberg manifest-bounds file skipping (spec §Manifests
+    * lower_bounds/upper_bounds; ref `daft/io/_iceberg.py` prunes scans
+    * from the same metadata): range-clustered write, then a stats-pruned
+    * read; `skipped` carries opened<total into the oracle comparison. */
+  def io_iceberg_stats_skip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Iceberg
+    val path = s"$ioDir/iceberg_stats_${math.abs(dir.hashCode)}"
+    Iceberg.deleteTable(path)
+    val ord = t(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(6, col("o_orderkey"))
+    Iceberg.write(ord, path)
+    val total = Iceberg.state(path).files.size
+    val pred = col("o_orderkey") <= 500L
+    val opened = Iceberg.filesForScan(path, pred).size
+    Iceberg.read(s, path, dataFilter = Some(pred))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("skipped", lit(opened < total))
+  }
+
+  val ioIcebergStatsSkipSql =
+    """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS skipped
+      |FROM orders WHERE o_orderkey <= 500""".stripMargin
+
   /** Iceberg round-trip (ref daft/io/_iceberg.py read_iceberg /
     * write_iceberg; implemented from the open table spec — sources/
     * Iceberg): two append snapshots through Avro manifests, snapshot
@@ -507,6 +530,7 @@ object Io {
     "io_delta_time_travel" -> (io_delta_time_travel _),
     "io_delta_stats_skip" -> (io_delta_stats_skip _),
     "io_iceberg_roundtrip" -> (io_iceberg_roundtrip _),
+    "io_iceberg_stats_skip" -> (io_iceberg_stats_skip _),
     "io_hudi_roundtrip" -> (io_hudi_roundtrip _),
     "io_huggingface" -> (io_huggingface _),
     "io_read_sql" -> (io_read_sql _),
@@ -528,6 +552,7 @@ object Io {
     "io_delta_time_travel" -> ioDeltaTimeTravelSql,
     "io_delta_stats_skip" -> ioDeltaStatsSkipSql,
     "io_iceberg_roundtrip" -> ioIcebergRoundtripSql,
+    "io_iceberg_stats_skip" -> ioIcebergStatsSkipSql,
     "io_hudi_roundtrip" -> ioHudiRoundtripSql,
     "io_huggingface" -> ioHuggingfaceSql,
     "io_read_sql" -> ioReadSqlSql,

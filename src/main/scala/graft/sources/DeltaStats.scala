@@ -52,14 +52,17 @@ private[graft] object DeltaStats {
 
   // ------------------------------------------------------------ collection
 
-  /** One distributed pass computing per-file stats for every staged file;
-    * returns relPath -> stats JSON. `dataSchema` is the table schema
-    * minus partition columns (what the files actually contain). */
-  def collect(
+  /** Raw per-file aggregates from ONE distributed pass: relPath →
+    * (numRecords, per-column (field, min, max, nullCount)) with min/max as
+    * plain JVM values. Shared by the Delta stats-JSON writer and the
+    * Iceberg manifest-bounds writer. */
+  final case class RawFileStats(numRecords: Long, cols: Seq[(StructField, Any, Any, Long)])
+
+  def collectRaw(
       spark: SparkSession,
       tableRoot: String,
       files: Seq[PartitionedFiles.StagedFile],
-      dataSchema: StructType): Map[String, String] = {
+      dataSchema: StructType): Map[String, RawFileStats] = {
     if (files.isEmpty) return Map.empty
     val statCols = dataSchema.fields.filter(f => skippable(f.dataType)).toSeq
     val root = java.nio.file.Paths.get(tableRoot).normalize
@@ -82,13 +85,33 @@ private[graft] object DeltaStats {
       val abs = PartitionedFiles.percentDecode(
         row.getString(0).replaceFirst("^file:(//)?", ""))
       val rel = root.relativize(java.nio.file.Paths.get(abs).normalize).toString
+      val cols = statCols.map { f =>
+        (f,
+          row.get(row.fieldIndex(s"__min_${f.name}")),
+          row.get(row.fieldIndex(s"__max_${f.name}")),
+          row.getLong(row.fieldIndex(s"__nc_${f.name}")))
+      }
+      rel -> RawFileStats(row.getLong(row.fieldIndex("__n")), cols)
+    }.toMap
+  }
+
+  /** One distributed pass computing per-file stats for every staged file;
+    * returns relPath -> stats JSON (the Delta add.stats form). `dataSchema`
+    * is the table schema minus partition columns (what the files actually
+    * contain). */
+  def collect(
+      spark: SparkSession,
+      tableRoot: String,
+      files: Seq[PartitionedFiles.StagedFile],
+      dataSchema: StructType): Map[String, String] =
+    collectRaw(spark, tableRoot, files, dataSchema).map { case (rel, raw) =>
       val om = mapper
       val o = om.createObjectNode()
-      o.put("numRecords", row.getLong(row.fieldIndex("__n")))
+      o.put("numRecords", raw.numRecords)
       val mins = o.putObject("minValues")
       val maxs = o.putObject("maxValues")
       val ncs = o.putObject("nullCount")
-      statCols.foreach { f =>
+      raw.cols.foreach { case (f, mi, ma, nc) =>
         def putVal(node: com.fasterxml.jackson.databind.node.ObjectNode, v: Any): Unit = v match {
           case null => ()
           case b: Boolean => node.put(f.name, b)
@@ -104,14 +127,11 @@ private[graft] object DeltaStats {
           case s: String => node.put(f.name, s)
           case other => node.put(f.name, other.toString)
         }
-        val mi = row.get(row.fieldIndex(s"__min_${f.name}"))
-        val ma = row.get(row.fieldIndex(s"__max_${f.name}"))
         putVal(mins, mi); putVal(maxs, ma)
-        ncs.put(f.name, row.getLong(row.fieldIndex(s"__nc_${f.name}")))
+        ncs.put(f.name, nc)
       }
       rel -> om.writeValueAsString(o)
-    }.toMap
-  }
+    }
 
   // --------------------------------------------------------------- pruning
 

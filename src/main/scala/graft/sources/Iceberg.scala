@@ -48,7 +48,7 @@ object Iceberg {
   private def mapper = new ObjectMapper()
 
   final case class DataFileRef(path: String, recordCount: Long, sizeBytes: Long,
-      partition: Map[String, String])
+      partition: Map[String, String], stats: Option[String] = None)
 
   final case class TableState(
       tablePath: String,
@@ -85,6 +85,13 @@ object Iceberg {
           .getOrElse(sys.error(s"current-schema-id $cur not in schemas"))
       } else meta.get("schema")
     val schema = icebergToSpark(schemaNode)
+    // field-id → (name, type) for decoding manifest column bounds
+    val fieldsById: Map[Int, (String, DataType)] =
+      Option(schemaNode.get("fields")).map(_.elements().asScala.flatMap { f =>
+        val name = f.get("name").asText
+        schema.fields.find(_.name == name)
+          .map(sf => f.get("id").asInt -> (name, sf.dataType))
+      }.toMap).getOrElse(Map.empty)
 
     val partitionFields: Seq[String] =
       if (meta.has("partition-specs")) {
@@ -131,7 +138,8 @@ object Iceberg {
             resolve(tablePath, df.get("file_path").toString),
             df.get("record_count").asInstanceOf[Long],
             df.get("file_size_in_bytes").asInstanceOf[Long],
-            partition)
+            partition,
+            statsJson(df, fieldsById, df.get("record_count").asInstanceOf[Long]))
         }
       }
     }
@@ -143,17 +151,38 @@ object Iceberg {
     *
     * @param snapshotId       time travel to this snapshot
     * @param partitionFilter  planning-time pruning over each file's
-    *                         partition tuple (identity transforms) */
+    *                         partition tuple (identity transforms)
+    * @param dataFilter       planning-time file skipping over the
+    *                         manifests' per-column lower/upper bounds
+    *                         (spec §Manifests); ALSO applied as a row
+    *                         filter, so results are identical with or
+    *                         without bounds — skipping only changes which
+    *                         files open. Pruning reuses [[DeltaStats]]'
+    *                         conservative interval logic. */
   def read(
       spark: SparkSession,
       tablePath: String,
       snapshotId: Option[Long] = None,
-      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
+      partitionFilter: Map[String, String] => Boolean = _ => true,
+      dataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val st = state(tablePath, snapshotId)
-    val live = st.files.filter(f => partitionFilter(f.partition))
-    PartitionedFiles.readWithPartitions(
+    val partLive = st.files.filter(f => partitionFilter(f.partition))
+    val live = dataFilter.fold(partLive) { p =>
+      val keep = DeltaStats.keep(p, st.schema, st.partitionFields)
+      partLive.filter(f => keep(f.stats, f.partition))
+    }
+    val df = PartitionedFiles.readWithPartitions(
       spark, st.schema, st.partitionFields,
       live.map(_.path), live.map(_.partition))
+    dataFilter.fold(df)(df.filter)
+  }
+
+  /** The file subset [[read]] would open for `dataFilter` — exposed so
+    * tests (and planners) can assert skipping effectiveness. */
+  def filesForScan(tablePath: String, dataFilter: org.apache.spark.sql.Column): Seq[DataFileRef] = {
+    val st = state(tablePath)
+    val keep = DeltaStats.keep(dataFilter, st.schema, st.partitionFields)
+    st.files.filter(f => keep(f.stats, f.partition))
   }
 
   private def resolve(tablePath: String, p: String): String =
@@ -204,9 +233,17 @@ object Iceberg {
     //    each manifest entry's partition tuple is exact (pruning-safe);
     //    record counts come from one metadata job, not one job per file.
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val newFiles = PartitionedFiles
+    val staged = PartitionedFiles
       .stageAndMove(df, tablePath, partCols, subDir = "data", countRows = true)
+    val newFiles = staged
       .map(f => DataFileRef(f.relPath, f.rowCount, f.sizeBytes, f.partitionValues))
+    // per-column lower/upper bounds + null counts, one distributed pass
+    // (spec §Manifests) — the file-skipping metadata read() prunes on
+    val dataSchema = StructType(df.schema.filterNot(f => partCols.contains(f.name)))
+    val rawStats = DeltaStats.collectRaw(df.sparkSession, tablePath, staged, dataSchema)
+    val schemaNode = sparkToIceberg(mapper, df.schema)
+    val fieldIds: Map[String, Int] = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
 
     // 2. avro manifest for this snapshot
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
@@ -215,7 +252,7 @@ object Iceberg {
       if (mode == "overwrite") prior.map(_._2.files).getOrElse(Nil).map(f =>
         f.copy(path = relativize(tablePath, f.path))) else Nil
     writeManifest(metadataDir(tablePath).resolve(manifestName), df.schema, partCols,
-      byName, newFiles.toSeq, removedAsDeleted, snapshotId)
+      byName, newFiles.toSeq, removedAsDeleted, snapshotId, rawStats, fieldIds)
 
     // 3. manifest list: new manifest + (on append) the prior snapshot's
     //    manifests carried forward
@@ -248,7 +285,7 @@ object Iceberg {
     root.put("location", tablePath)
     root.put("last-updated-ms", System.currentTimeMillis())
     root.put("last-column-id", df.schema.fields.length)
-    root.set[JsonNode]("schema", sparkToIceberg(om, df.schema))
+    root.set[JsonNode]("schema", schemaNode)
     val specArr = root.putArray("partition-spec")
     partCols.zipWithIndex.foreach { case (c, i) =>
       val f = specArr.addObject()
@@ -315,6 +352,104 @@ object Iceberg {
     deleted
   }
 
+  // --------------------------------------------- column bounds (spec App.D)
+
+  /** Single-value serialization of a min/max bound (spec Appendix D):
+    * ints/longs/floats/doubles little-endian, boolean one byte, date =
+    * days-int, timestamp = micros-long, string = UTF-8. None = type not
+    * covered or non-finite value → no bound emitted (readers keep the
+    * file). */
+  private def boundBytes(dt: DataType, v: Any): Option[Array[Byte]] = {
+    def le(n: Int) = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (v == null) None
+    else dt match {
+      case ByteType | ShortType | IntegerType =>
+        val i = v match { case b: Byte => b.toInt; case s: Short => s.toInt; case i: Int => i }
+        Some(le(4).putInt(i).array)
+      case LongType => Some(le(8).putLong(v.asInstanceOf[Long]).array)
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (java.lang.Float.isFinite(f)) Some(le(4).putFloat(f).array) else None
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (java.lang.Double.isFinite(d)) Some(le(8).putDouble(d).array) else None
+      case BooleanType => Some(Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0))
+      case DateType =>
+        Some(le(4).putInt(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt).array)
+      case TimestampType =>
+        val i = v.asInstanceOf[java.sql.Timestamp].toInstant
+        val micros = Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), (i.getNano / 1000).toLong)
+        Some(le(8).putLong(micros).array)
+      case StringType => Some(v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))
+      case _ => None
+    }
+  }
+
+  /** Decode manifest bounds/null-counts into the Delta-form stats JSON so
+    * [[DeltaStats.parseStats]]/[[DeltaStats.keep]] prune both formats with
+    * the same (property-tested) tri-state logic. Truncated string bounds
+    * from other writers stay sound: a prefix lower bound only loosens the
+    * interval. */
+  private def statsJson(
+      df: GenericRecord,
+      fieldsById: Map[Int, (String, DataType)],
+      recordCount: Long): Option[String] = {
+    def kvs(name: String): Seq[(Int, AnyRef)] =
+      Option(df.getSchema.getField(name)).flatMap(_ => Option(df.get(name))).toSeq.flatMap {
+        case l: java.util.List[_] => l.asScala.toSeq.map { e =>
+          val r = e.asInstanceOf[GenericRecord]
+          r.get("key").asInstanceOf[Int] -> r.get("value")
+        }
+        case _ => Nil
+      }
+    val lowers = kvs("lower_bounds")
+    val uppers = kvs("upper_bounds")
+    val nulls = kvs("null_value_counts")
+    if (lowers.isEmpty && uppers.isEmpty && nulls.isEmpty) return None
+
+    val om = mapper
+    val o = om.createObjectNode()
+    o.put("numRecords", recordCount)
+    def putBounds(node: com.fasterxml.jackson.databind.node.ObjectNode,
+        pairs: Seq[(Int, AnyRef)]): Unit =
+      pairs.foreach { case (id, raw) =>
+        fieldsById.get(id).foreach { case (name, dt) =>
+          val buf = (raw match {
+            case bb: java.nio.ByteBuffer => bb.duplicate()
+            case arr: Array[Byte] => java.nio.ByteBuffer.wrap(arr)
+            case _ => java.nio.ByteBuffer.allocate(0)
+          }).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          dt match {
+            case ByteType | ShortType | IntegerType =>
+              if (buf.remaining >= 4) node.put(name, buf.getInt.toLong)
+            case LongType => if (buf.remaining >= 8) node.put(name, buf.getLong)
+            case FloatType => if (buf.remaining >= 4) node.put(name, buf.getFloat.toDouble)
+            case DoubleType => if (buf.remaining >= 8) node.put(name, buf.getDouble)
+            case BooleanType => if (buf.remaining >= 1) node.put(name, buf.get() != 0)
+            case DateType =>
+              if (buf.remaining >= 4)
+                node.put(name, java.time.LocalDate.ofEpochDay(buf.getInt.toLong).toString)
+            case TimestampType =>
+              if (buf.remaining >= 8)
+                node.put(name, java.time.Instant.EPOCH
+                  .plus(buf.getLong, java.time.temporal.ChronoUnit.MICROS).toString)
+            case StringType =>
+              node.put(name, StandardCharsets.UTF_8.decode(buf).toString)
+            case _ => ()
+          }
+        }
+      }
+    putBounds(o.putObject("minValues"), lowers)
+    putBounds(o.putObject("maxValues"), uppers)
+    val ncs = o.putObject("nullCount")
+    nulls.foreach { case (id, v) =>
+      fieldsById.get(id).foreach { case (name, _) =>
+        v match { case l: java.lang.Long => ncs.put(name, l.longValue); case _ => () }
+      }
+    }
+    Some(om.writeValueAsString(o))
+  }
+
   // ------------------------------------------------------- avro structures
 
   private def partitionAvroSchema(partCols: Seq[String], types: Map[String, DataType]): String =
@@ -342,7 +477,16 @@ object Iceberg {
             "fields":${partitionAvroSchema(partCols, types)}}},
           {"name":"record_count","type":"long"},
           {"name":"file_size_in_bytes","type":"long"},
-          {"name":"block_size_in_bytes","type":"long"}
+          {"name":"block_size_in_bytes","type":"long"},
+          {"name":"null_value_counts","type":["null",{"type":"array","items":
+            {"type":"record","name":"k121_v122","fields":[
+              {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],"default":null},
+          {"name":"lower_bounds","type":["null",{"type":"array","items":
+            {"type":"record","name":"k126_v127","fields":[
+              {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
+          {"name":"upper_bounds","type":["null",{"type":"array","items":
+            {"type":"record","name":"k129_v130","fields":[
+              {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null}
         ]}}
       ]}""")
 
@@ -362,10 +506,17 @@ object Iceberg {
       types: Map[String, DataType],
       added: Seq[DataFileRef],
       deleted: Seq[DataFileRef],
-      snapshotId: Long): Unit = {
+      snapshotId: Long,
+      rawStats: Map[String, DeltaStats.RawFileStats] = Map.empty,
+      fieldIds: Map[String, Int] = Map.empty): Unit = {
     val avro = manifestAvroSchema(partCols, types)
     val dfSchema = avro.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
+    def itemSchema(field: String): AvroSchema =
+      dfSchema.getField(field).schema().getTypes.get(1).getElementType
+    val ncItem = itemSchema("null_value_counts")
+    val loItem = itemSchema("lower_bounds")
+    val hiItem = itemSchema("upper_bounds")
     Files.createDirectories(path.getParent)
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
     writer.create(avro, path.toFile)
@@ -392,6 +543,27 @@ object Iceberg {
         data.put("record_count", f.recordCount)
         data.put("file_size_in_bytes", f.sizeBytes)
         data.put("block_size_in_bytes", 128L * 1024 * 1024)
+        rawStats.get(f.path).foreach { raw =>
+          def kv(item: AvroSchema, id: Int, v: AnyRef): GenericRecord = {
+            val r = new GenericData.Record(item)
+            r.put("key", id); r.put("value", v); r
+          }
+          val ncs = new java.util.ArrayList[GenericRecord]()
+          val los = new java.util.ArrayList[GenericRecord]()
+          val his = new java.util.ArrayList[GenericRecord]()
+          raw.cols.foreach { case (sf, mi, ma, nc) =>
+            fieldIds.get(sf.name).foreach { id =>
+              ncs.add(kv(ncItem, id, Long.box(nc)))
+              boundBytes(sf.dataType, mi).foreach(b =>
+                los.add(kv(loItem, id, java.nio.ByteBuffer.wrap(b))))
+              boundBytes(sf.dataType, ma).foreach(b =>
+                his.add(kv(hiItem, id, java.nio.ByteBuffer.wrap(b))))
+            }
+          }
+          data.put("null_value_counts", ncs)
+          data.put("lower_bounds", los)
+          data.put("upper_bounds", his)
+        }
         val entry = new GenericData.Record(avro)
         entry.put("status", status)
         entry.put("snapshot_id", snapshotId)

@@ -24,6 +24,40 @@ class IcebergSpec extends AnyFunSuite {
     (from until until).map(i => (i.toLong, s"name_$i", i % 4, i * 1.5))
       .toDF("id", "name", "bucket", "score")
 
+  test("manifest column bounds skip files; results identical with skipping") {
+    val path = freshDir("bounds")
+    val df = (0 until 400).map { i =>
+      (i.toLong, f"s_$i%03d", new java.sql.Timestamp(1700000000000L + i * 60000L),
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i / 50)),
+        if (i % 11 == 0) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(i * 0.5))
+    }.toDF("id", "name", "ts", "day", "score").repartitionByRange(4, col("id"))
+    Iceberg.write(df, path)
+    val st = Iceberg.state(path)
+    assert(st.files.size == 4 && st.files.forall(_.stats.isDefined),
+      "every manifest entry must carry bounds")
+
+    // long, string, timestamp, date, and null-count probes all skip
+    assert(Iceberg.filesForScan(path, col("id") === 5L).size == 1)
+    assert(Iceberg.filesForScan(path, col("name") === "s_399").size == 1)
+    assert(Iceberg.filesForScan(path, col("name") < "s_050").size == 1)
+    assert(Iceberg.filesForScan(path,
+      col("ts") < lit(new java.sql.Timestamp(1700000000000L + 30 * 60000L))).size == 1)
+    assert(Iceberg.filesForScan(path,
+      col("day") === java.sql.Date.valueOf("2024-01-08")).size == 1)
+    assert(Iceberg.filesForScan(path, col("id") > 1000L).isEmpty)
+
+    // skipping never changes results
+    val full = Iceberg.read(spark, path).cache()
+    for (p <- Seq(col("id") < 100L, col("score").isNull, col("name").startsWith("s_1"),
+        col("id") === 250L || col("id") === 5L)) {
+      val got = Iceberg.read(spark, path, dataFilter = Some(p))
+        .select("id").as[Long].collect().sorted.toSeq
+      val want = full.filter(p).select("id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"skipping changed results for $p")
+    }
+    full.unpersist()
+  }
+
   test("append snapshots accumulate across manifests") {
     val path = freshDir("append")
     Iceberg.write(fixture(0, 100), path)
