@@ -149,22 +149,36 @@ object Tpch {
     val o = tt.orders.filter(
       col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
       col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    // Transitive closure of the co-location predicate: c_nationkey =
+    // s_nationkey AND the supplier's nation is in ASIA forces BOTH
+    // customer and supplier into ASIA nations (1/5) — push that in
+    // front of every fact shuffle instead of filtering after the chain.
+    val asiaKeys = tt.nation
+      .join(broadcast(tt.region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey").as("asia_nk"))
+    val custA = tt.customer
+      .join(broadcast(asiaKeys), col("c_nationkey") === col("asia_nk")).drop("asia_nk")
+    val supA = tt.supplier
+      .join(broadcast(asiaKeys), col("s_nationkey") === col("asia_nk")).drop("asia_nk")
     // customer⋈orders is fact⋈fact: force the shuffle merge join — the
     // heavily-compressed scaled fixture makes customer's file size slip
     // under the broadcast threshold, and broadcasting a fact is exactly
     // the plan that dies at 100 TB (and OOMed here at the k=1000 tier).
-    // Only ~1/8 of orders pass the date filter, so bloom-prune lineitem
-    // before its shuffle, as in q4.
+    // Orders join only ASIA customers (1/5) on top of the date filter
+    // (1/8): bloom-prune orders on the reduced customer keys, then prune
+    // lineitem on the surviving orderkeys — ~2.5% of lineitem pays the
+    // big shuffle.
+    val oF = graft.ops.Prune.bloomSemiPrefilter(
+      o, "o_custkey", custA.select("c_custkey"), "c_custkey")
     val li = graft.ops.Prune.bloomSemiPrefilter(
-      tt.lineitem, "l_orderkey", o.select("o_orderkey"), "o_orderkey")
-    tt.customer.hint("shuffle_merge")
-      .join(o, col("c_custkey") === col("o_custkey"))
+      tt.lineitem, "l_orderkey", oF.select("o_orderkey"), "o_orderkey")
+    custA.hint("shuffle_merge")
+      .join(oF, col("c_custkey") === col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
-      .join(tt.supplier,
+      .join(supA,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(tt.nation), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(tt.region), col("n_regionkey") === col("r_regionkey"))
-      .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
@@ -276,9 +290,13 @@ object Tpch {
       .select("c_custkey")
     val li = graft.ops.Prune.bloomSemiPrefilter(
       tt.lineitem, "l_partkey", partPromo.select("p_partkey"), "p_partkey")
+    // orders join only EUROPE customers (1/5): bloom-prune the orders
+    // side of the big lineitem⋈orders shuffle too (customer-scale build)
+    val oF = graft.ops.Prune.bloomSemiPrefilter(
+      tt.orders, "o_custkey", custEur, "c_custkey")
     li
       .join(partPromo.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
-      .join(tt.orders.hint("shuffle_merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(oF.hint("shuffle_merge"), col("l_orderkey") === col("o_orderkey"))
       .join(custEur.hint("shuffle_merge"), col("o_custkey") === col("c_custkey"))
       .join(tt.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(supNation), col("s_nationkey") === col("s_nk"))
