@@ -484,7 +484,7 @@ object Delta {
 
     val now = System.currentTimeMillis()
     val removed = toCompact.values.flatten.toSeq
-    val added = toCompact.toSeq.flatMap { case (pv, files) =>
+    val added = inParallel(toCompact.toSeq) { case (pv, files) =>
       val bytes = files.map(_.size).sum
       val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       val slice = readSnapshot(spark, snap.copy(files = files))
@@ -493,9 +493,23 @@ object Delta {
       val statsByRel = DeltaStats.collect(spark, tablePath, staged, snap.dataSchema)
       staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
         f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
-    }
+    }.flatten
 
     commitRewrite(spark, tablePath, snap.version, removed, added, now, "OPTIMIZE")
+  }
+
+  /** Run per-partition rewrite work with bounded concurrent Spark job
+    * submission — a sequential loop means one scheduler round-trip per
+    * partition, which at 10k partitions dominates the rewrite. Spark's
+    * scheduler interleaves the concurrent jobs' tasks across executors. */
+  private def inParallel[A, B](items: Seq[A], slots: Int = 8)(f: A => B): Seq[B] = {
+    if (items.size <= 1) return items.map(f)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(slots, items.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.traverse(items)(a => Future(f(a))), Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** Publish a dataChange=false rewrite (the OPTIMIZE commit shape):
@@ -591,7 +605,7 @@ object Delta {
 
     val now = System.currentTimeMillis()
     val byPartition = snap.files.groupBy(_.partitionValues)
-    val added = byPartition.toSeq.flatMap { case (_, files) =>
+    val added = inParallel(byPartition.toSeq) { case (_, files) =>
       val slice = readSnapshot(spark, snap.copy(files = files))
       val rangeAggs = dims.zipWithIndex.flatMap { case (d, i) =>
         Seq(min(d).as(s"__lo$i"), max(d).as(s"__hi$i")) }
@@ -611,7 +625,7 @@ object Delta {
       val statsByRel = DeltaStats.collect(spark, tablePath, staged, snap.dataSchema)
       staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
         f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
-    }
+    }.flatten
     commitRewrite(spark, tablePath, snap.version, snap.files, added, now, "OPTIMIZE ZORDER")
   }
 
@@ -642,10 +656,23 @@ object Delta {
 
   /** Write a parquet checkpoint of the current state plus the
     * `_last_checkpoint` hint, so future reads replay only commits after
-    * it (spec §checkpoints, single-file classic form). */
+    * it (spec §checkpoints, single-file classic form).
+    *
+    * The add rows flow DataFrame→parquet without ever materializing on
+    * the driver: checkpointing a table that already has a (possibly
+    * huge) checkpoint unions the previous checkpoint's distributed add
+    * set with the small driver-side JSON tail — same O(tail) driver
+    * posture as [[state]]. */
   def checkpoint(spark: SparkSession, tablePath: String): Long = {
-    val snap = snapshot(spark, tablePath)
+    val st = state(spark, tablePath)
     val pvType = MapType(StringType, StringType)
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", pvType),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
     val ckSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
@@ -655,31 +682,43 @@ object Delta {
         StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("createdTime", LongType)))),
-      StructField("add", StructType(Seq(
-        StructField("path", StringType),
-        StructField("partitionValues", pvType),
-        StructField("size", LongType),
-        StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType),
-        StructField("stats", StringType)))),
+      StructField("add", addType),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType))))))
-    val rows =
+
+    // driver-side rows: protocol + metaData + txns + the JSON-tail adds
+    val headRows: Seq[Row] =
       Row(Row(1, 2), null, null, null) +:
-      Row(null, Row(UUID.randomUUID().toString, snap.schema.json, snap.partitionColumns, System.currentTimeMillis()), null, null) +:
-      (snap.files.map(f => Row(null, null, Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull), null)) ++
-       snap.appTxns.toSeq.map { case (app, v) => Row(null, null, null, Row(app, v)) })
+      Row(null, Row(UUID.randomUUID().toString, st.schema.json, st.partitionColumns,
+        System.currentTimeMillis()), null, null) +:
+      (st.tailAdds.map(f =>
+        Row(null, null, Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull), null)) ++
+       st.appTxns.toSeq.map { case (app, v) => Row(null, null, null, Row(app, v)) })
+    val head = spark.createDataFrame(
+      spark.sparkContext.parallelize(headRows, 1), ckSchema)
+    // distributed rows: the previous checkpoint's surviving adds
+    val ck = st.ckptAdds match {
+      case Some(adds) =>
+        val wrapped = adds.select(
+          lit(null).cast(ckSchema("protocol").dataType).as("protocol"),
+          lit(null).cast(ckSchema("metaData").dataType).as("metaData"),
+          struct(col("path"), col("partitionValues"), col("size"),
+            col("modificationTime"), lit(true).as("dataChange"), col("stats")).as("add"),
+          lit(null).cast(ckSchema("txn").dataType).as("txn"))
+        head.unionByName(wrapped)
+      case None => head
+    }
     val scratch = Paths.get(tablePath, s".ckpt-${UUID.randomUUID()}")
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ckSchema)
-      .coalesce(1).write.parquet(scratch.toString)
+    ck.coalesce(1).write.parquet(scratch.toString)
     val part = Files.walk(scratch).iterator().asScala
       .find(p => p.getFileName.toString.endsWith(".parquet")).get
-    Files.move(part, checkpointFile(tablePath, snap.version), StandardCopyOption.REPLACE_EXISTING)
+    Files.move(part, checkpointFile(tablePath, st.version), StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(scratch)
-    val hint = s"""{"version":${snap.version},"size":${rows.size}}"""
+    val nRows = spark.read.parquet(checkpointFile(tablePath, st.version).toString).count()
+    val hint = s"""{"version":${st.version},"size":$nRows}"""
     Files.write(logDir(tablePath).resolve("_last_checkpoint"), hint.getBytes(StandardCharsets.UTF_8))
-    snap.version
+    st.version
   }
 
   private def deleteRecursively(p: Path): Unit =

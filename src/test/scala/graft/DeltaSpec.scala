@@ -66,6 +66,20 @@ class DeltaSpec extends AnyFunSuite {
     assert(pruned.filter(col("bucket") =!= "2").count() == 0)
   }
 
+  test("checkpoint-of-checkpoint unions the distributed add set with the tail") {
+    val path = freshDir("ckck")
+    Delta.write(fixture(0, 100), path)
+    Delta.checkpoint(spark, path)
+    Delta.write(fixture(100, 150), path)
+    Delta.checkpoint(spark, path) // prior checkpoint's adds flow DF→parquet
+    Delta.write(fixture(150, 160), path)
+    val st = Delta.state(spark, path)
+    assert(st.ckptAdds.isDefined && st.tailAdds.nonEmpty)
+    val back = Delta.read(spark, path)
+    assert(back.count() == 160)
+    assert(back.agg(sum("id")).as[Long].head() == (0L until 160).sum)
+  }
+
   test("overwrite logically removes prior files; time travel still sees them") {
     val path = freshDir("tt")
     Delta.write(fixture(0, 100), path)                      // v0
