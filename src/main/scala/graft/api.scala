@@ -50,8 +50,12 @@ object Graft {
     sources.Sql.readSql(spark, jdbcUrl, table)
   // lakehouse tables + HF hub (ref read_deltalake/read_iceberg/read_hudi/
   // read_huggingface) — open-spec implementations, see graft.sources
-  def readDeltalake(spark: SparkSession, path: String, versionAsOf: Option[Long] = None): DataFrame =
-    sources.Delta.read(spark, path, versionAsOf)
+  /** `dataFilter` enables planning-time file skipping over per-file
+    * stats (min/max/nullCount); it is also applied as a row filter, so
+    * results match a plain read + filter exactly. */
+  def readDeltalake(spark: SparkSession, path: String, versionAsOf: Option[Long] = None,
+      dataFilter: Option[Column] = None): DataFrame =
+    sources.Delta.read(spark, path, versionAsOf, dataFilter = dataFilter)
   def writeDeltalake(df: DataFrame, path: String, mode: String = "append",
       partitionBy: Seq[String] = Nil): Long =
     sources.Delta.write(df, path, mode, partitionBy)
@@ -66,8 +70,9 @@ object Graft {
   def vacuumDeltalake(spark: SparkSession, path: String,
       retainMillis: Long = 7L * 24 * 3600 * 1000): Int =
     sources.Delta.vacuum(spark, path, retainMillis)
-  def readIceberg(spark: SparkSession, path: String, snapshotId: Option[Long] = None): DataFrame =
-    sources.Iceberg.read(spark, path, snapshotId)
+  def readIceberg(spark: SparkSession, path: String, snapshotId: Option[Long] = None,
+      dataFilter: Option[Column] = None): DataFrame =
+    sources.Iceberg.read(spark, path, snapshotId, dataFilter = dataFilter)
   def writeIceberg(df: DataFrame, path: String, mode: String = "append",
       partitionBy: Seq[String] = Nil): Long =
     sources.Iceberg.write(df, path, mode, partitionBy)

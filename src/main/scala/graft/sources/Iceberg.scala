@@ -71,12 +71,56 @@ object Iceberg {
   private def readMetadata(tablePath: String): JsonNode =
     mapper.readTree(Files.readAllBytes(currentMetadataFile(tablePath)))
 
-  /** Reconstruct live data files for a snapshot (default: current). */
+  /** Reconstruct live data files for a snapshot (default: current) with a
+    * driver-side manifest walk — maintenance and writer paths need the
+    * full list; the scan path goes through [[scanFiles]] (distributed
+    * walk, pruned before collect) instead. */
   def state(tablePath: String, snapshotId: Option[Long] = None): TableState = {
+    val (schema, partitionFields, snapId, manifests, fieldsById) = header(tablePath, snapshotId)
+    val files = manifests.flatMap(mp => manifestEntries(tablePath, mp, fieldsById))
+    TableState(tablePath, snapId, schema, partitionFields, files)
+  }
+
+  /** Live data-file entries of one manifest — callable on an executor
+    * (everything captured is serializable; avro ships with Spark). */
+  private def manifestEntries(
+      tablePath: String,
+      manifestPath: String,
+      fieldsById: Map[Int, (String, DataType)]): Seq[DataFileRef] =
+    readAvro(manifestPath).flatMap { entry =>
+      val status = entry.get("status").asInstanceOf[Int]
+      if (status == 2) None // DELETED
+      else {
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        def field(r: GenericRecord, n: String): Option[AnyRef] =
+          Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+        val content = field(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
+        require(content == 0,
+          s"unsupported Iceberg delete file (content=$content) — row-level deletes not implemented")
+        val partition = Option(df.get("partition").asInstanceOf[GenericRecord]).map { p =>
+          p.getSchema.getFields.asScala.map { f =>
+            f.name -> (p.get(f.name) match {
+              case null => null
+              case other => other.toString // typed avro value → canonical string
+            })
+          }.toMap
+        }.getOrElse(Map.empty[String, String])
+        Some(DataFileRef(
+          resolve(tablePath, df.get("file_path").toString),
+          df.get("record_count").asInstanceOf[Long],
+          df.get("file_size_in_bytes").asInstanceOf[Long],
+          partition,
+          statsJson(df, fieldsById, df.get("record_count").asInstanceOf[Long])))
+      }
+    }
+
+  /** Planning header only (no file listing): schema, partition fields,
+    * snapshot id, and the manifest paths — O(manifests) driver work. */
+  private def header(
+      tablePath: String, snapshotId: Option[Long]): (StructType, Seq[String], Long, Seq[String], Map[Int, (String, DataType)]) = {
     val meta = readMetadata(tablePath)
     val fv = meta.get("format-version").asInt
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
-
     val schemaNode =
       if (meta.has("schemas")) {
         val cur = meta.get("current-schema-id").asInt
@@ -85,14 +129,12 @@ object Iceberg {
           .getOrElse(sys.error(s"current-schema-id $cur not in schemas"))
       } else meta.get("schema")
     val schema = icebergToSpark(schemaNode)
-    // field-id → (name, type) for decoding manifest column bounds
     val fieldsById: Map[Int, (String, DataType)] =
       Option(schemaNode.get("fields")).map(_.elements().asScala.flatMap { f =>
         val name = f.get("name").asText
         schema.fields.find(_.name == name)
           .map(sf => f.get("id").asInt -> (name, sf.dataType))
       }.toMap).getOrElse(Map.empty)
-
     val partitionFields: Seq[String] =
       if (meta.has("partition-specs")) {
         val cur = if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt else 0
@@ -103,7 +145,6 @@ object Iceberg {
       } else if (meta.has("partition-spec"))
         meta.get("partition-spec").elements().asScala.map(_.get("name").asText).toSeq
       else Nil
-
     val snapId = snapshotId.getOrElse {
       require(meta.has("current-snapshot-id") && meta.get("current-snapshot-id").asLong != -1,
         s"Iceberg table has no current snapshot: $tablePath")
@@ -112,38 +153,34 @@ object Iceberg {
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == snapId)
       .getOrElse(sys.error(s"snapshot $snapId not found in $tablePath"))
+    val manifests = readAvro(resolve(tablePath, snap.get("manifest-list").asText))
+      .map(ml => resolve(tablePath, ml.get("manifest_path").toString))
+    (schema, partitionFields, snapId, manifests, fieldsById)
+  }
 
-    val manifestListPath = resolve(tablePath, snap.get("manifest-list").asText)
-    val files = mutable.ArrayBuffer.empty[DataFileRef]
-    readAvro(manifestListPath).foreach { ml =>
-      val mp = resolve(tablePath, ml.get("manifest_path").toString)
-      readAvro(mp).foreach { entry =>
-        val status = entry.get("status").asInstanceOf[Int]
-        if (status != 2) { // not DELETED
-          val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          def field(r: GenericRecord, n: String): Option[AnyRef] =
-            Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
-          val content = field(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
-          require(content == 0,
-            s"unsupported Iceberg delete file (content=$content) — row-level deletes not implemented")
-          val partition = Option(df.get("partition").asInstanceOf[GenericRecord]).map { p =>
-            p.getSchema.getFields.asScala.map { f =>
-              f.name -> (p.get(f.name) match {
-                case null => null
-                case other => other.toString // typed avro value → canonical string
-              })
-            }.toMap
-          }.getOrElse(Map.empty[String, String])
-          files += DataFileRef(
-            resolve(tablePath, df.get("file_path").toString),
-            df.get("record_count").asInstanceOf[Long],
-            df.get("file_size_in_bytes").asInstanceOf[Long],
-            partition,
-            statsJson(df, fieldsById, df.get("record_count").asInstanceOf[Long]))
-        }
-      }
-    }
-    TableState(tablePath, snapId, schema, partitionFields, files.toSeq)
+  /** The pruned live file set, with manifests parsed ON EXECUTORS and the
+    * partition+bounds filters applied before anything returns to the
+    * driver — at millions of files the driver holds only the manifest
+    * path list and the surviving entries (production Iceberg's
+    * distributed planning shape). */
+  private def scanFiles(
+      spark: SparkSession,
+      tablePath: String,
+      snapshotId: Option[Long],
+      partitionFilter: Map[String, String] => Boolean,
+      dataFilter: Option[org.apache.spark.sql.Column]): (StructType, Seq[String], Seq[DataFileRef]) = {
+    val (schema, partitionFields, _, manifests, fieldsById) = header(tablePath, snapshotId)
+    val keepStats: (Option[String], Map[String, String]) => Boolean =
+      dataFilter.map(DeltaStats.keep(_, schema, partitionFields)).getOrElse((_, _) => true)
+    val pf = partitionFilter
+    val live: Seq[DataFileRef] =
+      if (manifests.isEmpty) Nil
+      else spark.sparkContext
+        .parallelize(manifests, math.min(manifests.size, 64))
+        .flatMap(mp => manifestEntries(tablePath, mp, fieldsById)
+          .filter(f => pf(f.partition) && keepStats(f.stats, f.partition)))
+        .collect().toSeq
+    (schema, partitionFields, live)
   }
 
   /** Read an Iceberg table as a DataFrame (one parquet scan; identity
@@ -165,14 +202,10 @@ object Iceberg {
       snapshotId: Option[Long] = None,
       partitionFilter: Map[String, String] => Boolean = _ => true,
       dataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val st = state(tablePath, snapshotId)
-    val partLive = st.files.filter(f => partitionFilter(f.partition))
-    val live = dataFilter.fold(partLive) { p =>
-      val keep = DeltaStats.keep(p, st.schema, st.partitionFields)
-      partLive.filter(f => keep(f.stats, f.partition))
-    }
+    val (schema, partitionFields, live) =
+      scanFiles(spark, tablePath, snapshotId, partitionFilter, dataFilter)
     val df = PartitionedFiles.readWithPartitions(
-      spark, st.schema, st.partitionFields,
+      spark, schema, partitionFields,
       live.map(_.path), live.map(_.partition))
     dataFilter.fold(df)(df.filter)
   }
