@@ -58,6 +58,52 @@ class IcebergSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("property: bounds pruning never drops a file containing a matching row") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(11)
+    val path = freshDir("prop")
+    val rows = (0 until 400).map { _ =>
+      Row(
+        if (rnd.nextInt(15) == 0) null else java.lang.Long.valueOf(rnd.nextLong() % 500L),
+        if (rnd.nextInt(8) == 0) null else s"t${rnd.nextInt(40)}",
+        rnd.nextInt(20) match {
+          case 0 => null
+          case 1 => java.lang.Double.valueOf(Double.NaN)
+          case _ => java.lang.Double.valueOf(rnd.nextDouble() * 100 - 50)
+        },
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("d", DoubleType), StructField("ts", TimestampType)))
+    Iceberg.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema).repartition(5), path)
+
+    val withFile = Iceberg.read(spark, path)
+      .withColumn("__f", col("_metadata.file_path")).cache()
+    def leaf() = rnd.nextInt(8) match {
+      case 0 => col("id") === (rnd.nextLong() % 500L)
+      case 1 => col("id") < (rnd.nextLong() % 500L)
+      case 2 => col("s") === s"t${rnd.nextInt(40)}"
+      case 3 => col("s").startsWith("t1")
+      case 4 => col("d") > (rnd.nextDouble() * 100 - 50)
+      case 5 => col("d").isNull
+      case 6 => col("ts") < lit(new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L))
+      case 7 => col("id").isNotNull
+    }
+    (0 until 25).foreach { i =>
+      val p = if (rnd.nextBoolean()) leaf() else (if (rnd.nextBoolean()) leaf() && leaf() else leaf() || leaf())
+      val kept = Iceberg.filesForScan(path, p)
+        .map(f => Paths.get(f.path).toRealPath().toString).toSet
+      val matching = withFile.filter(p).select("__f").distinct().as[String].collect()
+        .map(u => Paths.get(new java.net.URI(u).getPath).toRealPath().toString)
+      val dropped = matching.filterNot(kept)
+      assert(dropped.isEmpty, s"iteration $i: $p matched rows in pruned files: ${dropped.mkString(",")}")
+    }
+    withFile.unpersist()
+  }
+
   test("append snapshots accumulate across manifests") {
     val path = freshDir("append")
     Iceberg.write(fixture(0, 100), path)
