@@ -161,23 +161,35 @@ object Delta {
     val rawCkptAdds: Option[DataFrame] = ckptVersion.map { cv =>
       val ck = spark.read.parquet(checkpointFile(tablePath, cv).toString)
       val cols = ck.columns.toSet
-      if (cols("protocol"))
-        ck.where(col("protocol").isNotNull).select("protocol.*").collect().foreach { p =>
-          val feats =
-            if (p.schema.fieldNames.contains("readerFeatures") && !p.isNullAt(p.fieldIndex("readerFeatures")))
-              p.getSeq[String](p.fieldIndex("readerFeatures"))
-            else Nil
-          applyProtocol(p.getInt(p.fieldIndex("minReaderVersion")), feats)
+      // protocol + metaData + txn rows are O(1)/O(writer apps): gather
+      // them in ONE job over the checkpoint instead of one scan each
+      val headCols = Seq("protocol", "metaData", "txn").filter(cols)
+      if (headCols.nonEmpty) {
+        val headRows = ck
+          .where(headCols.map(c => col(c).isNotNull).reduce(_ || _))
+          .select(headCols.map(col): _*)
+          .collect()
+        def structOf(row: Row, name: String): Option[Row] = {
+          val i = row.fieldIndex(name)
+          if (row.isNullAt(i)) None else Some(row.getStruct(i))
         }
-      if (cols("metaData"))
-        ck.where(col("metaData").isNotNull).select("metaData.*").collect().foreach { m =>
-          applyMeta(m.getString(m.fieldIndex("schemaString")),
-            m.getSeq[String](m.fieldIndex("partitionColumns")))
+        headRows.foreach { row =>
+          if (headCols.contains("protocol")) structOf(row, "protocol").foreach { p =>
+            val feats =
+              if (p.schema.fieldNames.contains("readerFeatures") && !p.isNullAt(p.fieldIndex("readerFeatures")))
+                p.getSeq[String](p.fieldIndex("readerFeatures"))
+              else Nil
+            applyProtocol(p.getInt(p.fieldIndex("minReaderVersion")), feats)
+          }
+          if (headCols.contains("metaData")) structOf(row, "metaData").foreach { m =>
+            applyMeta(m.getString(m.fieldIndex("schemaString")),
+              m.getSeq[String](m.fieldIndex("partitionColumns")))
+          }
+          if (headCols.contains("txn")) structOf(row, "txn").foreach { t =>
+            appTxns(t.getString(t.fieldIndex("appId"))) = t.getLong(t.fieldIndex("version"))
+          }
         }
-      if (cols("txn"))
-        ck.where(col("txn").isNotNull).select("txn.*").collect().foreach { t =>
-          appTxns(t.getString(t.fieldIndex("appId"))) = t.getLong(t.fieldIndex("version"))
-        }
+      }
       val addsSchema = StructType(Seq(
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),
@@ -267,11 +279,13 @@ object Delta {
       dataFilter.map(DeltaStats.keep(_, st.schema, st.partitionColumns))
         .getOrElse((_, _) => true)
     val fromCkpt = st.ckptAdds.toSeq.flatMap { df =>
-      val pf = partitionFilter
+      // only the stats prune runs distributed: its closure captures a
+      // serializable Catalyst expression by construction, while the
+      // caller-supplied partitionFilter function may capture anything —
+      // it stays on the driver, applied to the (already pruned) survivors
       val ks = keepStats
       val keepUdf = udf { (pv: Map[String, String], stats: String) =>
-        val m = Option(pv).getOrElse(Map.empty[String, String])
-        pf(m) && ks(Option(stats), m)
+        ks(Option(stats), Option(pv).getOrElse(Map.empty[String, String]))
       }
       df.filter(keepUdf(col("partitionValues"), col("stats"))).collect().map { r =>
         AddFile(
@@ -281,7 +295,7 @@ object Delta {
           r.getLong(r.fieldIndex("size")),
           r.getLong(r.fieldIndex("modificationTime")),
           if (r.isNullAt(r.fieldIndex("stats"))) None else Some(r.getString(r.fieldIndex("stats"))))
-      }
+      }.filter(f => partitionFilter(f.partitionValues))
     }
     fromCkpt ++ st.tailAdds.filter(f =>
       partitionFilter(f.partitionValues) && keepStats(f.stats, f.partitionValues))
@@ -477,6 +491,7 @@ object Delta {
       spark: SparkSession,
       tablePath: String,
       targetFileBytes: Long = 128L << 20): Long = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val snap = snapshot(spark, tablePath)
     val byPartition = snap.files.groupBy(_.partitionValues)
     val toCompact = byPartition.filter(_._2.size > 1)
@@ -484,16 +499,17 @@ object Delta {
 
     val now = System.currentTimeMillis()
     val removed = toCompact.values.flatten.toSeq
-    val added = inParallel(toCompact.toSeq) { case (pv, files) =>
+    val staged = inParallel(toCompact.toSeq) { case (pv, files) =>
       val bytes = files.map(_.size).sum
       val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       val slice = readSnapshot(spark, snap.copy(files = files))
         .coalesce(n)
-      val staged = PartitionedFiles.stageAndMove(slice, tablePath, snap.partitionColumns)
-      val statsByRel = DeltaStats.collect(spark, tablePath, staged, snap.dataSchema)
-      staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
-        f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
+      PartitionedFiles.stageAndMove(slice, tablePath, snap.partitionColumns)
     }.flatten
+    // ONE stats pass over every rewritten file, not one job per partition
+    val statsByRel = DeltaStats.collect(spark, tablePath, staged, snap.dataSchema)
+    val added = staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
+      f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
 
     commitRewrite(spark, tablePath, snap.version, removed, added, now, "OPTIMIZE")
   }
@@ -585,6 +601,7 @@ object Delta {
       targetFileBytes: Long = 128L << 20): Long = {
     val snap = snapshot(spark, tablePath)
     require(zorderBy.nonEmpty, "zorderBy must list at least one column")
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     zorderBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"no such column: $c")
       require(!snap.partitionColumns.contains(c),
@@ -605,7 +622,7 @@ object Delta {
 
     val now = System.currentTimeMillis()
     val byPartition = snap.files.groupBy(_.partitionValues)
-    val added = inParallel(byPartition.toSeq) { case (_, files) =>
+    val staged = inParallel(byPartition.toSeq) { case (_, files) =>
       val slice = readSnapshot(spark, snap.copy(files = files))
       val rangeAggs = dims.zipWithIndex.flatMap { case (d, i) =>
         Seq(min(d).as(s"__lo$i"), max(d).as(s"__hi$i")) }
@@ -621,11 +638,12 @@ object Delta {
         .repartitionByRange(n, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
-      val staged = PartitionedFiles.stageAndMove(clustered, tablePath, snap.partitionColumns)
-      val statsByRel = DeltaStats.collect(spark, tablePath, staged, snap.dataSchema)
-      staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
-        f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
+      PartitionedFiles.stageAndMove(clustered, tablePath, snap.partitionColumns)
     }.flatten
+    // ONE stats pass over every rewritten file, not one job per partition
+    val statsByRel = DeltaStats.collect(spark, tablePath, staged, snap.dataSchema)
+    val added = staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
+      f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
     commitRewrite(spark, tablePath, snap.version, snap.files, added, now, "OPTIMIZE ZORDER")
   }
 

@@ -171,7 +171,19 @@ private[graft] object DeltaStats {
     * comparing the decimal text against an exact binary literal would
     * wrongly prune equality probes on the stored value. */
   private def parseDomain(node: JsonNode, dt: DataType): Option[Any] = dt match {
-    case FloatType | DoubleType =>
+    case FloatType =>
+      // round the text to the nearest FLOAT first: a float stat serialized
+      // as float-shortest-decimal (delta-spark) parses as a double strictly
+      // below the true float value, which would tighten the interval and
+      // wrongly prune; parseFloat→widen recovers the exact binary float
+      // for both float-shortest and double-widened writer forms
+      if (!node.isNumber) None
+      else {
+        val f = java.lang.Float.parseFloat(node.asText)
+        if (java.lang.Float.isFinite(f)) Some(new java.math.BigDecimal(f.toDouble): java.math.BigDecimal)
+        else None
+      }
+    case DoubleType =>
       if (!node.isNumber) None
       else {
         val d = node.asDouble

@@ -86,7 +86,8 @@ object Iceberg {
   private def manifestEntries(
       tablePath: String,
       manifestPath: String,
-      fieldsById: Map[Int, (String, DataType)]): Seq[DataFileRef] =
+      fieldsById: Map[Int, (String, DataType)]): Seq[DataFileRef] = {
+    val typeByName: Map[String, DataType] = fieldsById.values.toMap
     readAvro(manifestPath).flatMap { entry =>
       val status = entry.get("status").asInstanceOf[Int]
       if (status == 2) None // DELETED
@@ -99,9 +100,18 @@ object Iceberg {
           s"unsupported Iceberg delete file (content=$content) — row-level deletes not implemented")
         val partition = Option(df.get("partition").asInstanceOf[GenericRecord]).map { p =>
           p.getSchema.getFields.asScala.map { f =>
-            f.name -> (p.get(f.name) match {
-              case null => null
-              case other => other.toString // typed avro value → canonical string
+            // typed avro value → canonical string in the COLUMN's domain:
+            // the spec stores date partitions as epoch-day ints and
+            // timestamps as micros longs — stringifying those raw would
+            // compare "19723" against "2024-01-08" downstream (pruning
+            // and partition-column reattach both consume these strings)
+            f.name -> ((p.get(f.name), typeByName.get(f.name)) match {
+              case (null, _) => null
+              case (i: java.lang.Integer, Some(DateType)) =>
+                java.time.LocalDate.ofEpochDay(i.longValue).toString
+              case (l: java.lang.Long, Some(TimestampType)) =>
+                java.time.Instant.EPOCH.plus(l, java.time.temporal.ChronoUnit.MICROS).toString
+              case (other, _) => other.toString
             })
           }.toMap
         }.getOrElse(Map.empty[String, String])
@@ -113,6 +123,7 @@ object Iceberg {
           statsJson(df, fieldsById, df.get("record_count").asInstanceOf[Long])))
       }
     }
+  }
 
   /** Planning header only (no file listing): schema, partition fields,
     * snapshot id, and the manifest paths — O(manifests) driver work. */
@@ -172,15 +183,18 @@ object Iceberg {
     val (schema, partitionFields, _, manifests, fieldsById) = header(tablePath, snapshotId)
     val keepStats: (Option[String], Map[String, String]) => Boolean =
       dataFilter.map(DeltaStats.keep(_, schema, partitionFields)).getOrElse((_, _) => true)
-    val pf = partitionFilter
+    // bounds pruning runs on executors (its closure captures only a
+    // serializable Catalyst expression); the caller-supplied
+    // partitionFilter function may capture anything, so it filters the
+    // already-pruned survivors on the driver
     val live: Seq[DataFileRef] =
       if (manifests.isEmpty) Nil
       else spark.sparkContext
         .parallelize(manifests, math.min(manifests.size, 64))
         .flatMap(mp => manifestEntries(tablePath, mp, fieldsById)
-          .filter(f => pf(f.partition) && keepStats(f.stats, f.partition)))
+          .filter(f => keepStats(f.stats, f.partition)))
         .collect().toSeq
-    (schema, partitionFields, live)
+    (schema, partitionFields, live.filter(f => partitionFilter(f.partition)))
   }
 
   /** Read an Iceberg table as a DataFrame (one parquet scan; identity

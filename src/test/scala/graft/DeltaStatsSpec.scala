@@ -141,6 +141,18 @@ class DeltaStatsSpec extends AnyFunSuite {
     assert(Delta.filesForScan(spark, path, col("f") > 1.0f).isEmpty)
   }
 
+  test("float stats in float-shortest-decimal text (delta-spark form) are not mis-pruned") {
+    val schema = StructType(Seq(StructField("f", FloatType)))
+    // delta-spark serializes a float stat as the FLOAT's shortest decimal
+    // ("0.3"), which parses as a double strictly below 0.3f — rounding
+    // through the float domain must recover the exact stored value
+    val f = Delta.AddFile("f", Map.empty, 1L, 0L, Some(
+      """{"numRecords":2,"minValues":{"f":0.3},"maxValues":{"f":0.3},"nullCount":{"f":0}}"""))
+    assert(DeltaStats.prune(Seq(f), col("f") === 0.3f, schema, Nil).size == 1)
+    assert(DeltaStats.prune(Seq(f), col("f") > 0.2f, schema, Nil).size == 1)
+    assert(DeltaStats.prune(Seq(f), col("f") > 0.4f, schema, Nil).isEmpty)
+  }
+
   test("narrowing casts are not looked through; up-casts are") {
     val schema = StructType(Seq(StructField("d", DoubleType), StructField("i", IntegerType)))
     val f = Delta.AddFile("f", Map.empty, 1L, 0L, Some(

@@ -104,6 +104,20 @@ class IcebergSpec extends AnyFunSuite {
     withFile.unpersist()
   }
 
+  test("date-partitioned table prunes on the partition column through dataFilter") {
+    val path = freshDir("datepart")
+    val df = (0 until 120).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i % 4)))
+    }.toDF("id", "day")
+    Iceberg.write(df, path, partitionBy = Seq("day"))
+    val total = Iceberg.state(path).files.size
+    val probe = col("day") === java.sql.Date.valueOf("2024-03-02")
+    val opened = Iceberg.filesForScan(path, probe).size
+    assert(opened < total, s"partition-value pruning should cut $total files, opened $opened")
+    val got = Iceberg.read(spark, path, dataFilter = Some(probe)).count()
+    assert(got == 30)
+  }
+
   test("append snapshots accumulate across manifests") {
     val path = freshDir("append")
     Iceberg.write(fixture(0, 100), path)
