@@ -36,6 +36,10 @@ class DeltaModelSpec extends AnyFunSuite {
       val gotSum = if (model.isEmpty) 0L
         else got.agg(coalesce(sum("id"), lit(0L))).head().getLong(0)
       assert(gotSum == model.sum, s"$tag: id-sum mismatch")
+      // stats-pruned read sees exactly the model subset, at any threshold
+      val t = if (model.isEmpty) 1L else model(rnd.nextInt(model.size))
+      val pruned = Delta.read(spark, path, dataFilter = Some(col("id") < t)).count()
+      assert(pruned == model.count(_ < t), s"$tag: stats-pruned count mismatch at id<$t")
     }
 
     // v0 must exist before compact/checkpoint make sense
@@ -45,7 +49,7 @@ class DeltaModelSpec extends AnyFunSuite {
     check("v0")
 
     (1 to 25).foreach { step =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 | 1 => // append
           val ids = freshIds(1 + rnd.nextInt(8))
           val v = Delta.write(df(ids), path)
@@ -64,6 +68,9 @@ class DeltaModelSpec extends AnyFunSuite {
             val v = Delta.write(df(ids), path, txn = Some("model-app" -> step.toLong))
             model = model ++ ids; history += v -> model
           }
+        case 5 => // zorder rewrite (no logical change; new version, same data)
+          val v = Delta.optimizeZorder(spark, path, Seq("id"))
+          history += v -> model
       }
       check(s"step $step")
     }
