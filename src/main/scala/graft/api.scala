@@ -70,6 +70,12 @@ object Graft {
   def vacuumDeltalake(spark: SparkSession, path: String,
       retainMillis: Long = 7L * 24 * 3600 * 1000): Int =
     sources.Delta.vacuum(spark, path, retainMillis)
+  /** Row-level copy-on-write DML; returns (version, rows affected). */
+  def deleteDeltalake(spark: SparkSession, path: String, pred: Column): (Long, Long) =
+    sources.Delta.delete(spark, path, pred)
+  def updateDeltalake(spark: SparkSession, path: String,
+      set: Map[String, Column], pred: Column): (Long, Long) =
+    sources.Delta.update(spark, path, set, pred)
   def readIceberg(spark: SparkSession, path: String, snapshotId: Option[Long] = None,
       dataFilter: Option[Column] = None): DataFrame =
     sources.Iceberg.read(spark, path, snapshotId, dataFilter = dataFilter)

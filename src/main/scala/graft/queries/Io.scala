@@ -241,6 +241,29 @@ object Io {
       |  round(sum(l_extendedprice), 2) AS price, true AS skipped
       |FROM lineitem WHERE l_orderkey <= 100""".stripMargin
 
+  /** Delta row-level DML (copy-on-write DELETE + UPDATE, the spec's
+    * remove + rewritten-add commit shape): delete a key range, update a
+    * disjoint one, verify the surviving aggregate against the oracle's
+    * CASE expression over the raw table. */
+  def io_delta_dml(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Delta
+    val path = s"$ioDir/delta_dml_${math.abs(dir.hashCode)}"
+    Delta.deleteTable(path)
+    val ord = t(s, dir).orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Delta.write(ord.repartitionByRange(4, col("o_orderkey")), path)
+    Delta.delete(s, path, col("o_orderkey") <= 500L)
+    Delta.update(s, path,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)), col("o_orderkey") > 5000L)
+    Delta.read(s, path)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  val ioDeltaDmlSql =
+    """SELECT count(*) AS n,
+      |  round(sum(CASE WHEN o_orderkey > 5000 THEN o_totalprice * 2
+      |                 ELSE o_totalprice END), 2) AS total
+      |FROM orders WHERE o_orderkey > 500""".stripMargin
+
   /** Delta time travel + overwrite semantics: version 2 overwrites the
     * table down to l_orderkey < 500; reading versionAsOf=1 still sees the
     * pre-overwrite state, the latest snapshot honors the removes. A
@@ -529,6 +552,7 @@ object Io {
     "io_delta_roundtrip" -> (io_delta_roundtrip _),
     "io_delta_time_travel" -> (io_delta_time_travel _),
     "io_delta_stats_skip" -> (io_delta_stats_skip _),
+    "io_delta_dml" -> (io_delta_dml _),
     "io_iceberg_roundtrip" -> (io_iceberg_roundtrip _),
     "io_iceberg_stats_skip" -> (io_iceberg_stats_skip _),
     "io_hudi_roundtrip" -> (io_hudi_roundtrip _),
@@ -551,6 +575,7 @@ object Io {
     "io_delta_roundtrip" -> ioDeltaRoundtripSql,
     "io_delta_time_travel" -> ioDeltaTimeTravelSql,
     "io_delta_stats_skip" -> ioDeltaStatsSkipSql,
+    "io_delta_dml" -> ioDeltaDmlSql,
     "io_iceberg_roundtrip" -> ioIcebergRoundtripSql,
     "io_iceberg_stats_skip" -> ioIcebergStatsSkipSql,
     "io_hudi_roundtrip" -> ioHudiRoundtripSql,

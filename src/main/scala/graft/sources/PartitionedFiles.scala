@@ -95,13 +95,25 @@ private[graft] object PartitionedFiles {
       schema: StructType,
       partitionColumns: Seq[String],
       paths: Seq[String],
-      filePv: Seq[Map[String, String]]): DataFrame = {
-    val ordered: Seq[Column] = schema.map(f => col(f.name))
-    if (paths.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      filePv: Seq[Map[String, String]],
+      sourceCol: Option[String] = None): DataFrame = {
+    // sourceCol: carry the DECODED absolute source-file path as an extra
+    // column — row-level rewrite ops (DELETE/UPDATE) group on it to find
+    // which files actually contain matching rows
+    val ordered: Seq[Column] =
+      schema.map(f => col(f.name)) ++ sourceCol.map(col).toSeq
+    def srcKey: Column = percentDecodeUdf(
+      regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+    if (paths.isEmpty) {
+      val outSchema = StructType(
+        schema.fields.toSeq ++ sourceCol.map(StructField(_, StringType)).toSeq)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    }
     val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
-    if (partitionColumns.isEmpty)
-      return spark.read.schema(dataSchema).parquet(paths: _*).select(ordered: _*)
+    if (partitionColumns.isEmpty) {
+      val base = spark.read.schema(dataSchema).parquet(paths: _*)
+      return sourceCol.fold(base)(n => base.withColumn(n, srcKey)).select(ordered: _*)
+    }
 
     val segs = partitionColumns.size + 1
     def tailKey(p: String): String = p.split('/').takeRight(segs).mkString("/")
@@ -117,8 +129,9 @@ private[graft] object PartitionedFiles {
       array_join(slice(split(col("_metadata.file_path"), "/"), -segs, segs), "/")
     val needsDecode = paths.exists(p => p.exists(c => c == '%' || c == ' ' || c > 126))
     val scanKey = if (needsDecode) percentDecodeUdf(rawKey) else rawKey
-    val data = spark.read.schema(dataSchema).parquet(paths: _*)
+    val data0 = spark.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("__graft_file", scanKey)
+    val data = sourceCol.fold(data0)(n => data0.withColumn(n, srcKey))
     val joined = data.join(broadcast(pvDf), Seq("__graft_file"))
     val withParts = partitionColumns.foldLeft(joined) { (df, c) =>
       df.withColumn(c, col(s"__pv_$c").cast(byName(c).dataType))
