@@ -82,6 +82,11 @@ object Graft {
   def writeIceberg(df: DataFrame, path: String, mode: String = "append",
       partitionBy: Seq[String] = Nil): Long =
     sources.Iceberg.write(df, path, mode, partitionBy)
+  def deleteIceberg(spark: SparkSession, path: String, pred: Column): (Long, Long) =
+    sources.Iceberg.delete(spark, path, pred)
+  def updateIceberg(spark: SparkSession, path: String,
+      set: Map[String, Column], pred: Column): (Long, Long) =
+    sources.Iceberg.update(spark, path, set, pred)
   def readHudi(spark: SparkSession, path: String, asOfInstant: Option[String] = None): DataFrame =
     sources.Hudi.read(spark, path, asOfInstant)
   def writeHudi(df: DataFrame, path: String, mode: String = "append",

@@ -317,6 +317,27 @@ object Io {
     """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS skipped
       |FROM orders WHERE o_orderkey <= 500""".stripMargin
 
+  /** Iceberg row-level DML (copy-on-write with manifest rewriting):
+    * same shape as [[io_delta_dml]] over the customer table. */
+  def io_iceberg_dml(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Iceberg
+    val path = s"$ioDir/iceberg_dml_${math.abs(dir.hashCode)}"
+    Iceberg.deleteTable(path)
+    val cust = t(s, dir).customer.select("c_custkey", "c_nationkey", "c_acctbal")
+    Iceberg.write(cust.repartitionByRange(4, col("c_custkey")), path)
+    Iceberg.delete(s, path, col("c_custkey") <= 100L)
+    Iceberg.update(s, path,
+      Map("c_acctbal" -> (col("c_acctbal") + 1000)), col("c_nationkey") === 3)
+    Iceberg.read(s, path)
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total"))
+  }
+
+  val ioIcebergDmlSql =
+    """SELECT count(*) AS n,
+      |  round(sum(CASE WHEN c_nationkey = 3 THEN c_acctbal + 1000
+      |                 ELSE c_acctbal END), 2) AS total
+      |FROM customer WHERE c_custkey > 100""".stripMargin
+
   /** Iceberg round-trip (ref daft/io/_iceberg.py read_iceberg /
     * write_iceberg; implemented from the open table spec — sources/
     * Iceberg): two append snapshots through Avro manifests, snapshot
@@ -555,6 +576,7 @@ object Io {
     "io_delta_dml" -> (io_delta_dml _),
     "io_iceberg_roundtrip" -> (io_iceberg_roundtrip _),
     "io_iceberg_stats_skip" -> (io_iceberg_stats_skip _),
+    "io_iceberg_dml" -> (io_iceberg_dml _),
     "io_hudi_roundtrip" -> (io_hudi_roundtrip _),
     "io_huggingface" -> (io_huggingface _),
     "io_read_sql" -> (io_read_sql _),
@@ -578,6 +600,7 @@ object Io {
     "io_delta_dml" -> ioDeltaDmlSql,
     "io_iceberg_roundtrip" -> ioIcebergRoundtripSql,
     "io_iceberg_stats_skip" -> ioIcebergStatsSkipSql,
+    "io_iceberg_dml" -> ioIcebergDmlSql,
     "io_hudi_roundtrip" -> ioHudiRoundtripSql,
     "io_huggingface" -> ioHuggingfaceSql,
     "io_read_sql" -> ioReadSqlSql,

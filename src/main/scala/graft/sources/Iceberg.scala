@@ -366,6 +366,174 @@ object Iceberg {
   private def relativize(tablePath: String, abs: String): String =
     if (abs.startsWith(tablePath + "/")) abs.substring(tablePath.length + 1) else abs
 
+  // ------------------------------------------------------------ row-level DML
+
+  /** Row-level DELETE via copy-on-write (the spec's overwrite shape:
+    * affected data files are recorded as DELETED, their surviving rows
+    * rewritten into new files, and any prior manifest still listing an
+    * affected file is itself rewritten). Stats bounds narrow the
+    * candidate set; only files actually containing matches rewrite.
+    * NULL predicate results keep the row. Returns (snapshotId, rows). */
+  def delete(spark: SparkSession, tablePath: String,
+      pred: org.apache.spark.sql.Column): (Long, Long) =
+    dml(spark, tablePath, pred, (slice, hit) =>
+      slice.filter(org.apache.spark.sql.functions.not(hit)))
+
+  /** Row-level UPDATE via copy-on-write: `set` maps column name →
+    * replacement expression, applied where `pred` holds. */
+  def update(
+      spark: SparkSession,
+      tablePath: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      pred: org.apache.spark.sql.Column): (Long, Long) = {
+    require(set.nonEmpty, "update requires at least one column assignment")
+    dml(spark, tablePath, pred, (slice, hit) => {
+      import org.apache.spark.sql.functions.{col, when}
+      val bad = set.keySet -- slice.columns.toSet
+      require(bad.isEmpty, s"no such columns: ${bad.mkString(", ")}")
+      val fields = slice.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      slice.select(fields.toSeq: _*)
+    })
+  }
+
+  private def dml(
+      spark: SparkSession,
+      tablePath: String,
+      pred: org.apache.spark.sql.Column,
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val meta = readMetadata(tablePath)
+    val st = state(tablePath)
+    def norm(p: String): String = Paths.get(p).normalize.toString
+    val keep = DeltaStats.keep(pred, st.schema, st.partitionFields)
+    val candidates = st.files.filter(f => keep(f.stats, f.partition))
+    if (candidates.isEmpty) return (st.snapshotId, 0L)
+    val hit = coalesce(pred, lit(false))
+
+    // one distributed pass: matches per candidate file
+    val matches: Map[String, Long] = PartitionedFiles.readWithPartitions(
+        spark, st.schema, st.partitionFields,
+        candidates.map(_.path), candidates.map(_.partition),
+        sourceCol = Some("__graft_src"))
+      .groupBy(col("__graft_src"))
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("__m"))
+      .collect()
+      .map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    val touchedRefs = candidates.filter(f => matches.getOrElse(norm(f.path), 0L) > 0L)
+    val changed = matches.valuesIterator.sum
+    if (touchedRefs.isEmpty) return (st.snapshotId, 0L)
+    val touchedAbs = touchedRefs.map(f => norm(f.path)).toSet
+
+    // rewrite only the touched files
+    val slice = PartitionedFiles.readWithPartitions(
+      spark, st.schema, st.partitionFields,
+      touchedRefs.map(_.path), touchedRefs.map(_.partition))
+    val staged = PartitionedFiles.stageAndMove(
+      rewrite(slice, hit), tablePath, st.partitionFields, subDir = "data", countRows = true)
+    val newFiles = staged.map(f => DataFileRef(f.relPath, f.rowCount, f.sizeBytes, f.partitionValues))
+    val dataSchema = StructType(st.schema.filterNot(f => st.partitionFields.contains(f.name)))
+    val rawStats = DeltaStats.collectRaw(spark, tablePath, staged, dataSchema)
+    val schemaNode = sparkToIceberg(mapper, st.schema)
+    val fieldIds = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    val byName = st.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    // new manifest: rewritten adds + touched files recorded as DELETED
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val manifestName = s"manifest-$snapshotId.avro"
+    writeManifest(metadataDir(tablePath).resolve(manifestName), st.schema, st.partitionFields,
+      byName, newFiles.toSeq,
+      touchedRefs.map(f => f.copy(path = relativize(tablePath, f.path))),
+      snapshotId, rawStats, fieldIds)
+
+    // carry prior manifests forward; any that still lists a touched file
+    // as live is rewritten with those entries marked DELETED (the spec
+    // retains delete entries for one snapshot)
+    val curSnap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == st.snapshotId)
+      .getOrElse(sys.error(s"current snapshot ${st.snapshotId} missing from metadata"))
+    val priorManifests = readAvro(resolve(tablePath, curSnap.get("manifest-list").asText))
+      .map(r => r.get("manifest_path").toString)
+    def entryPath(e: GenericRecord): String =
+      norm(resolve(tablePath,
+        e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
+    val carried: Seq[(String, Long)] = priorManifests.zipWithIndex.map { case (mp, i) =>
+      val abs = resolve(tablePath, mp)
+      val entries = readAvro(abs)
+      val hasLiveTouched = entries.exists(e =>
+        e.get("status").asInstanceOf[Int] != 2 && touchedAbs(entryPath(e)))
+      if (!hasLiveTouched) (abs, Files.size(Paths.get(abs)))
+      else {
+        val dst = metadataDir(tablePath).resolve(s"manifest-$snapshotId-rw$i.avro")
+        val reader = new DataFileReader[GenericRecord](
+          new File(abs), new GenericDatumReader[GenericRecord]())
+        try {
+          val avroSchema = reader.getSchema
+          val writer = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](avroSchema))
+          writer.create(avroSchema, dst.toFile)
+          try reader.iterator().asScala.foreach { e =>
+            if (touchedAbs(entryPath(e))) e.put("status", 2)
+            writer.append(e)
+          } finally writer.close()
+        } finally reader.close()
+        (dst.toString, Files.size(dst))
+      }
+    }
+    val mlPath = metadataDir(tablePath).resolve(s"snap-$snapshotId.avro")
+    val mfp = metadataDir(tablePath).resolve(manifestName).toString
+    writeManifestList(mlPath,
+      (mfp, Files.size(Paths.get(mfp))) +: carried, snapshotId)
+    publishMetadata(tablePath, meta, st.schema, schemaNode, st.partitionFields,
+      snapshotId, mlPath, "overwrite")
+    (snapshotId, changed)
+  }
+
+  /** New metadata json + version hint for a snapshot whose manifest list
+    * is already written — the tail of [[write]], shared with [[dml]]. */
+  private def publishMetadata(
+      tablePath: String,
+      priorMeta: JsonNode,
+      schema: StructType,
+      schemaNode: JsonNode,
+      partCols: Seq[String],
+      snapshotId: Long,
+      mlPath: Path,
+      operation: String): Unit = {
+    val om = mapper
+    val root = om.createObjectNode()
+    root.put("format-version", 1)
+    root.put("table-uuid", priorMeta.get("table-uuid").asText)
+    root.put("location", tablePath)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    root.put("last-column-id", schema.fields.length)
+    root.set[JsonNode]("schema", schemaNode)
+    val specArr = root.putArray("partition-spec")
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      val f = specArr.addObject()
+      f.put("name", c); f.put("transform", "identity")
+      f.put("source-id", schema.fieldIndex(c) + 1); f.put("field-id", 1000 + i)
+    }
+    root.put("current-snapshot-id", snapshotId)
+    val snaps = root.putArray("snapshots")
+    Option(priorMeta.get("snapshots")).foreach(_.elements().asScala.foreach(snaps.add))
+    val sn = snaps.addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.put("manifest-list", mlPath.toString)
+    sn.putObject("summary").put("operation", operation)
+    val hint = metadataDir(tablePath).resolve("version-hint.text")
+    val next = new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt + 1
+    Files.write(metadataDir(tablePath).resolve(s"v$next.metadata.json"),
+      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    Files.write(hint, next.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Expire all snapshots except the current one and physically delete
     * data files only the expired snapshots referenced (the spec's
     * expire_snapshots maintenance op; time travel to expired ids stops
