@@ -92,6 +92,11 @@ object Graft {
   def writeHudi(df: DataFrame, path: String, mode: String = "append",
       partitionBy: Seq[String] = Nil): String =
     sources.Hudi.write(df, path, mode, partitionBy)
+  def deleteHudi(spark: SparkSession, path: String, pred: Column): (String, Long) =
+    sources.Hudi.delete(spark, path, pred)
+  def updateHudi(spark: SparkSession, path: String,
+      set: Map[String, Column], pred: Column): (String, Long) =
+    sources.Hudi.update(spark, path, set, pred)
   def readHuggingface(spark: SparkSession, repo: String,
       config: Option[String] = None, split: Option[String] = None): DataFrame =
     sources.HuggingFace.read(spark, repo, config = config, split = split)

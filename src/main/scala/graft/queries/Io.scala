@@ -372,6 +372,27 @@ object Io {
   /** Hudi copy-on-write round-trip (ref daft/io/_hudi.py read_hudi;
     * implemented from the open table layout — sources/Hudi): partitioned
     * append commits, a replacecommit overwrite, instant time travel. */
+  /** Hudi row-level DML (per-group replacecommit): same shape as
+    * [[io_delta_dml]] over the supplier table. */
+  def io_hudi_dml(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Hudi
+    val path = s"$ioDir/hudi_dml_${math.abs(dir.hashCode)}"
+    Hudi.deleteTable(path)
+    val sup = t(s, dir).supplier.select("s_suppkey", "s_nationkey", "s_acctbal")
+    Hudi.write(sup.repartitionByRange(3, col("s_suppkey")), path)
+    Hudi.delete(s, path, col("s_suppkey") <= 10L)
+    Hudi.update(s, path,
+      Map("s_acctbal" -> (col("s_acctbal") * 2)), col("s_nationkey") === 5)
+    Hudi.read(s, path)
+      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("total"))
+  }
+
+  val ioHudiDmlSql =
+    """SELECT count(*) AS n,
+      |  round(sum(CASE WHEN s_nationkey = 5 THEN s_acctbal * 2
+      |                 ELSE s_acctbal END), 2) AS total
+      |FROM supplier WHERE s_suppkey > 10""".stripMargin
+
   def io_hudi_roundtrip(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Hudi
     val path = s"$ioDir/hudi_${math.abs(dir.hashCode)}"
@@ -578,6 +599,7 @@ object Io {
     "io_iceberg_stats_skip" -> (io_iceberg_stats_skip _),
     "io_iceberg_dml" -> (io_iceberg_dml _),
     "io_hudi_roundtrip" -> (io_hudi_roundtrip _),
+    "io_hudi_dml" -> (io_hudi_dml _),
     "io_huggingface" -> (io_huggingface _),
     "io_read_sql" -> (io_read_sql _),
     "io_write_sink" -> (io_write_sink _),
@@ -602,6 +624,7 @@ object Io {
     "io_iceberg_stats_skip" -> ioIcebergStatsSkipSql,
     "io_iceberg_dml" -> ioIcebergDmlSql,
     "io_hudi_roundtrip" -> ioHudiRoundtripSql,
+    "io_hudi_dml" -> ioHudiDmlSql,
     "io_huggingface" -> ioHuggingfaceSql,
     "io_read_sql" -> ioReadSqlSql,
     "io_write_sink" -> ioWriteSinkSql,

@@ -215,6 +215,103 @@ object Hudi {
     instant
   }
 
+  /** Row-level DELETE via copy-on-write: file groups containing matches
+    * are replaced in ONE `replacecommit` (`partitionToReplaceFileIds`
+    * drops the old groups, `partitionToWriteStats` adds the rewritten
+    * files — Hudi's insert-overwrite machinery applied per-group).
+    * Column stats live in Hudi's metadata table (HFile, out of from-spec
+    * scope), so candidates are found with one distributed per-file match
+    * count instead of stats pruning. NULL predicate keeps the row.
+    * Returns (commit instant, rows deleted). */
+  def delete(spark: SparkSession, tablePath: String,
+      pred: org.apache.spark.sql.Column): (String, Long) =
+    dml(spark, tablePath, pred, "delete", (slice, hit) =>
+      slice.filter(org.apache.spark.sql.functions.not(hit)))
+
+  /** Row-level UPDATE via copy-on-write: `set` maps column name →
+    * replacement expression, applied where `pred` holds. */
+  def update(
+      spark: SparkSession,
+      tablePath: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      pred: org.apache.spark.sql.Column): (String, Long) = {
+    require(set.nonEmpty, "update requires at least one column assignment")
+    dml(spark, tablePath, pred, "upsert", (slice, hit) => {
+      import org.apache.spark.sql.functions.{col, when}
+      val bad = set.keySet -- slice.columns.toSet
+      require(bad.isEmpty, s"no such columns: ${bad.mkString(", ")}")
+      val fields = slice.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      slice.select(fields.toSeq: _*)
+    })
+  }
+
+  private def dml(
+      spark: SparkSession,
+      tablePath: String,
+      pred: org.apache.spark.sql.Column,
+      operation: String,
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): (String, Long) = {
+    import org.apache.spark.sql.functions._
+    val tl = timeline(tablePath)
+    val latest = tl.completedInstants.maxOption.getOrElse("")
+    if (tl.slices.isEmpty) return (latest, 0L)
+    val hit = coalesce(pred, lit(false))
+    def norm(p: String): String = Paths.get(p).normalize.toString
+    def absOf(s: FileSlice): String = s"$tablePath/${s.relPath}"
+
+    val matches: Map[String, Long] = PartitionedFiles.readWithPartitions(
+        spark, tl.schema, tl.partitionColumns,
+        tl.slices.map(absOf), tl.slices.map(s => partitionValues(tl, s.partitionPath)),
+        sourceCol = Some("__graft_src"))
+      .groupBy(col("__graft_src"))
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("__m"))
+      .collect()
+      .map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    val touched = tl.slices.filter(s => matches.getOrElse(norm(absOf(s)), 0L) > 0L)
+    val changed = matches.valuesIterator.sum
+    if (touched.isEmpty) return (latest, 0L)
+
+    val slice = PartitionedFiles.readWithPartitions(
+      spark, tl.schema, tl.partitionColumns,
+      touched.map(absOf), touched.map(s => partitionValues(tl, s.partitionPath)))
+    val out = rewrite(slice, hit)
+
+    val dir = hoodieDir(tablePath)
+    val instant = newInstantTime(tl.completedInstants)
+    Files.write(dir.resolve(s"$instant.replacecommit.requested"), Array.emptyByteArray)
+    Files.write(dir.resolve(s"$instant.replacecommit.inflight"), Array.emptyByteArray)
+    val staged = PartitionedFiles.stageAndMove(out, tablePath, tl.partitionColumns,
+      renamePart = p => s"${UUID.randomUUID()}_0-0-0_$instant.parquet")
+
+    val om = mapper
+    val root = om.createObjectNode()
+    val pw = root.putObject("partitionToWriteStats")
+    staged.groupBy(f => partitionPathOf(f.relPath)).foreach { case (part, files) =>
+      val arr = pw.putArray(part)
+      files.foreach { f =>
+        val st = arr.addObject()
+        st.put("fileId", f.relPath.substring(f.relPath.lastIndexOf('/') + 1).split('_')(0))
+        st.put("path", f.relPath)
+        st.put("fileSizeInBytes", f.sizeBytes)
+      }
+    }
+    val rep = root.putObject("partitionToReplaceFileIds")
+    touched.groupBy(_.partitionPath).foreach { case (part, ss) =>
+      val arr = rep.putArray(part)
+      ss.map(_.fileId).distinct.foreach(arr.add)
+    }
+    root.put("operation", operation)
+    Files.write(dir.resolve(s"$instant.replacecommit"), om.writeValueAsBytes(root))
+    Files.deleteIfExists(dir.resolve(s"$instant.replacecommit.requested"))
+    Files.deleteIfExists(dir.resolve(s"$instant.replacecommit.inflight"))
+    (instant, changed)
+  }
+
   /** Physically delete file slices no longer visible to the latest
     * snapshot (Hudi's cleaner with KEEP_LATEST_COMMITS=1 semantics).
     * Time travel to cleaned instants stops resolving those slices.
