@@ -76,6 +76,10 @@ object Graft {
   def updateDeltalake(spark: SparkSession, path: String,
       set: Map[String, Column], pred: Column): (Long, Long) =
     sources.Delta.update(spark, path, set, pred)
+  /** MERGE INTO by key (upsert); returns (version, updated, inserted). */
+  def mergeDeltalake(spark: SparkSession, path: String,
+      source: DataFrame, key: String): (Long, Long, Long) =
+    sources.Delta.merge(spark, path, source, key)
   def readIceberg(spark: SparkSession, path: String, snapshotId: Option[Long] = None,
       dataFilter: Option[Column] = None): DataFrame =
     sources.Iceberg.read(spark, path, snapshotId, dataFilter = dataFilter)

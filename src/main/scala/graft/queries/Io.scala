@@ -264,6 +264,30 @@ object Io {
       |                 ELSE o_totalprice END), 2) AS total
       |FROM orders WHERE o_orderkey > 500""".stripMargin
 
+  /** Delta MERGE INTO (upsert by key, CoW): seed with low orderkeys,
+    * merge a source that overlaps the top of the range and extends past
+    * it; oracle reproduces matched-replaces + inserts with a UNION. */
+  def io_delta_merge(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Delta
+    val path = s"$ioDir/delta_merge_${math.abs(dir.hashCode)}"
+    Delta.deleteTable(path)
+    val ord = t(s, dir).orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Delta.write(ord.filter(col("o_orderkey") <= 3000L)
+      .repartitionByRange(4, col("o_orderkey")), path)
+    val src = ord.filter(col("o_orderkey") > 2000L && col("o_orderkey") <= 4000L)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+    Delta.merge(s, path, src, "o_orderkey")
+    Delta.read(s, path)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  val ioDeltaMergeSql =
+    """SELECT count(*) AS n, round(sum(total_price), 2) AS total FROM (
+      |  SELECT o_totalprice AS total_price FROM orders WHERE o_orderkey <= 2000
+      |  UNION ALL
+      |  SELECT o_totalprice * 3 AS total_price FROM orders
+      |  WHERE o_orderkey > 2000 AND o_orderkey <= 4000)""".stripMargin
+
   /** Delta time travel + overwrite semantics: version 2 overwrites the
     * table down to l_orderkey < 500; reading versionAsOf=1 still sees the
     * pre-overwrite state, the latest snapshot honors the removes. A
@@ -595,6 +619,7 @@ object Io {
     "io_delta_time_travel" -> (io_delta_time_travel _),
     "io_delta_stats_skip" -> (io_delta_stats_skip _),
     "io_delta_dml" -> (io_delta_dml _),
+    "io_delta_merge" -> (io_delta_merge _),
     "io_iceberg_roundtrip" -> (io_iceberg_roundtrip _),
     "io_iceberg_stats_skip" -> (io_iceberg_stats_skip _),
     "io_iceberg_dml" -> (io_iceberg_dml _),
@@ -620,6 +645,7 @@ object Io {
     "io_delta_time_travel" -> ioDeltaTimeTravelSql,
     "io_delta_stats_skip" -> ioDeltaStatsSkipSql,
     "io_delta_dml" -> ioDeltaDmlSql,
+    "io_delta_merge" -> ioDeltaMergeSql,
     "io_iceberg_roundtrip" -> ioIcebergRoundtripSql,
     "io_iceberg_stats_skip" -> ioIcebergStatsSkipSql,
     "io_iceberg_dml" -> ioIcebergDmlSql,

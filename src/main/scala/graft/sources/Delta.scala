@@ -689,6 +689,73 @@ object Delta {
       })
   }
 
+  /** MERGE INTO by equality key (the upsert shape every CDC / dedup
+    * pipeline needs): source rows whose `key` matches a table row
+    * replace that row; the rest insert. Copy-on-write — the source's
+    * key range stats-prunes the candidate files, a distributed semi-join
+    * finds the files actually containing matches, and only those
+    * rewrite (unmatched old rows + ALL source rows land as new files).
+    * The source must be key-unique (multiple matches per target row is
+    * ambiguous — same contract as production Delta MERGE). Returns
+    * (version, rows updated, rows inserted). */
+  def merge(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      key: String): (Long, Long, Long) = {
+    val snap = snapshot(spark, tablePath)
+    require(snap.schema.fieldNames.contains(key), s"no such key column: $key")
+    PartitionedFiles.requireSameSchema(snap.schema, source.schema, s"delta merge into $tablePath")
+    val src = source.persist()
+    try {
+      val dup = src.groupBy(col(key)).count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0, s"merge source has duplicate values of $key — ambiguous matches")
+
+      // key-range narrowing: files outside [min(src.key), max(src.key)]
+      // cannot contain a match
+      val r = src.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).collect()(0)
+      val candidates =
+        if (r.isNullAt(0)) Seq.empty[AddFile]
+        else DeltaStats.prune(snap.files,
+          col(key) >= lit(r.get(0)) && col(key) <= lit(r.get(1)),
+          snap.schema, snap.partitionColumns)
+      def normPath(f: AddFile): String =
+        Paths.get(absolutePath(tablePath, f.path)).normalize.toString
+
+      val matchedPerFile: Map[String, Long] =
+        if (candidates.isEmpty) Map.empty
+        else PartitionedFiles.readWithPartitions(
+            spark, snap.schema, snap.partitionColumns,
+            candidates.map(f => absolutePath(tablePath, f.path)),
+            candidates.map(_.partitionValues),
+            sourceCol = Some("__graft_src"))
+          .join(src.select(col(key)), Seq(key), "left_semi")
+          .groupBy(col("__graft_src")).count()
+          .collect()
+          .map(rw => Paths.get(rw.getString(0)).normalize.toString -> rw.getLong(1))
+          .toMap
+      val touched = candidates.filter(f => matchedPerFile.getOrElse(normPath(f), 0L) > 0L)
+      val updated = matchedPerFile.valuesIterator.sum
+      val inserted = src.count() - updated
+
+      val now = System.currentTimeMillis()
+      val ordered = snap.schema.fieldNames.map(col).toSeq
+      // merge output for the rewritten region: old rows that matched no
+      // source key, plus every source row (its matches and its inserts)
+      val keepOld =
+        if (touched.isEmpty) src.limit(0)
+        else readSnapshot(spark, snap.copy(files = touched))
+          .join(src.select(col(key)), Seq(key), "left_anti")
+      val newData = keepOld.select(ordered: _*).unionByName(src.select(ordered: _*))
+      val staged = PartitionedFiles.stageAndMove(newData, tablePath, snap.partitionColumns)
+      val statsByRel = DeltaStats.collect(spark, tablePath, staged, snap.dataSchema)
+      val added = staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
+        f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
+      val v = commitDml(spark, tablePath, snap.version, touched, added, now, "MERGE")
+      (v, updated, inserted)
+    } finally { src.unpersist(); () }
+  }
+
   private def rewriteRows(
       spark: SparkSession,
       tablePath: String,
@@ -725,11 +792,24 @@ object Delta {
     val added = staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
       f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
 
-    // phase 4: dataChange=true commit; a concurrent commit that removed
-    // any touched file makes the rewrite non-serializable → refuse
+    val v = commitDml(spark, tablePath, snap.version, touched, added, now, operation)
+    (v, changed)
+  }
+
+  /** dataChange=true removes + adds commit with version-race retry; a
+    * concurrent commit that removed any rewritten file makes the DML
+    * non-serializable → refuse (delete the staged outputs, throw). */
+  private def commitDml(
+      spark: SparkSession,
+      tablePath: String,
+      startVersion: Long,
+      removed: Seq[AddFile],
+      added: Seq[AddFile],
+      now: Long,
+      operation: String): Long = {
     val om = mapper
     val lines = mutable.ArrayBuffer.empty[String]
-    touched.foreach { f =>
+    removed.foreach { f =>
       val o = om.createObjectNode()
       val r = o.putObject("remove")
       r.put("path", f.path); r.put("deletionTimestamp", now); r.put("dataChange", true)
@@ -751,7 +831,7 @@ object Delta {
     info.put("timestamp", now); info.put("operation", operation)
     lines += om.writeValueAsString(ci)
 
-    var attempt = snap.version + 1
+    var attempt = startVersion + 1
     var committed = -1L
     while (committed < 0) {
       val tmp = logDir(tablePath).resolve(s".tmp-${UUID.randomUUID()}.json")
@@ -761,7 +841,7 @@ object Delta {
         Files.delete(tmp)
         val latest = snapshot(spark, tablePath)
         val stillLive = latest.files.map(_.path).toSet
-        if (!touched.forall(f => stillLive.contains(f.path))) {
+        if (!removed.forall(f => stillLive.contains(f.path))) {
           added.foreach(a =>
             Files.deleteIfExists(Paths.get(absolutePath(tablePath, a.path))))
           throw new IllegalStateException(
@@ -770,7 +850,7 @@ object Delta {
         attempt = latest.version + 1
       }
     }
-    (committed, changed)
+    committed
   }
 
   /** Physically delete data files no longer referenced by the CURRENT

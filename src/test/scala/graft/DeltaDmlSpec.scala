@@ -87,6 +87,50 @@ class DeltaDmlSpec extends AnyFunSuite {
       nineFiles.forall(f => Paths.get(path, f.path).toString.contains("g=9")))
   }
 
+  test("merge upserts by key: matched rows replaced, new keys inserted") {
+    val path = freshDir("merge")
+    Delta.write((0 until 300).map(i => (i.toLong, s"old_$i", 1.0))
+      .toDF("id", "tag", "w").repartitionByRange(3, col("id")), path)
+    val before = Delta.snapshot(spark, path).files.map(_.path).toSet
+
+    // keys 250..349: 50 updates (250..299) + 50 inserts (300..349)
+    val src = (250 until 350).map(i => (i.toLong, s"new_$i", 2.0)).toDF("id", "tag", "w")
+    val (v, updated, inserted) = Delta.merge(spark, path, src, "id")
+    assert(updated == 50 && inserted == 50)
+    val after = Delta.snapshot(spark, path).files.map(_.path).toSet
+    assert((before & after).size == 2, "files outside the source key range stay untouched")
+    val back = Delta.read(spark, path)
+    assert(back.count() == 350)
+    assert(back.filter(col("tag").startsWith("new_")).count() == 100)
+    assert(back.filter(col("id") === 250L).select("tag").as[String].head() == "new_250")
+    assert(back.filter(col("id") === 100L).select("tag").as[String].head() == "old_100")
+    // pre-merge version intact
+    assert(Delta.read(spark, path, versionAsOf = Some(v - 1)).count() == 300)
+  }
+
+  test("merge refuses a source with duplicate keys") {
+    val path = freshDir("mergedup")
+    Delta.write(Seq((1L, "a")).toDF("id", "t"), path)
+    val dup = Seq((2L, "x"), (2L, "y")).toDF("id", "t")
+    val e = intercept[IllegalArgumentException](Delta.merge(spark, path, dup, "id"))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("merge into a partitioned table routes inserts to their partitions") {
+    val path = freshDir("mergepart")
+    Delta.write((0 until 90).map(i => (i.toLong, (i % 3).toString, "old"))
+      .toDF("id", "g", "tag"), path, partitionBy = Seq("g"))
+    val src = Seq((5L, "2", "moved"), (1000L, "7", "fresh")).toDF("id", "g", "tag")
+    val (_, updated, inserted) = Delta.merge(spark, path, src, "id")
+    assert(updated == 1 && inserted == 1)
+    val back = Delta.read(spark, path)
+    assert(back.count() == 91)
+    // the updated row moved partition (old g = 5 % 3 = 2 → stays "2" here,
+    // but its payload changed) and the insert landed under g=7
+    assert(back.filter(col("id") === 5L).select("tag").as[String].head() == "moved")
+    assert(back.filter(col("g") === "7").count() == 1)
+  }
+
   test("delete after zorder touches a small fraction of files") {
     val path = freshDir("zdel")
     val rnd = new scala.util.Random(3)
