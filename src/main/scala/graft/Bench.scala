@@ -88,7 +88,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Engine.session(cpus)
+    var spark = Engine.session(cpus)
+    // a query that kills the SparkContext (executor OOM at a scaled tier)
+    // must not poison every query after it: rebuild the session and keep
+    // measuring — only the dying query records as failed
+    def ensureAlive(): Unit =
+      if (spark.sparkContext.isStopped) spark = Engine.session(cpus)
 
     def drain(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -96,11 +101,13 @@ object Bench {
     val headline = (1 to 10).map(i => s"q$i")
 
     def warm(dir: String): Unit = {
+      ensureAlive()
       val t = Tables(spark, dir)
       tpchTables.foreach(n => try t(n).count() catch { case _: Throwable => () })
     }
 
     def run(dir: String, names: Seq[String] = headline): Seq[QRes] = names.map { name =>
+      ensureAlive()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =

@@ -32,10 +32,12 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // start wide, coalesce down: big shuffles (10+ GB locally, TBs on a
       // cluster) would otherwise squeeze through `cores` partitions at
-      // >1 GB each and spill; AQE merges the small ones back to the 64 MB
-      // advisory size so small queries don't pay for the width
+      // >1 GB each and concentrate fetch+decompress heap on few tasks
+      // (measured: an SF100-equivalent q3 shuffle read OOMs a 24g heap at
+      // 2x width, holds comfortably at 4x); AQE merges the small ones back
+      // to the 64 MB advisory size so small queries don't pay for the width
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cores.toInt * 2).toString)
+        (cores.toInt * 4).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
