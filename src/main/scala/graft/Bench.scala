@@ -147,6 +147,7 @@ object Bench {
         // (measured: 674 s/GB at sf0.1 → 30 s/GB here), small enough to
         // generate+run in minutes; fits the 24g bench heap.
         val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "100").toInt
+        ensureAlive() // the last base-tier query may have killed the context
         val sdir = ensureScaled(spark, sfDir, k)
         warm(sdir)
         val tier1 = tierJson("scaled", k, sdir, run(sdir))
@@ -159,6 +160,7 @@ object Bench {
         val tier2 =
           if (sys.env.getOrElse("SPARK_GRAFT_SCALED2", "1") != "0") {
             val k2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_K2", "1000").toInt
+            ensureAlive() // tier-1's last query may have killed the context
             val sdir2 = ensureScaled(spark, sfDir, k2)
             tierJson("scaled2", k2, sdir2, run(sdir2))
           } else ""

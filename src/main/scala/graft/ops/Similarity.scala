@@ -43,7 +43,16 @@ object Similarity {
     def l2norm(v: org.apache.spark.sql.Column) =
       transform(v, x => x.cast("double") / GDist.norm(v))
 
-    val train = corpus.select(array_to_vector(l2norm(col(cVec))).as("features"))
+    // Train the coarse quantizer on a bounded sample: centroid quality needs
+    // only ~O(100) points per cell, so cap the fit input at ~max(100k,
+    // 100*nlist) vectors instead of scanning the full corpus per KMeans
+    // iteration (at 100 TB the full-corpus fit would dominate the query).
+    val fitCap = math.max(100000L, 100L * nlist)
+    val corpusN = corpus.count()
+    val trainBase =
+      if (corpusN <= fitCap) corpus
+      else corpus.sample(withReplacement = false, fitCap.toDouble / corpusN, seed)
+    val train = trainBase.select(array_to_vector(l2norm(col(cVec))).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
     val cents: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
     val spark = corpus.sparkSession

@@ -34,8 +34,11 @@ object ClickBench {
     t(s, dir).events.agg(
       countDistinct("user_id").as("nd_users"),
       countDistinct("event_type").as("nd_types"),
-      min("ts").as("t_min"),
-      max("ts").as("t_max"))
+      // timestamp_ntz writes parquet isAdjustedToUTC=false, matching DuckDB's
+      // plain TIMESTAMP for min(ts)/max(ts) (a raw TimestampType output reads
+      // back as TIMESTAMP WITH TIME ZONE and fails the oracle dtype check).
+      min("ts").cast("timestamp_ntz").as("t_min"),
+      max("ts").cast("timestamp_ntz").as("t_max"))
 
   val cbCardinalitiesSql =
     """SELECT count(DISTINCT user_id) AS nd_users,

@@ -55,7 +55,7 @@ object Pipeline {
       |      unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
       |    FROM ev)),
       |dirty AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (g))
-      |SELECT count(*) AS n_clean, sum(doc_id) AS id_sum
+      |SELECT count(*) AS n_clean, CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM corp WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin
 
   // ---- dedup: n-gram jaccard (exact inverted-index pipeline) ----

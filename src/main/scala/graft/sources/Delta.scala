@@ -694,9 +694,11 @@ object Delta {
     * replace that row; the rest insert. Copy-on-write — the source's
     * key range stats-prunes the candidate files, a distributed semi-join
     * finds the files actually containing matches, and only those
-    * rewrite (unmatched old rows + ALL source rows land as new files).
-    * The source must be key-unique (multiple matches per target row is
-    * ambiguous — same contract as production Delta MERGE). Returns
+    * rewrite (unmatched old rows + updated matches + inserts land as new
+    * files). The source must be key-unique (multiple matches per target
+    * row is ambiguous — same contract as production Delta MERGE); the
+    * TARGET may hold duplicate keys, and each duplicate row is updated
+    * in place like production MERGE's WHEN MATCHED UPDATE. Returns
     * (version, rows updated, rows inserted). */
   def merge(
       spark: SparkSession,
@@ -736,22 +738,47 @@ object Delta {
           .toMap
       val touched = candidates.filter(f => matchedPerFile.getOrElse(normPath(f), 0L) > 0L)
       val updated = matchedPerFile.valuesIterator.sum
-      val inserted = src.count() - updated
 
       val now = System.currentTimeMillis()
       val ordered = snap.schema.fieldNames.map(col).toSeq
-      // merge output for the rewritten region: old rows that matched no
-      // source key, plus every source row (its matches and its inserts)
-      val keepOld =
-        if (touched.isEmpty) src.limit(0)
-        else readSnapshot(spark, snap.copy(files = touched))
-          .join(src.select(col(key)), Seq(key), "left_anti")
-      val newData = keepOld.select(ordered: _*).unionByName(src.select(ordered: _*))
+      val touchedRows =
+        if (touched.isEmpty) None
+        else Some(readSnapshot(spark, snap.copy(files = touched)))
+      // number of src rows that found a match (src is key-unique, so this
+      // is the distinct matched-key count); the rest insert. With
+      // duplicate TARGET keys updated > matchedSrcRows — each duplicate
+      // target row is updated in place, so inserted never goes negative.
+      val matchedSrcRows = touchedRows.fold(0L)(tr =>
+        tr.select(col(key)).join(src.select(col(key)), Seq(key), "left_semi")
+          .agg(countDistinct(col(key))).collect()(0).getLong(0))
+      val inserted = src.count() - matchedSrcRows
+
+      // merge output for the rewritten region, reference MERGE semantics:
+      // old rows that matched no source key survive; EACH matched target
+      // row (including duplicates of the same key) is replaced by its
+      // source row's values; source rows matching nothing insert once.
+      val keepOld = touchedRows
+        .map(_.join(src.select(col(key)), Seq(key), "left_anti"))
+        .getOrElse(src.limit(0))
+      val updatedRows = touchedRows
+        .map(_.select(col(key)).join(src, Seq(key)))
+        .getOrElse(src.limit(0))
+      val insertRows = touchedRows
+        .map(tr => src.join(tr.select(col(key)), Seq(key), "left_anti"))
+        .getOrElse(src)
+      val newData = keepOld.select(ordered: _*)
+        .unionByName(updatedRows.select(ordered: _*))
+        .unionByName(insertRows.select(ordered: _*))
       val staged = PartitionedFiles.stageAndMove(newData, tablePath, snap.partitionColumns)
       val statsByRel = DeltaStats.collect(spark, tablePath, staged, snap.dataSchema)
       val added = staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
         f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
-      val v = commitDml(spark, tablePath, snap.version, touched, added, now, "MERGE")
+      // a concurrent append inside the source's key range would hold rows
+      // this MERGE should have matched — conflict on retry (see commitDml)
+      val mergePred =
+        if (r.isNullAt(0)) None
+        else Some(col(key) >= lit(r.get(0)) && col(key) <= lit(r.get(1)))
+      val v = commitDml(spark, tablePath, snap, touched, added, now, "MERGE", mergePred)
       (v, updated, inserted)
     } finally { src.unpersist(); () }
   }
@@ -792,21 +819,47 @@ object Delta {
     val added = staged.map(f => AddFile(PartitionedFiles.percentEncodePath(f.relPath),
       f.partitionValues, f.sizeBytes, now, statsByRel.get(f.relPath)))
 
-    val v = commitDml(spark, tablePath, snap.version, touched, added, now, operation)
+    val v = commitDml(spark, tablePath, snap, touched, added, now, operation, Some(pred))
     (v, changed)
   }
 
   /** dataChange=true removes + adds commit with version-race retry; a
     * concurrent commit that removed any rewritten file makes the DML
     * non-serializable → refuse (delete the staged outputs, throw). */
+  /** Serializability check for a DML retrying after a version race.
+    * Conflict when (1) any file this DML rewrites is no longer live (a
+    * concurrent rewrite of the same rows won), or (2) a concurrent commit
+    * ADDED files that could contain rows matching the DML predicate —
+    * this DML never saw those rows, so committing over them is not
+    * serializable (delta-spark's ConcurrentAppendException). Stats-prune
+    * is conservative: a new file without stats counts as a possible
+    * match; `pred = None` treats ANY concurrent add as a conflict. */
+  private[graft] def dmlConflict(
+      start: Snapshot,
+      latest: Snapshot,
+      removed: Seq[AddFile],
+      pred: Option[Column]): Boolean = {
+    val stillLive = latest.files.map(_.path).toSet
+    if (!removed.forall(f => stillLive.contains(f.path))) return true
+    val startPaths = start.files.map(_.path).toSet
+    val newlyAdded = latest.files.filterNot(f => startPaths.contains(f.path))
+    pred match {
+      case _ if newlyAdded.isEmpty => false
+      case Some(p) => DeltaStats.prune(
+        newlyAdded, p, latest.schema, latest.partitionColumns).nonEmpty
+      case None => true
+    }
+  }
+
   private def commitDml(
       spark: SparkSession,
       tablePath: String,
-      startVersion: Long,
+      start: Snapshot,
       removed: Seq[AddFile],
       added: Seq[AddFile],
       now: Long,
-      operation: String): Long = {
+      operation: String,
+      pred: Option[Column]): Long = {
     val om = mapper
     val lines = mutable.ArrayBuffer.empty[String]
     removed.foreach { f =>
@@ -831,7 +884,7 @@ object Delta {
     info.put("timestamp", now); info.put("operation", operation)
     lines += om.writeValueAsString(ci)
 
-    var attempt = startVersion + 1
+    var attempt = start.version + 1
     var committed = -1L
     while (committed < 0) {
       val tmp = logDir(tablePath).resolve(s".tmp-${UUID.randomUUID()}.json")
@@ -840,8 +893,7 @@ object Delta {
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         Files.delete(tmp)
         val latest = snapshot(spark, tablePath)
-        val stillLive = latest.files.map(_.path).toSet
-        if (!removed.forall(f => stillLive.contains(f.path))) {
+        if (dmlConflict(start, latest, removed, pred)) {
           added.foreach(a =>
             Files.deleteIfExists(Paths.get(absolutePath(tablePath, a.path))))
           throw new IllegalStateException(

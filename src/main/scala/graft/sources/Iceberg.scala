@@ -71,6 +71,26 @@ object Iceberg {
   private def readMetadata(tablePath: String): JsonNode =
     mapper.readTree(Files.readAllBytes(currentMetadataFile(tablePath)))
 
+  /** The schema node the table's current metadata declares (v1 `schema`,
+    * v2 `schemas` + `current-schema-id`) — the AUTHORITY for field ids.
+    * Writer paths must reuse this node, never regenerate one from the
+    * Spark schema: a regenerated node re-keys fields sequentially, and
+    * carried-forward manifests' lower/upper bounds (keyed by the original
+    * ids) would decode against the wrong columns on later reads. */
+  private def currentSchemaNode(meta: JsonNode): JsonNode =
+    if (meta.has("schemas")) {
+      val cur = meta.get("current-schema-id").asInt
+      meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt == cur)
+        .getOrElse(sys.error(s"current-schema-id $cur not in schemas"))
+    } else meta.get("schema")
+
+  /** Name+type equality ignoring nullability flags — the carry-vs-
+    * regenerate decision for table metadata. */
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType.catalogString)).toSeq ==
+      b.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+
   /** Reconstruct live data files for a snapshot (default: current) with a
     * driver-side manifest walk — maintenance and writer paths need the
     * full list; the scan path goes through [[scanFiles]] (distributed
@@ -132,13 +152,7 @@ object Iceberg {
     val meta = readMetadata(tablePath)
     val fv = meta.get("format-version").asInt
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
-    val schemaNode =
-      if (meta.has("schemas")) {
-        val cur = meta.get("current-schema-id").asInt
-        meta.get("schemas").elements().asScala
-          .find(_.get("schema-id").asInt == cur)
-          .getOrElse(sys.error(s"current-schema-id $cur not in schemas"))
-      } else meta.get("schema")
+    val schemaNode = currentSchemaNode(meta)
     val schema = icebergToSpark(schemaNode)
     val fieldsById: Map[Int, (String, DataType)] =
       Option(schemaNode.get("fields")).map(_.elements().asScala.flatMap { f =>
@@ -288,7 +302,13 @@ object Iceberg {
     // (spec §Manifests) — the file-skipping metadata read() prunes on
     val dataSchema = StructType(df.schema.filterNot(f => partCols.contains(f.name)))
     val rawStats = DeltaStats.collectRaw(df.sparkSession, tablePath, staged, dataSchema)
-    val schemaNode = sparkToIceberg(mapper, df.schema)
+    // manifest stats must be keyed by the TABLE's field ids: reuse the
+    // prior metadata's schema node whenever it still describes the data
+    // (same-schema append/overwrite); regenerate only for a new table or
+    // a schema-changing overwrite.
+    val schemaNode = prior.map(_._1).map(currentSchemaNode)
+      .filter(n => sameShape(icebergToSpark(n), df.schema))
+      .getOrElse(sparkToIceberg(mapper, df.schema))
     val fieldIds: Map[String, Int] = schemaNode.get("fields").elements().asScala
       .map(f => f.get("name").asText -> f.get("id").asInt).toMap
 
@@ -324,42 +344,8 @@ object Iceberg {
       snapshotId)
 
     // 4. new metadata json + version hint
-    val om = mapper
-    val root = om.createObjectNode()
-    root.put("format-version", 1)
-    root.put("table-uuid",
-      prior.map(_._1.get("table-uuid").asText).getOrElse(UUID.randomUUID().toString))
-    root.put("location", tablePath)
-    root.put("last-updated-ms", System.currentTimeMillis())
-    root.put("last-column-id", df.schema.fields.length)
-    root.set[JsonNode]("schema", schemaNode)
-    val specArr = root.putArray("partition-spec")
-    partCols.zipWithIndex.foreach { case (c, i) =>
-      val f = specArr.addObject()
-      f.put("name", c); f.put("transform", "identity")
-      f.put("source-id", df.schema.fieldIndex(c) + 1); f.put("field-id", 1000 + i)
-    }
-    root.put("current-snapshot-id", snapshotId)
-    val snaps = root.putArray("snapshots")
-    // carry forward prior snapshots so time travel works
-    prior.foreach { case (m, _) =>
-      Option(m.get("snapshots")).foreach(_.elements().asScala.foreach(snaps.add))
-    }
-    val sn = snaps.addObject()
-    sn.put("snapshot-id", snapshotId)
-    sn.put("timestamp-ms", System.currentTimeMillis())
-    sn.put("manifest-list", mlPath.toString)
-    val summary = sn.putObject("summary")
-    summary.put("operation", if (mode == "overwrite") "overwrite" else "append")
-
-    val nextVersion = prior.map(_ => {
-      val hint = metadataDir(tablePath).resolve("version-hint.text")
-      new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt + 1
-    }).getOrElse(1)
-    Files.write(metadataDir(tablePath).resolve(s"v$nextVersion.metadata.json"),
-      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    Files.write(metadataDir(tablePath).resolve("version-hint.text"),
-      nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    publishMetadata(tablePath, prior.map(_._1), df.schema, partCols,
+      snapshotId, mlPath, if (mode == "overwrite") "overwrite" else "append")
     snapshotId
   }
 
@@ -438,7 +424,9 @@ object Iceberg {
     val newFiles = staged.map(f => DataFileRef(f.relPath, f.rowCount, f.sizeBytes, f.partitionValues))
     val dataSchema = StructType(st.schema.filterNot(f => st.partitionFields.contains(f.name)))
     val rawStats = DeltaStats.collectRaw(spark, tablePath, staged, dataSchema)
-    val schemaNode = sparkToIceberg(mapper, st.schema)
+    // key the rewritten manifest's stats by the TABLE's own field ids
+    // (prior metadata), never a regenerated sequential assignment
+    val schemaNode = currentSchemaNode(meta)
     val fieldIds = schemaNode.get("fields").elements().asScala
       .map(f => f.get("name").asText -> f.get("id").asInt).toMap
     val byName = st.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -489,46 +477,81 @@ object Iceberg {
     val mfp = metadataDir(tablePath).resolve(manifestName).toString
     writeManifestList(mlPath,
       (mfp, Files.size(Paths.get(mfp))) +: carried, snapshotId)
-    publishMetadata(tablePath, meta, st.schema, schemaNode, st.partitionFields,
+    publishMetadata(tablePath, Some(meta), st.schema, st.partitionFields,
       snapshotId, mlPath, "overwrite")
     (snapshotId, changed)
   }
 
   /** New metadata json + version hint for a snapshot whose manifest list
-    * is already written — the tail of [[write]], shared with [[dml]]. */
+    * is already written — the tail of [[write]], shared with [[dml]].
+    *
+    * When the prior metadata's schema still describes the data it is
+    * carried VERBATIM (deep copy): original field-id assignments,
+    * partition-spec(s) with their source-ids, format-version,
+    * last-column-id, sort orders, properties. Regenerating any of those
+    * from the Spark schema would re-key fields sequentially and demote v2
+    * tables to v1 — on an externally-written table whose ids are
+    * non-sequential (after column add/drop/rename), carried manifests'
+    * bounds would then decode against the wrong columns and make file
+    * skipping silently unsound. Regeneration happens only for a brand-new
+    * table or a schema-changing overwrite (where the old ids cannot
+    * describe the new data anyway). */
   private def publishMetadata(
       tablePath: String,
-      priorMeta: JsonNode,
+      priorMeta: Option[JsonNode],
       schema: StructType,
-      schemaNode: JsonNode,
       partCols: Seq[String],
       snapshotId: Long,
       mlPath: Path,
       operation: String): Unit = {
     val om = mapper
-    val root = om.createObjectNode()
-    root.put("format-version", 1)
-    root.put("table-uuid", priorMeta.get("table-uuid").asText)
-    root.put("location", tablePath)
-    root.put("last-updated-ms", System.currentTimeMillis())
-    root.put("last-column-id", schema.fields.length)
-    root.set[JsonNode]("schema", schemaNode)
-    val specArr = root.putArray("partition-spec")
-    partCols.zipWithIndex.foreach { case (c, i) =>
-      val f = specArr.addObject()
-      f.put("name", c); f.put("transform", "identity")
-      f.put("source-id", schema.fieldIndex(c) + 1); f.put("field-id", 1000 + i)
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val carried: Option[ObjectNode] = priorMeta
+      .filter(m => sameShape(icebergToSpark(currentSchemaNode(m)), schema))
+      .map(_.deepCopy[JsonNode]().asInstanceOf[ObjectNode])
+    val root: ObjectNode = carried.getOrElse {
+      val r = om.createObjectNode()
+      r.put("format-version", 1)
+      r.put("table-uuid",
+        priorMeta.map(_.get("table-uuid").asText).getOrElse(UUID.randomUUID().toString))
+      r.put("location", tablePath)
+      r.put("last-column-id", schema.fields.length)
+      r.set[JsonNode]("schema", sparkToIceberg(om, schema))
+      val specArr = r.putArray("partition-spec")
+      partCols.zipWithIndex.foreach { case (c, i) =>
+        val f = specArr.addObject()
+        f.put("name", c); f.put("transform", "identity")
+        f.put("source-id", schema.fieldIndex(c) + 1); f.put("field-id", 1000 + i)
+      }
+      // the snapshot log survives even a schema-changing overwrite
+      priorMeta.foreach(m => Option(m.get("snapshots"))
+        .foreach(s => r.set[JsonNode]("snapshots", s.deepCopy[JsonNode]())))
+      r
     }
+    root.put("last-updated-ms", System.currentTimeMillis())
     root.put("current-snapshot-id", snapshotId)
-    val snaps = root.putArray("snapshots")
-    Option(priorMeta.get("snapshots")).foreach(_.elements().asScala.foreach(snaps.add))
+    // v2 tables carry a commit sequence counter: bump it, stamp the snapshot
+    val seq: Option[Long] =
+      if (root.has("last-sequence-number")) {
+        val s = root.get("last-sequence-number").asLong + 1
+        root.put("last-sequence-number", s)
+        Some(s)
+      } else None
+    val snaps: ArrayNode = root.get("snapshots") match {
+      case a: ArrayNode => a
+      case _ => root.putArray("snapshots")
+    }
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
+    seq.foreach(s => { sn.put("sequence-number", s); () })
     sn.put("timestamp-ms", System.currentTimeMillis())
     sn.put("manifest-list", mlPath.toString)
     sn.putObject("summary").put("operation", operation)
     val hint = metadataDir(tablePath).resolve("version-hint.text")
-    val next = new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt + 1
+    val next =
+      if (Files.exists(hint))
+        new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt + 1
+      else 1
     Files.write(metadataDir(tablePath).resolve(s"v$next.metadata.json"),
       om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     Files.write(hint, next.toString.getBytes(StandardCharsets.UTF_8))

@@ -108,6 +108,43 @@ class DeltaDmlSpec extends AnyFunSuite {
     assert(Delta.read(spark, path, versionAsOf = Some(v - 1)).count() == 300)
   }
 
+  test("merge updates EACH duplicate target row in place (no row collapse)") {
+    val path = freshDir("mergetgtdup")
+    // target holds key 7 three times — production MERGE semantics update
+    // every matched row, so all three must survive with source values
+    Delta.write(Seq((7L, "a"), (7L, "b"), (7L, "c"), (8L, "d")).toDF("id", "t"), path)
+    val src = Seq((7L, "NEW"), (9L, "ins")).toDF("id", "t")
+    val (_, updated, inserted) = Delta.merge(spark, path, src, "id")
+    assert(updated == 3, "each duplicate target row counts as updated")
+    assert(inserted == 1, "inserted must not go negative with duplicate targets")
+    val back = Delta.read(spark, path)
+    assert(back.count() == 5)
+    assert(back.filter(col("id") === 7L).count() == 3)
+    assert(back.filter(col("id") === 7L).select("t").as[String].collect().toSet == Set("NEW"))
+    assert(back.filter(col("id") === 9L).select("t").as[String].head() == "ins")
+  }
+
+  test("dmlConflict: concurrent append inside the predicate range aborts the retry") {
+    val path = freshDir("conflict")
+    Delta.write((0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "r")
+      .repartitionByRange(2, col("id")), path)
+    val start = Delta.snapshot(spark, path)
+    // concurrent writers land an in-range append and an out-of-range append
+    Delta.write((40 until 45).map(i => (i.toLong, "late")).toDF("id", "r"), path, mode = "append")
+    val withInRange = Delta.snapshot(spark, path)
+    assert(Delta.dmlConflict(start, withInRange, Nil, Some(col("id").between(30L, 60L))),
+      "an append that could match the predicate must conflict")
+    assert(!Delta.dmlConflict(start, withInRange, Nil, Some(col("id") > 5000L)),
+      "an append provably outside the predicate must not conflict")
+    assert(Delta.dmlConflict(start, withInRange, Nil, None),
+      "without a predicate any concurrent add conflicts")
+    assert(!Delta.dmlConflict(start, start, Nil, Some(col("id") < 10L)),
+      "no concurrent commits, no conflict")
+    // a rewritten file that is no longer live conflicts regardless of pred
+    assert(Delta.dmlConflict(start, withInRange.copy(files = withInRange.files.tail),
+      Seq(withInRange.files.head), Some(col("id") > 5000L)))
+  }
+
   test("merge refuses a source with duplicate keys") {
     val path = freshDir("mergedup")
     Delta.write(Seq((1L, "a")).toDF("id", "t"), path)

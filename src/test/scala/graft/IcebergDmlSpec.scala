@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -69,6 +71,50 @@ class IcebergDmlSpec extends AnyFunSuite {
     assert(back.filter(col("g") === 1).count() == 0)
     assert(back.filter(col("g") === 9).count() == 20)
     assert(back.count() == 60)
+  }
+
+  test("dml preserves externally-assigned field ids, format-version and sequence numbers") {
+    import java.nio.file.{Files, Paths}
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val path = freshDir("fieldids")
+    Iceberg.write((0 until 100).map(i => (i.toLong, s"u$i")).toDF("id", "user"), path)
+
+    // simulate an externally evolved v2 table: non-sequential field ids
+    // (as after column add/drop/rename) and a commit sequence counter
+    val metaDir = Paths.get(path, "metadata")
+    val hint = new String(Files.readAllBytes(metaDir.resolve("version-hint.text")), "UTF-8").trim
+    val mf = metaDir.resolve(s"v$hint.metadata.json")
+    val om = new ObjectMapper()
+    val root = om.readTree(Files.readAllBytes(mf)).asInstanceOf[ObjectNode]
+    root.put("format-version", 2)
+    root.put("last-column-id", 9)
+    root.put("last-sequence-number", 3L)
+    val fields = root.get("schema").get("fields")
+    fields.get(0).asInstanceOf[ObjectNode].put("id", 5)
+    fields.get(1).asInstanceOf[ObjectNode].put("id", 9)
+    Files.write(mf, om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+
+    // an append must key its manifest stats by the TABLE's ids (5, 9)...
+    Iceberg.write((100 until 200).map(i => (i.toLong, s"u$i")).toDF("id", "user"), path)
+    // ...and DML must carry the metadata verbatim, not regenerate it
+    val (_, n) = Iceberg.delete(spark, path, col("id") >= 150L)
+    assert(n == 50)
+    assert(Iceberg.read(spark, path).count() == 150)
+
+    val after = om.readTree(Files.readAllBytes(
+      metaDir.resolve(s"v${new String(Files.readAllBytes(metaDir.resolve("version-hint.text")), "UTF-8").trim}.metadata.json")))
+    assert(after.get("format-version").asInt == 2, "format-version must not be demoted")
+    assert(after.get("last-column-id").asInt == 9)
+    val ids = after.get("schema").get("fields").elements()
+    assert(ids.next().get("id").asInt == 5 && ids.next().get("id").asInt == 9,
+      "original field ids must survive DML verbatim")
+    // two commits since the edit (append bumps once, delete bumps once)
+    assert(after.get("last-sequence-number").asLong == 5L)
+    val curSnap = after.get("current-snapshot-id").asLong
+    val sn = after.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curSnap).get
+    assert(sn.get("sequence-number").asLong == 5L)
   }
 
   test("delete matching nothing creates no snapshot") {
