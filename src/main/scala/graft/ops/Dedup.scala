@@ -80,22 +80,56 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard via inverted index: explode shingles,
     * self-join on shingle, count common shingles per pair, compute
     * |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing ≥1 shingle are
-    * materialized (pairs below that have jaccard 0). */
+    * materialized (pairs below that have jaccard 0).
+    *
+    * `maxShingleDf` is the hot-key guard the self-join needs at corpus
+    * scale: a shingle shared by d documents alone creates O(d²) candidate
+    * pairs — one boilerplate phrase common to 1M docs would create 10¹²
+    * pairs. With a cap, shingles whose document frequency exceeds it are
+    * dropped from CANDIDATE GENERATION only (they are non-discriminative
+    * stopword phrases) and every surviving candidate pair is verified
+    * exactly on its full shingle sets — reported jaccard values stay
+    * exact; only pairs whose EVERY common shingle is hotter than the cap
+    * are missed. That bounds the join blowup at O(#shingles · cap²). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Option[Long] = None): DataFrame = {
     val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
     val inv = withSh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val a = inv.select(col("id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
-    val b = inv.select(col("id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jac", col("common") / (col("na") + col("nb") - col("common")))
-      .filter(col("jac") >= threshold)
-      .select("doc_a", "doc_b", "jac")
+    maxShingleDf match {
+      case None =>
+        val a = inv.select(col("id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+        val b = inv.select(col("id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
+        a.join(b, Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b", "na", "nb")
+          .agg(count(lit(1)).as("common"))
+          .withColumn("jac", col("common") / (col("na") + col("nb") - col("common")))
+          .filter(col("jac") >= threshold)
+          .select("doc_a", "doc_b", "jac")
+      case Some(cap) =>
+        // semi-join keeps only postings of shingles at-or-under the cap;
+        // the df aggregation shuffles on the same key as the self-join
+        val rare = inv.join(
+          inv.groupBy("shingle").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= cap).select("shingle"),
+          Seq("shingle"), "left_semi")
+        val a = rare.select(col("id").as("doc_a"), col("shingle"))
+        val b = rare.select(col("id").as("doc_b"), col("shingle"))
+        val cand = a.join(b, Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        // exact verification on full shingle sets (the minhash pattern:
+        // arrays re-attach only to the tiny candidate set)
+        val sa = withSh.select(col("id").as("doc_a"), col("sh").as("__sha"), col("n_sh").as("na"))
+        val sb = withSh.select(col("id").as("doc_b"), col("sh").as("__shb"), col("n_sh").as("nb"))
+        cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+          .withColumn("common", size(array_intersect(col("__sha"), col("__shb"))))
+          .withColumn("jac", col("common") / (col("na") + col("nb") - col("common")))
+          .filter(col("jac") >= threshold)
+          .select("doc_a", "doc_b", "jac")
+    }
   }
 
   /** MinHash + LSH banding: k-hash signature, band-bucket join for

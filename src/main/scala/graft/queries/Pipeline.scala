@@ -63,6 +63,46 @@ object Pipeline {
     Dedup.ngramJaccardPairs(t(s, dir).documents, "doc_id", "text", n = 3, threshold = 0.2)
       .orderBy("doc_a", "doc_b")
 
+  // ---- dedup: n-gram jaccard with a document-frequency cap ----
+  // A constant boilerplate tail is planted on every document, making its
+  // shingles df = |docs| — without the cap those alone would create
+  // O(|docs|²) candidate pairs in the inverted-index self-join. The cap
+  // drops them from candidate generation; candidates verify exactly on
+  // full shingle sets (so jaccard VALUES are exact), and the oracle
+  // replicates the same candidate semantics in SQL.
+  def dedup_ngram_jaccard_dfcap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documents
+      .filter(col("doc_id") < 400)
+      .withColumn("text", concat(col("text"), lit(" zz common boilerplate tail zz")))
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.2,
+        maxShingleDf = Some(50L))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramJaccardDfcapSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split(text || ' zz common boilerplate tail zz', ' ') AS w
+      |  FROM documents WHERE doc_id < 400),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+      |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |      FROM t WHERE len(w) >= 3),
+      |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      |df AS (SELECT shingle, count(*) AS c FROM inv GROUP BY shingle),
+      |rare AS (SELECT doc_id, shingle FROM inv JOIN df USING (shingle) WHERE c <= 50),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+      |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+      |FROM cand
+      |JOIN s sa ON sa.doc_id = doc_a
+      |JOIN s sb ON sb.doc_id = doc_b
+      |WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+      |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val dedupNgramJaccardSql =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
       |s AS (SELECT doc_id,
@@ -427,6 +467,7 @@ object Pipeline {
     "dedup_exact" -> (dedup_exact _),
     "dedup_decontaminate" -> (dedup_decontaminate _),
     "dedup_ngram_jaccard" -> (dedup_ngram_jaccard _),
+    "dedup_ngram_jaccard_dfcap" -> (dedup_ngram_jaccard_dfcap _),
     "dedup_minhash_lsh" -> (dedup_minhash_lsh _),
     "dedup_simhash" -> (dedup_simhash _),
     "dedup_embedding_cosine" -> (dedup_embedding_cosine _),
@@ -450,6 +491,7 @@ object Pipeline {
     "dedup_exact" -> dedupExactSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_ngram_jaccard_dfcap" -> dedupNgramJaccardDfcapSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,

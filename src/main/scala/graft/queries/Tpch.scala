@@ -87,13 +87,19 @@ object Tpch {
     val oF = graft.ops.Prune.bloomSemiPrefilter(
       tt.orders.filter(col("o_orderdate") < cutoff), "o_custkey",
       cF.select("c_custkey"), "c_custkey")
+    // only ~20% of orders survive segment+date: prune lineitem on the
+    // surviving orderkeys BEFORE its shuffle (the q4 shape) — without
+    // this all of lineitem (minus the shipdate pushdown) pays the
+    // shuffle into the SMJ, the one superlinear scaler in the suite
+    val lF = graft.ops.Prune.bloomSemiPrefilter(
+      tt.lineitem.filter(col("l_shipdate") > cutoff), "l_orderkey",
+      oF.select("o_orderkey"), "o_orderkey")
     // customer scales with the data — even reduced to keys it must not
     // be broadcast (the bloom above already did the cheap reduction);
     // pin the exact join to shuffle-merge like q5/q8/q9
     cF.hint("shuffle_merge")
       .join(oF, col("c_custkey") === col("o_custkey"))
-      .join(tt.lineitem, col("o_orderkey") === col("l_orderkey"))
-      .filter(col("l_shipdate") > cutoff)
+      .join(lF, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .withColumn("o_orderdate", col("o_orderdate").cast("date"))

@@ -50,6 +50,15 @@ class ScaledPlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), s"customer⋈orders must shuffle:\n$p")
   }
 
+  test("q3 prunes lineitem on surviving orderkeys before its shuffle") {
+    // round-5 fix for the one superlinear scaler: both fact inputs carry
+    // a bloom probe (orders on BUILDING custkeys, lineitem on surviving
+    // orderkeys) — a size-estimate change must not drop either
+    val p = plan("q3")
+    assert(p.sliding("bloommightcontainexpr".length).count(_ == "bloommightcontainexpr") >= 2,
+      s"q3: expected bloom probes on BOTH orders and lineitem scans:\n$p")
+  }
+
   test("q4/q5/q7/q8/q9 carry the bloom semi-prefilter on their fact scan side") {
     for (q <- Seq("q4", "q5", "q7", "q8", "q9")) {
       val p = plan(q)

@@ -21,6 +21,37 @@ class SkewClusterSpec extends AnyFunSuite {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("ngram jaccard df-cap bounds the candidate blowup from a hot shingle") {
+    // 60 docs all share one boilerplate trigram ("aa bb cc"); each also has
+    // a unique tail. Without a cap the hot shingle alone self-joins into
+    // 60*59/2 = 1770 candidate pairs; with a cap below 60 it is dropped
+    // from candidate generation, so no pair survives (their only common
+    // shingles are hot) — the blowup is bounded by O(#shingles · cap²).
+    val docs = (0 until 60)
+      .map(i => (i.toLong, s"aa bb cc u$i v$i w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.0)
+    assert(uncapped.count() == 1770L, "hot shingle creates the quadratic pair set")
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.0, maxShingleDf = Some(10L))
+    assert(capped.count() == 0L, "capped: non-discriminative shingle generates no candidates")
+
+    // correctness of the capped path where rare shingles DO discriminate:
+    // two near-dup docs share rare shingles; their jaccard must equal the
+    // exact (uncapped) value because verification uses full shingle sets
+    val docs2 = docs.union(Seq(
+      (100L, "aa bb cc p q r s t"), (101L, "aa bb cc p q r s t u")).toDF("doc_id", "text"))
+    val exactPair = Dedup.ngramJaccardPairs(docs2, "doc_id", "text", n = 3, threshold = 0.2)
+      .filter(col("doc_a") === 100L && col("doc_b") === 101L)
+      .select("jac").as[Double].head()
+    val cappedPair = Dedup.ngramJaccardPairs(docs2, "doc_id", "text", n = 3,
+        threshold = 0.2, maxShingleDf = Some(10L))
+      .filter(col("doc_a") === 100L && col("doc_b") === 101L)
+      .select("jac").as[Double].head()
+    assert(math.abs(exactPair - cappedPair) < 1e-12,
+      "capped verification must report the exact jaccard")
+  }
+
   test("clusters converges on a long path (diameter > default clique depth)") {
     val n = 33
     val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
