@@ -105,6 +105,54 @@ object Io {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
       |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
 
+  /** Bounded Kafka batch read (ref daft/io/_kafka.py read_kafka): events
+    * rows publish to an in-memory wire-protocol broker ([[graft.sources.kafka.MiniBroker]],
+    * 4 partitions, offsets assigned in event_id order per partition),
+    * then read back through the real client — Metadata/ListOffsets/Fetch
+    * over a socket, one Spark task per partition — with per-partition
+    * OFFSET BOUNDS [10, 110). The oracle reproduces the offset window as
+    * a row_number over the same partitioning. localCheckpoint forces the
+    * fetch while the broker is alive, so the returned frame is inert. */
+  def io_kafka(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.kafka.{Kafka, MiniBroker}
+    val broker = new MiniBroker
+    try {
+      val evs = t(s, dir).events
+        .filter(col("event_id") < 2000)
+        .select("event_id").orderBy("event_id")
+        .as(org.apache.spark.sql.Encoders.scalaLong)
+        .collect() // bounded fixture: the broker under test needs the rows
+      evs.foreach { id =>
+        broker.append("events", (id % 4).toInt, id,
+          id.toString.getBytes("UTF-8"), id.toString.getBytes("UTF-8"))
+      }
+      val lo = Kafka.Offsets(Map("events" -> (0 until 4).map(_ -> 10L).toMap))
+      val hi = Kafka.Offsets(Map("events" -> (0 until 4).map(_ -> 110L).toMap))
+      Kafka.read(s, broker.bootstrap, Seq("events"), start = lo, end = hi)
+        .withColumnRenamed("partition", "part")
+        .groupBy("part")
+        .agg(
+          count(lit(1)).as("n"),
+          min("offset").as("first_offset"),
+          max("offset").as("last_offset"),
+          sum(decode(col("value"), "UTF-8").cast("long")).as("id_sum"))
+        .orderBy("part")
+        .localCheckpoint(true)
+    } finally broker.close()
+  }
+
+  val ioKafkaSql =
+    """WITH src AS (
+      |  SELECT event_id, CAST(event_id % 4 AS INT) AS part,
+      |    row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS off
+      |  FROM events WHERE event_id < 2000)
+      |SELECT part, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(off) AS BIGINT) AS first_offset,
+      |  CAST(max(off) AS BIGINT) AS last_offset,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum
+      |FROM src WHERE off >= 10 AND off < 110
+      |GROUP BY part ORDER BY part""".stripMargin
+
   /** Range source (ref daft/io/_range.py `daft.range`): distributed
     * integer range — no driver-side data, each partition synthesizes its
     * slice. */
@@ -610,6 +658,7 @@ object Io {
     "io_json_roundtrip" -> (io_json_roundtrip _),
     "io_partitioned_write" -> (io_partitioned_write _),
     "io_glob_files" -> (io_glob_files _),
+    "io_kafka" -> (io_kafka _),
     "io_range" -> (io_range _),
     "io_generator" -> (io_generator _),
     "io_text_roundtrip" -> (io_text_roundtrip _),
@@ -636,6 +685,7 @@ object Io {
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "io_partitioned_write" -> ioPartitionedWriteSql,
     "io_glob_files" -> ioGlobFilesSql,
+    "io_kafka" -> ioKafkaSql,
     "io_range" -> ioRangeSql,
     "io_generator" -> ioGeneratorSql,
     "io_text_roundtrip" -> ioTextRoundtripSql,
