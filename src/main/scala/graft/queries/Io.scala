@@ -608,6 +608,79 @@ object Io {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** CORRELATED scalar subquery (ref `unnest_subquery.rs` surface; SURVEY
+    * §2.6; complements Relational's uncorrelated `subquery_scalar`): each
+    * order compares against ITS customer's average price — Catalyst's
+    * RewriteCorrelatedScalarSubquery turns this into an aggregate + join,
+    * no per-row re-execution. */
+  def subquery_scalar_corr(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.orders.createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_above
+        |FROM v_orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM v_orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val subqueryScalarCorrSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS sum_above
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** IN subquery through the SQL PARSER (Relational's `subquery_in` pins
+    * the DataFrame-API semi-join form; this one exercises the full SQL
+    * scope path) → left-semi join under Catalyst either way. */
+  def subquery_in_sql(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.orders.createOrReplaceTempView("v_orders")
+    tt.customer.createOrReplaceTempView("v_customer")
+    s.sql(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM v_customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM v_orders
+        |                    WHERE o_totalprice > 200000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val subqueryInSqlSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_totalprice > 200000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Positive correlated EXISTS with an extra predicate → left-semi join
+    * under Catalyst (complements Relational's `subquery_not_exists`
+    * anti-join form). */
+  def subquery_exists(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.orders.createOrReplaceTempView("v_orders")
+    tt.customer.createOrReplaceTempView("v_customer")
+    s.sql(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_urgent,
+        |  CAST(min(c_custkey) AS BIGINT) AS min_key
+        |FROM v_customer c
+        |WHERE EXISTS (SELECT 1 FROM v_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val subqueryExistsSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_urgent,
+      |  CAST(min(c_custkey) AS BIGINT) AS min_key
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val sqlEntrySql =
     """WITH cust_orders AS (
       |  SELECT c_mktsegment, o_totalprice,
@@ -677,7 +750,10 @@ object Io {
     "io_huggingface" -> (io_huggingface _),
     "io_read_sql" -> (io_read_sql _),
     "io_write_sink" -> (io_write_sink _),
-    "sql_entry" -> (sql_entry _))
+    "sql_entry" -> (sql_entry _),
+    "subquery_scalar_corr" -> (subquery_scalar_corr _),
+    "subquery_in_sql" -> (subquery_in_sql _),
+    "subquery_exists" -> (subquery_exists _))
 
   val oracle: Map[String, String] = Map(
     "catalog_session" -> catalogSessionSql,
@@ -704,5 +780,8 @@ object Io {
     "io_huggingface" -> ioHuggingfaceSql,
     "io_read_sql" -> ioReadSqlSql,
     "io_write_sink" -> ioWriteSinkSql,
-    "sql_entry" -> sqlEntrySql)
+    "sql_entry" -> sqlEntrySql,
+    "subquery_scalar_corr" -> subqueryScalarCorrSql,
+    "subquery_in_sql" -> subqueryInSqlSql,
+    "subquery_exists" -> subqueryExistsSql)
 }

@@ -15,6 +15,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
   }
 
+  test("no query key is defined in two files (map ++ would shadow silently)") {
+    val sources = Seq(
+      "Tpch" -> queries.Tpch.queries, "Tpch2" -> queries.Tpch2.queries,
+      "ClickBench" -> queries.ClickBench.queries,
+      "Relational" -> queries.Relational.queries,
+      "Aggregates" -> queries.Aggregates.queries,
+      "Windows" -> queries.Windows.queries,
+      "Functions" -> queries.Functions.queries,
+      "AsofQueries" -> queries.AsofQueries.queries,
+      "Pipeline" -> queries.Pipeline.queries, "Io" -> queries.Io.queries,
+      "Advanced" -> queries.Advanced.queries)
+    val dups = sources.flatMap { case (src, m) => m.keys.map(_ -> src) }
+      .groupBy(_._1).filter(_._2.size > 1)
+      .map { case (k, hits) => s"$k in ${hits.map(_._2).mkString("+")}" }
+    assert(dups.isEmpty, s"duplicate query keys across files: ${dups.mkString(", ")}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
