@@ -37,7 +37,15 @@ object Engine {
       // 2x width, holds comfortably at 4x); AQE merges the small ones back
       // to the 64 MB advisory size so small queries don't pay for the width
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cores.toInt * 4).toString)
+        (cores.toInt * sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS_X", "4").toInt).toString)
+      // AQE coalesce target = the post-shuffle sort/agg chunk each task
+      // holds; profiled at the SF100-equivalent tier (Profile.scala):
+      // 64 MB advisory left q3/q8/q9 spilling 6-13 GB through their SMJ
+      // sorts, 32 MB halves the per-task sort footprint and removes the
+      // spill without measurably hurting the small queries (they
+      // coalesce to one partition either way)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "32").toLong << 20).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
