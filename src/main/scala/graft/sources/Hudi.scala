@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -166,8 +166,8 @@ object Hudi {
     prior.foreach(tl =>
       PartitionedFiles.requireSameSchema(tl.schema, df.schema, s"hudi $mode to $tablePath"))
 
-    val instant = newInstantTime(prior.map(_.completedInstants).getOrElse(Nil))
-    Files.createDirectories(dir)
+    val action = if (mode == "overwrite") "replacecommit" else "commit"
+    val instant = claimInstant(dir, action, prior.map(_.completedInstants).getOrElse(Nil))
     if (!exists) {
       val props = Seq(
         "hoodie.table.name=" + Paths.get(tablePath).getFileName,
@@ -179,9 +179,8 @@ object Hudi {
         props.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     }
 
-    // spec ordering: requested -> inflight -> data -> completed
-    Files.write(dir.resolve(s"$instant.commit.requested"), Array.emptyByteArray)
-    Files.write(dir.resolve(s"$instant.commit.inflight"), Array.emptyByteArray)
+    // spec ordering: requested (claimed above) -> inflight -> data -> completed
+    Files.write(dir.resolve(s"$instant.$action.inflight"), Array.emptyByteArray)
 
     val staged = PartitionedFiles.stageAndMove(df, tablePath, partCols,
       renamePart = p => s"${UUID.randomUUID()}_0-0-0_$instant.parquet")
@@ -208,11 +207,27 @@ object Hudi {
     }
     root.put("operation", if (mode == "overwrite") "insert_overwrite_table" else "insert")
 
-    val action = if (mode == "overwrite") "replacecommit" else "commit"
-    Files.write(dir.resolve(s"$instant.$action"), om.writeValueAsBytes(root))
-    Files.deleteIfExists(dir.resolve(s"$instant.commit.requested"))
-    Files.deleteIfExists(dir.resolve(s"$instant.commit.inflight"))
+    // overwrite replaces EVERY file group the planning timeline saw: a
+    // commit that landed since makes that replacement a lost update —
+    // refuse (appends are always serializable: they only add new groups)
+    if (mode == "overwrite" &&
+        completedInstantsNow(tablePath) != prior.map(_.completedInstants).getOrElse(Nil))
+      abortInstant(tablePath, dir, instant, action, staged,
+        s"hudi overwrite of $tablePath conflicts with a concurrent commit — retry")
+    publishCommit(dir, instant, action, om.writeValueAsBytes(root))
     instant
+  }
+
+  /** Make the instant visible atomically: stage the commit json then
+    * RENAME it in (concurrent timeline() listings either see the complete
+    * file or no file — never a partial json), then drop the markers. */
+  private def publishCommit(dir: Path, instant: String, action: String,
+      json: Array[Byte]): Unit = {
+    val tmp = dir.resolve(s".tmp-$instant-${UUID.randomUUID()}")
+    Files.write(tmp, json)
+    Files.move(tmp, dir.resolve(s"$instant.$action"))
+    Files.deleteIfExists(dir.resolve(s"$instant.$action.requested"))
+    Files.deleteIfExists(dir.resolve(s"$instant.$action.inflight"))
   }
 
   /** Row-level DELETE via copy-on-write: file groups containing matches
@@ -282,8 +297,7 @@ object Hudi {
     val out = rewrite(slice, hit)
 
     val dir = hoodieDir(tablePath)
-    val instant = newInstantTime(tl.completedInstants)
-    Files.write(dir.resolve(s"$instant.replacecommit.requested"), Array.emptyByteArray)
+    val instant = claimInstant(dir, "replacecommit", tl.completedInstants)
     Files.write(dir.resolve(s"$instant.replacecommit.inflight"), Array.emptyByteArray)
     val staged = PartitionedFiles.stageAndMove(out, tablePath, tl.partitionColumns,
       renamePart = p => s"${UUID.randomUUID()}_0-0-0_$instant.parquet")
@@ -306,9 +320,14 @@ object Hudi {
       ss.map(_.fileId).distinct.foreach(arr.add)
     }
     root.put("operation", operation)
-    Files.write(dir.resolve(s"$instant.replacecommit"), om.writeValueAsBytes(root))
-    Files.deleteIfExists(dir.resolve(s"$instant.replacecommit.requested"))
-    Files.deleteIfExists(dir.resolve(s"$instant.replacecommit.inflight"))
+    // serializability: this replacecommit rewrites file groups as read at
+    // planning time — ANY commit completed since (a rewrite of the same
+    // groups, or an append whose rows this DML never saw) makes the
+    // rewrite stale; refuse rather than lose the concurrent update
+    if (completedInstantsNow(tablePath) != tl.completedInstants)
+      abortInstant(tablePath, dir, instant, "replacecommit", staged,
+        s"hudi $operation on $tablePath conflicts with a concurrent commit — retry")
+    publishCommit(dir, instant, "replacecommit", om.writeValueAsBytes(root))
     (instant, changed)
   }
 
@@ -352,6 +371,49 @@ object Hudi {
     val max = existing.maxOption.getOrElse("")
     if (t <= max) t = (BigInt(max) + 1).toString
     t
+  }
+
+  /** Atomically claim a unique instant: CREATE_NEW on the `.requested`
+    * marker is the mutual-exclusion point. Two writers that compute the
+    * same millisecond timestamp race on the filesystem's atomic create;
+    * the loser bumps the instant and retries — without this, the second
+    * writer's markers and commit json silently OVERWRITE the first's
+    * (lost update). Mirrors hudi's timeline-server instant creation. */
+  private[graft] def claimInstant(dir: Path, action: String, existing: Seq[String]): String = {
+    Files.createDirectories(dir)
+    var instant = newInstantTime(existing)
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.write(dir.resolve(s"$instant.$action.requested"), Array.emptyByteArray,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          instant = (BigInt(instant) + 1).toString
+      }
+    }
+    instant
+  }
+
+  /** Completed instants on disk RIGHT NOW — the cheap re-list a committer
+    * uses to detect concurrent commits since its planning snapshot. */
+  private[graft] def completedInstantsNow(tablePath: String): Seq[String] = {
+    val dir = hoodieDir(tablePath)
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator().asScala.map(_.getFileName.toString).collect {
+      case n if n.endsWith(".commit") => n.stripSuffix(".commit")
+      case n if n.endsWith(".replacecommit") => n.stripSuffix(".replacecommit")
+    }.toSeq.sorted
+  }
+
+  /** Abort an in-flight instant: remove markers and staged data files. */
+  private def abortInstant(tablePath: String, dir: Path, instant: String, action: String,
+      staged: Seq[PartitionedFiles.StagedFile], reason: String): Nothing = {
+    staged.foreach(f => Files.deleteIfExists(Paths.get(s"$tablePath/${f.relPath}")))
+    Files.deleteIfExists(dir.resolve(s"$instant.$action.inflight"))
+    Files.deleteIfExists(dir.resolve(s"$instant.$action.requested"))
+    throw new IllegalStateException(reason)
   }
 
   private[graft] def deleteTable(tablePath: String): Unit =

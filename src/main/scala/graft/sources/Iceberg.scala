@@ -552,8 +552,21 @@ object Iceberg {
       if (Files.exists(hint))
         new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt + 1
       else 1
-    Files.write(metadataDir(tablePath).resolve(s"v$next.metadata.json"),
-      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    // optimistic concurrency (the HadoopTables rename-commit contract):
+    // stage the json then RENAME it in as vN — rename is atomic (readers
+    // never see a partial metadata file) and fails if a concurrent writer
+    // already produced vN. That writer's commit was built against the
+    // same base as ours, so ours is stale: refuse, never overwrite.
+    val tmp = metadataDir(tablePath).resolve(s".tmp-v$next-${UUID.randomUUID()}.json")
+    Files.write(tmp, om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    try Files.move(tmp, metadataDir(tablePath).resolve(s"v$next.metadata.json"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"concurrent Iceberg commit on $tablePath (version $next already " +
+            "exists) — retry the operation against the current table state")
+    }
     Files.write(hint, next.toString.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -584,8 +597,16 @@ object Iceberg {
       .filter(_.get("snapshot-id").asLong == current).foreach(snaps.add)
     val hint = metadataDir(tablePath).resolve("version-hint.text")
     val next = new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt + 1
-    Files.write(metadataDir(tablePath).resolve(s"v$next.metadata.json"),
-      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    val tmp = metadataDir(tablePath).resolve(s".tmp-v$next-${UUID.randomUUID()}.json")
+    Files.write(tmp, om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    try Files.move(tmp, metadataDir(tablePath).resolve(s"v$next.metadata.json"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"concurrent Iceberg commit on $tablePath (version $next already " +
+            "exists) — retry expireSnapshots against the current table state")
+    }
     Files.write(hint, next.toString.getBytes(StandardCharsets.UTF_8))
     deleted
   }

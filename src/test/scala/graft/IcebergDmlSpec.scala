@@ -117,6 +117,25 @@ class IcebergDmlSpec extends AnyFunSuite {
     assert(sn.get("sequence-number").asLong == 5L)
   }
 
+  test("a concurrent commit at the same version is refused, never overwritten") {
+    import java.nio.file.{Files, Paths}
+    val path = freshDir("conflict")
+    Iceberg.write((0 until 50).map(i => (i.toLong, s"u$i")).toDF("id", "user"), path)
+    val metaDir = Paths.get(path, "metadata")
+    val hint = new String(Files.readAllBytes(metaDir.resolve("version-hint.text")), "UTF-8").trim
+    // a concurrent writer lands the next version between our planning
+    // read and our publish
+    val winner = metaDir.resolve(s"v${hint.toInt + 1}.metadata.json")
+    Files.copy(metaDir.resolve(s"v$hint.metadata.json"), winner)
+    val before = new String(Files.readAllBytes(winner), "UTF-8")
+    val e = intercept[IllegalStateException](
+      Iceberg.delete(spark, path, col("id") < 10L))
+    assert(e.getMessage.contains("concurrent"))
+    assert(new String(Files.readAllBytes(winner), "UTF-8") == before,
+      "the winner's metadata file must be untouched")
+    assert(Iceberg.read(spark, path).count() == 50, "table state intact after refusal")
+  }
+
   test("delete matching nothing creates no snapshot") {
     val path = freshDir("noop")
     val s0 = Iceberg.write((1 to 10).map(i => (i.toLong, "r")).toDF("id", "r"), path)
