@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation for training-data pipelines — the mixing / scoring /
+  * packing layer that sits between dedup ([[Dedup]]) and the trainer
+  * (builder brief; reference exposes the building blocks — tokenization
+  * `daft/functions/` and groupby — but not these composites).
+  *
+  * Scale design notes:
+  *  - `mixDomains` takes an EXACT per-domain head-by-order quota without
+  *    a per-domain global sort: rows are first binned by a coarse range
+  *    bucket of the order column, per-(domain,bucket) counts (tiny)
+  *    decide which buckets are taken whole, and only the single
+  *    boundary bucket per domain pays a row_number — the classic
+  *    distributed top-K split. A naive `row_number() OVER (PARTITION BY
+  *    domain)` funnels every row of a domain through ONE task; at 100 TB
+  *    with a handful of domains that is a straggler by construction.
+  *  - `lmScore` trains the unigram LM with one map-side-combined
+  *    count aggregation (vocab ≪ corpus: Heaps' law puts a 100 TB
+  *    web corpus's vocab in the low billions of rows, shuffled once),
+  *    then scores by joining tokens to vocab — an equi-join AQE will
+  *    broadcast whenever the vocab fits, else a plain shuffle join.
+  *    No driver-side state at any size.
+  *  - `packSequences` packs greedily WITHIN deterministic doc-id shards,
+  *    so packing parallelizes across shards and per-task memory is
+  *    bounded by `shardSize` docs; bin ids are (shard, local bin) so no
+  *    cross-shard coordination exists. Global-greedy would serialize
+  *    the scan of the whole corpus through one cursor.
+  */
+object Curate {
+
+  /** Lowercased whitespace tokens — matches TextAnalysis.wsTokens modulo
+    * the case fold (LM counts are case-insensitive by convention). */
+  private def lmTokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+
+  /** Domain mixing: deterministically downsample each domain to its
+    * target share of a token/document budget (the Pile / Llama "data
+    * mixture" step). For each domain d with weight w_d, keeps the FIRST
+    * `floor(w_d * total)` rows by `orderCol` (stable, reproducible —
+    * reruns and backfills pick identical rows). Domains absent from
+    * `weights` are dropped.
+    *
+    * @param bucketWidth width of the `orderCol` range buckets; only the
+    *        boundary bucket of each domain is ranked row-by-row, so this
+    *        bounds the one non-scalable window at `bucketWidth` rows.
+    */
+  def mixDomains(
+      docs: DataFrame,
+      domainCol: String,
+      orderCol: String,
+      weights: Map[String, Double],
+      total: Long,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val quotas = weights.map { case (d, w) => (d, math.floor(w * total).toLong) }
+    val spark = docs.sparkSession
+    val quotaDf = broadcast(
+      spark.createDataFrame(quotas.toSeq).toDF(domainCol, "quota"))
+
+    val bucketed = docs
+      .join(quotaDf, Seq(domainCol))
+      .withColumn("_bucket", floor(col(orderCol) / bucketWidth))
+
+    // tiny: |domains| × |buckets| rows; cumulative count decides each
+    // bucket's fate — taken whole, skipped whole, or the boundary
+    val perBucket = bucketed.groupBy(domainCol, "_bucket", "quota")
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_cum_end",
+        sum("_n").over(Window.partitionBy(domainCol).orderBy("_bucket")))
+      .withColumn("_cum_before", col("_cum_end") - col("_n"))
+      .filter(col("_cum_before") < col("quota"))
+      .withColumn("_take_all", col("_cum_end") <= col("quota"))
+      .select(domainCol, "_bucket", "_cum_before", "_take_all")
+
+    val tagged = bucketed.join(broadcast(perBucket), Seq(domainCol, "_bucket"))
+    val whole = tagged.filter(col("_take_all"))
+    // one bucket per domain reaches this window → ≤ bucketWidth rows/task
+    val boundary = tagged.filter(!col("_take_all"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(domainCol).orderBy(orderCol)))
+      .filter(col("_rn") + col("_cum_before") <= col("quota"))
+      .drop("_rn")
+
+    whole.unionByName(boundary)
+      .drop("_bucket", "_cum_before", "_take_all", "quota")
+  }
+
+  /** Unigram-LM quality scoring (the KenLM-style perplexity filter of
+    * CCNet / Llama data prep, reduced to its order-0 core): train token
+    * unigram counts on `train`, then score every document of `docs` by
+    * the mean log-probability of its tokens. Low `avg_logp` (high
+    * perplexity) flags boilerplate-free but unnatural text; the caller
+    * thresholds. Returns (idCol, n_tokens, avg_logp, ppl); documents
+    * with zero tokens are dropped (no tokens → no probability mass).
+    *
+    * Smoothing: tokens unseen in `train` get add-one-smoothed mass
+    * `1/(N+V)` so scoring a held-out split never hits ln(0).
+    */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      train: Option[DataFrame] = None): DataFrame = {
+    val trainDf = train.getOrElse(docs)
+    val vocab = trainDf
+      .select(explode(lmTokens(col(textCol))).as("_tk"))
+      .filter(col("_tk") =!= "")
+      .groupBy("_tk").agg(count(lit(1)).as("_c"))
+    // two scalars (corpus size, vocab size) — a 1-row broadcast, not state
+    val totals = broadcast(vocab.agg(
+      sum("_c").as("_n"), count(lit(1)).as("_v")))
+
+    val tokens = docs
+      .select(col(idCol), explode(lmTokens(col(textCol))).as("_tk"))
+      .filter(col("_tk") =!= "")
+    tokens
+      .join(vocab, Seq("_tk"), "left")
+      .crossJoin(totals)
+      .withColumn("_logp",
+        log((coalesce(col("_c"), lit(0L)) + 1L) / (col("_n") + col("_v"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), avg("_logp").as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget bins (the
+    * pre-training step that concatenates short documents into full
+    * context windows, cf. T5/GPT packing). Deterministic greedy
+    * first-fit in `idCol` order WITHIN each shard of `shardSize`
+    * consecutive ids: a new bin starts when the current document no
+    * longer fits; a document longer than `budget` gets a bin of its own.
+    * Returns (idCol, shard, bin, n_tokens) — bin is local to its shard,
+    * so (shard, bin) is the global pack id.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      shardSize: Long = 4096): DataFrame = {
+    require(budget > 0 && shardSize > 0, "budget and shardSize must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col(idCol).cast("long"),
+        floor(col(idCol) / shardSize).as("shard"),
+        size(split(trim(col(textCol)), "\\s+")).as("n_tokens"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard, rows) =>
+        // a shard is ≤ shardSize docs by construction — safe to sort here
+        var bin = 0
+        var fill = 0
+        rows.toSeq.sortBy(_._1).map { case (id, _, t) =>
+          if (fill > 0 && fill + t > budget) { bin += 1; fill = 0 }
+          fill += t
+          (id, shard, bin, t)
+        }
+      }
+      .toDF(idCol, "shard", "bin", "n_tokens")
+  }
+}

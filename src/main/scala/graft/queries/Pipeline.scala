@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Similarity, Skew, TextAnalysis}
+import graft.ops.{Curate, Dedup, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -463,7 +463,65 @@ object Pipeline {
       |WHERE o_orderkey % 10 >= 3
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- curation: domain mixing (exact head-by-order quota per domain) ----
+  def curate_mix_domains(s: SparkSession, dir: String): DataFrame =
+    Curate.mixDomains(t(s, dir).documents, "lang", "doc_id",
+        weights = Map("en" -> 0.5, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.1),
+        total = 200, bucketWidth = 64)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val curateMixDomainsSql =
+    """WITH q(lang, quota) AS (VALUES ('en', 100), ('de', 30), ('fr', 30), ('es', 20), ('zh', 20)),
+      |r AS (
+      |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rn <= quota
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- curation: unigram-LM perplexity scoring (CCNet-style filter core) ----
+  def curate_lm_score(s: SparkSession, dir: String): DataFrame =
+    Curate.lmScore(t(s, dir).documents, "doc_id", "text")
+      .orderBy("doc_id")
+
+  val curateLmScoreSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tk
+      |  FROM documents),
+      |tok2 AS (SELECT * FROM tok WHERE tk <> ''),
+      |vocab AS (SELECT tk, count(*) AS c FROM tok2 GROUP BY tk),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab)
+      |SELECT doc_id, count(*) AS n_tokens, avg(ln((c + 1) / (n + v))) AS avg_logp,
+      |       exp(-avg(ln((c + 1) / (n + v)))) AS ppl
+      |FROM tok2 JOIN vocab USING (tk) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- curation: greedy sequence packing into fixed token budgets ----
+  def curate_pack_sequences(s: SparkSession, dir: String): DataFrame =
+    Curate.packSequences(t(s, dir).documents.filter(col("doc_id") < 300),
+        "doc_id", "text", budget = 256, shardSize = 64)
+      .orderBy("doc_id")
+
+  val curatePackSequencesSql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, doc_id // 64 AS shard,
+      |         CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+      |         row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
+      |  FROM documents WHERE doc_id < 300),
+      |packed AS (
+      |  SELECT shard, rn, doc_id, n_tokens, 0 AS bin, n_tokens AS fill FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+      |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+      |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256 THEN d.n_tokens ELSE p.fill + d.n_tokens END
+      |  FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+      |SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens FROM packed
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "curate_mix_domains" -> (curate_mix_domains _),
+    "curate_lm_score" -> (curate_lm_score _),
+    "curate_pack_sequences" -> (curate_pack_sequences _),
     "dedup_exact" -> (dedup_exact _),
     "dedup_decontaminate" -> (dedup_decontaminate _),
     "dedup_ngram_jaccard" -> (dedup_ngram_jaccard _),
@@ -488,6 +546,9 @@ object Pipeline {
     "checkpoint_resume" -> (checkpoint_resume _))
 
   val oracle: Map[String, String] = Map(
+    "curate_mix_domains" -> curateMixDomainsSql,
+    "curate_lm_score" -> curateLmScoreSql,
+    "curate_pack_sequences" -> curatePackSequencesSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Curate
+
+/** Corpus curation ops: domain mixing (exact distributed head-by-order),
+  * unigram-LM scoring (CCNet-style), greedy sequence packing. */
+class CurateSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map { i =>
+      val dom = Seq("en", "de", "fr")(i % 3)
+      (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} filler", dom)
+    }.toDF("doc_id", "text", "lang")
+
+  test("mixDomains equals the naive per-domain window head, across buckets") {
+    val docs = corpus(300)
+    val weights = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+    // bucketWidth 16 forces every domain through whole-bucket + boundary paths
+    val got = Curate.mixDomains(docs, "lang", "doc_id", weights, total = 120,
+        bucketWidth = 16)
+      .select("doc_id").as[Long].collect().sorted
+
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy("doc_id")))
+      .withColumn("quota",
+        when(col("lang") === "en", 60).when(col("lang") === "de", 36).otherwise(24))
+      .filter(col("rn") <= col("quota"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.length == 120)
+    assert(got.sameElements(naive))
+  }
+
+  test("mixDomains: quota above domain size takes the whole domain; missing domain dropped") {
+    val docs = corpus(30)
+    val got = Curate.mixDomains(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.0), total = 1000, bucketWidth = 8)
+    val byDom = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byDom == Map("en" -> 10L)) // all 10 en docs, de quota 0, fr unweighted
+  }
+
+  test("lmScore matches a hand-computed unigram model with add-one smoothing") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Curate.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    // counts: a=2 b=2 c=1, N=5, V=3 → p(a)=3/8, p(b)=3/8, p(c)=2/8
+    val pa = 3.0 / 8; val pb = 3.0 / 8; val pc = 2.0 / 8
+    val d1 = (math.log(pa) * 2 + math.log(pb)) / 3
+    val d2 = (math.log(pb) + math.log(pc)) / 2
+    assert(got.map(_._2).sameElements(Array(3L, 2L)))
+    assert(math.abs(got(0)._3 - d1) < 1e-12 && math.abs(got(1)._3 - d2) < 1e-12)
+    assert(math.abs(got(0)._4 - math.exp(-d1)) < 1e-9)
+  }
+
+  test("lmScore smooths unseen tokens instead of ln(0), and drops empty docs") {
+    val train = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a zzz"), (11L, "   ")).toDF("doc_id", "text")
+    val got = Curate.lmScore(docs, "doc_id", "text", train = Some(train))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 1 && got(0)._1 == 10L)
+    // N=3 V=2: p(a)=(2+1)/5, p(zzz)=(0+1)/5 — finite
+    val want = (math.log(3.0 / 5) + math.log(1.0 / 5)) / 2
+    assert(math.abs(got(0)._3 - want) < 1e-12)
+  }
+
+  test("packSequences: greedy fill, oversize doc gets its own bin, shards independent") {
+    val docs = Seq(
+      (0L, "w " * 100), (1L, "w " * 100), (2L, "w " * 100), // 100+100 | 100
+      (3L, "w " * 300),                                     // oversize → own bin
+      (4L, "w " * 10),
+      (64L, "w " * 10)                                      // next shard → bin 0
+    ).map { case (i, t) => (i, t.trim) }.toDF("doc_id", "text")
+    val got = Curate.packSequences(docs, "doc_id", "text", budget = 256, shardSize = 64)
+      .orderBy("doc_id")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(got.map(r => (r._1, r._2, r._3)).sameElements(Array(
+      (0L, 0L, 0), (1L, 0L, 0), (2L, 0L, 1), (3L, 0L, 2), (4L, 0L, 3), (64L, 1L, 0))))
+    assert(got(3)._4 == 300)
+  }
+
+  test("packSequences never overfills a bin except for single oversize docs") {
+    val docs = corpus(300)
+    val packed = Curate.packSequences(docs, "doc_id", "text", budget = 16, shardSize = 50)
+    val fills = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"))
+      .as[(Long, Int, Long, Long)].collect()
+    assert(fills.forall { case (_, _, fill, n) => fill <= 16 || n == 1 })
+    assert(packed.count() == 300)
+  }
+}
