@@ -153,6 +153,61 @@ object Io {
       |FROM src WHERE off >= 10 AND off < 110
       |GROUP BY part ORDER BY part""".stripMargin
 
+  /** Structured-Streaming Kafka source (`format("graft-kafka")`,
+    * `streaming/KafkaStream.scala`) — superset surface: the reference's
+    * `read_kafka` is batch-only. Two `Trigger.AvailableNow` runs against
+    * the same checkpoint: the first streams half the fixture, more rows
+    * land, the restart resumes FROM THE CHECKPOINTED OFFSETS and picks
+    * up exactly the remainder — the oracle totals over the full fixture
+    * only match if no row was lost or replayed across the restart. */
+  def streaming_kafka(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.kafka.MiniBroker
+    val broker = new MiniBroker
+    val tag = math.abs(dir.hashCode)
+    val out = s"/tmp/graft_skafka_out_$tag"
+    val ck = s"/tmp/graft_skafka_ck_$tag"
+    Seq(out, ck).foreach(p => graft.sources.PartitionedFiles.deleteRecursively(
+      java.nio.file.Paths.get(p)))
+    try {
+      val evs = t(s, dir).events
+        .filter(col("event_id") < 2000)
+        .select("event_id").orderBy("event_id")
+        .as(org.apache.spark.sql.Encoders.scalaLong)
+        .collect() // bounded fixture: the broker under test needs the rows
+      def fill(ids: Array[Long]): Unit = ids.foreach { id =>
+        broker.append("events", (id % 4).toInt, id, null,
+          id.toString.getBytes("UTF-8"))
+      }
+      def drainAvailable(): Unit = {
+        val q = s.readStream.format("graft-kafka")
+          .option("kafka.bootstrap.servers", broker.bootstrap)
+          .option("topics", "events")
+          .load()
+          .select(col("partition").as("part"),
+            decode(col("value"), "UTF-8").cast("long").as("event_id"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      val (firstHalf, rest) = evs.splitAt(evs.length / 2)
+      fill(firstHalf); drainAvailable()
+      fill(rest); drainAvailable() // restart: resumes at checkpointed offsets
+      s.read.parquet(out)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+        .orderBy("part")
+        .localCheckpoint(true)
+    } finally broker.close()
+  }
+
+  val streamingKafkaSql =
+    """SELECT CAST(event_id % 4 AS INT) AS part, count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum
+      |FROM events WHERE event_id < 2000
+      |GROUP BY part ORDER BY part""".stripMargin
+
   /** Range source (ref daft/io/_range.py `daft.range`): distributed
     * integer range — no driver-side data, each partition synthesizes its
     * slice. */
@@ -732,6 +787,7 @@ object Io {
     "io_partitioned_write" -> (io_partitioned_write _),
     "io_glob_files" -> (io_glob_files _),
     "io_kafka" -> (io_kafka _),
+    "streaming_kafka" -> (streaming_kafka _),
     "io_range" -> (io_range _),
     "io_generator" -> (io_generator _),
     "io_text_roundtrip" -> (io_text_roundtrip _),
@@ -762,6 +818,7 @@ object Io {
     "io_partitioned_write" -> ioPartitionedWriteSql,
     "io_glob_files" -> ioGlobFilesSql,
     "io_kafka" -> ioKafkaSql,
+    "streaming_kafka" -> streamingKafkaSql,
     "io_range" -> ioRangeSql,
     "io_generator" -> ioGeneratorSql,
     "io_text_roundtrip" -> ioTextRoundtripSql,
