@@ -208,6 +208,62 @@ object Io {
       |FROM events WHERE event_id < 2000
       |GROUP BY part ORDER BY part""".stripMargin
 
+  /** ClickHouse writer (ref `write_clickhouse`, `dataframe.py:2548`) over
+    * the public HTTP interface against the in-process MiniClickHouse
+    * stub: the full documents table goes out as per-partition TabSeparated
+    * inserts and is read back — the oracle hash only matches if every
+    * string survived the TSV escaping byte-exactly. */
+  def io_sink_clickhouse(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ClickHouse, Sinks}
+    val ch = new ClickHouse.MiniClickHouse
+    try {
+      val docs = t(s, dir).documents.select("doc_id", "text", "lang", "n_chars")
+      Sinks.writeSink(docs, new ClickHouse.Sink(ch.endpoint, "documents")).count()
+      ClickHouse.readAll(s, ch.endpoint, "documents", schema = docs.schema)
+        .orderBy("doc_id").localCheckpoint(true)
+    } finally ch.close()
+  }
+
+  val ioSinkClickhouseSql =
+    "SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id"
+
+  /** Turbopuffer writer (ref `write_turbopuffer`, `dataframe.py:2499`)
+    * over the public v2 HTTP API against MiniTurbopuffer: the embedding
+    * corpus is upserted (id/vector mapping like the reference sink), then
+    * each held-out query vector is ANN-queried top-5 — results only match
+    * the DuckDB brute-force oracle if vectors round-tripped intact and
+    * the stub's independent cosine agrees. */
+  def io_sink_turbopuffer(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Sinks, Turbopuffer}
+    val tp = new Turbopuffer.MiniTurbopuffer
+    try {
+      val e = t(s, dir).embeddings
+      Sinks.writeSink(
+        e.filter(col("vec_id") >= 10).select("vec_id", "embedding"),
+        new Turbopuffer.Sink(tp.endpoint, "emb",
+          idColumn = "vec_id", vectorColumn = "embedding")).count()
+      val queries = e.filter(col("vec_id") < 10).select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      val rows = queries.toSeq.flatMap { case (qid, vec) =>
+        Turbopuffer.queryTopK(tp.endpoint, "emb", vec.map(_.toDouble), k = 5)
+          .zipWithIndex.map { case ((nid, dist), i) => (qid, nid, 1.0 - dist, i + 1) }
+      }
+      s.createDataFrame(rows)
+        .toDF("query_id", "neighbor_id", "cos_sim", "rk")
+        .orderBy("query_id", "rk")
+    } finally tp.close()
+  }
+
+  val ioSinkTurbopufferSql =
+    """SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_sim,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id ASC) AS rk
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10) sub
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** Range source (ref daft/io/_range.py `daft.range`): distributed
     * integer range — no driver-side data, each partition synthesizes its
     * slice. */
@@ -788,6 +844,8 @@ object Io {
     "io_glob_files" -> (io_glob_files _),
     "io_kafka" -> (io_kafka _),
     "streaming_kafka" -> (streaming_kafka _),
+    "io_sink_clickhouse" -> (io_sink_clickhouse _),
+    "io_sink_turbopuffer" -> (io_sink_turbopuffer _),
     "io_range" -> (io_range _),
     "io_generator" -> (io_generator _),
     "io_text_roundtrip" -> (io_text_roundtrip _),
@@ -819,6 +877,8 @@ object Io {
     "io_glob_files" -> ioGlobFilesSql,
     "io_kafka" -> ioKafkaSql,
     "streaming_kafka" -> streamingKafkaSql,
+    "io_sink_clickhouse" -> ioSinkClickhouseSql,
+    "io_sink_turbopuffer" -> ioSinkTurbopufferSql,
     "io_range" -> ioRangeSql,
     "io_generator" -> ioGeneratorSql,
     "io_text_roundtrip" -> ioTextRoundtripSql,
