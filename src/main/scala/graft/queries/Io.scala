@@ -254,6 +254,29 @@ object Io {
     } finally tp.close()
   }
 
+  /** Hugging Face dataset upload (ref `write_huggingface`,
+    * `dataframe.py:2598`) over the public LFS-batch + commit APIs against
+    * MiniHub, then read back through the dataset-viewer parquet route —
+    * the full publish→consume loop. Executors LFS-upload their part
+    * files; the driver's finalize is one metadata commit. */
+  def io_hf_upload(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{HuggingFace, HuggingFaceUpload}
+    val hub = new HuggingFaceUpload.MiniHub
+    try {
+      val docs = t(s, dir).documents
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      HuggingFaceUpload.upload(docs.repartition(4), "graft/documents", hub.endpoint)
+      val cache = s"/tmp/graft_hfu_cache_q_${math.abs(dir.hashCode)}"
+      graft.sources.PartitionedFiles.deleteRecursively(java.nio.file.Paths.get(cache))
+      HuggingFace.read(s, "graft/documents", endpoint = hub.endpoint, cacheDir = cache)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id").localCheckpoint(true)
+    } finally hub.close()
+  }
+
+  val ioHfUploadSql =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+
   val ioSinkTurbopufferSql =
     """SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -846,6 +869,7 @@ object Io {
     "streaming_kafka" -> (streaming_kafka _),
     "io_sink_clickhouse" -> (io_sink_clickhouse _),
     "io_sink_turbopuffer" -> (io_sink_turbopuffer _),
+    "io_hf_upload" -> (io_hf_upload _),
     "io_range" -> (io_range _),
     "io_generator" -> (io_generator _),
     "io_text_roundtrip" -> (io_text_roundtrip _),
@@ -879,6 +903,7 @@ object Io {
     "streaming_kafka" -> streamingKafkaSql,
     "io_sink_clickhouse" -> ioSinkClickhouseSql,
     "io_sink_turbopuffer" -> ioSinkTurbopufferSql,
+    "io_hf_upload" -> ioHfUploadSql,
     "io_range" -> ioRangeSql,
     "io_generator" -> ioGeneratorSql,
     "io_text_roundtrip" -> ioTextRoundtripSql,
