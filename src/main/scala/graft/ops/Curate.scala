@@ -89,6 +89,53 @@ object Curate {
       .drop("_bucket", "_cum_before", "_take_all", "quota")
   }
 
+  /** Domain mixing by TOKEN budget (the unit real data mixtures are
+    * specified in — "300B tokens web, 30B code"): per domain, keep the
+    * maximal PREFIX by `orderCol` whose cumulative `weightCol` stays
+    * within the domain's budget (a document that would overflow is
+    * dropped and nothing after it is pulled in — deterministic, order-
+    * stable, rerun-identical). Same bucketed top-K split as
+    * [[mixDomains]]: per-(domain,bucket) weight sums decide whole
+    * buckets, and only the boundary bucket pays a running-sum window
+    * (≤ `bucketWidth` rows in one task). Weights must be positive.
+    */
+  def mixDomainsByBudget(
+      docs: DataFrame,
+      domainCol: String,
+      orderCol: String,
+      weightCol: Column,
+      budgets: Map[String, Long],
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    val spark = docs.sparkSession
+    val budgetDf = broadcast(
+      spark.createDataFrame(budgets.toSeq).toDF(domainCol, "_budget"))
+    val bucketed = docs
+      .withColumn("_w", weightCol.cast("long"))
+      .join(budgetDf, Seq(domainCol))
+      .withColumn("_bucket", floor(col(orderCol) / bucketWidth))
+
+    val perBucket = bucketed.groupBy(domainCol, "_bucket", "_budget")
+      .agg(sum("_w").as("_bw"))
+      .withColumn("_cum_end",
+        sum("_bw").over(Window.partitionBy(domainCol).orderBy("_bucket")))
+      .withColumn("_cum_before", col("_cum_end") - col("_bw"))
+      .filter(col("_cum_before") < col("_budget"))
+      .withColumn("_take_all", col("_cum_end") <= col("_budget"))
+      .select(domainCol, "_bucket", "_cum_before", "_take_all")
+
+    val tagged = bucketed.join(broadcast(perBucket), Seq(domainCol, "_bucket"))
+    val whole = tagged.filter(col("_take_all"))
+    val boundary = tagged.filter(!col("_take_all"))
+      .withColumn("_run",
+        sum("_w").over(Window.partitionBy(domainCol).orderBy(orderCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_run") + col("_cum_before") <= col("_budget"))
+      .drop("_run")
+
+    whole.unionByName(boundary)
+      .drop("_bucket", "_cum_before", "_take_all", "_budget", "_w")
+  }
+
   /** Unigram-LM quality scoring (the KenLM-style perplexity filter of
     * CCNet / Llama data prep, reduced to its order-0 core): train token
     * unigram counts on `train`, then score every document of `docs` by

@@ -479,6 +479,26 @@ object Pipeline {
       |SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rn <= quota
       |ORDER BY doc_id""".stripMargin
 
+  // ---- curation: domain mixing by TOKEN budget (prefix within budget) ----
+  def curate_mix_token_budget(s: SparkSession, dir: String): DataFrame =
+    Curate.mixDomainsByBudget(t(s, dir).documents, "lang", "doc_id",
+        weightCol = size(split(trim(col("text")), "\\s+")),
+        budgets = Map("en" -> 4000L, "de" -> 1500L, "fr" -> 1200L,
+          "es" -> 800L, "zh" -> 600L),
+        bucketWidth = 64)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val curateMixTokenBudgetSql =
+    """WITH b(lang, budget) AS (VALUES ('en', 4000), ('de', 1500), ('fr', 1200), ('es', 800), ('zh', 600)),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    sum(len(string_split(trim(text), ' ')))
+      |      OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM documents)
+      |SELECT doc_id, lang FROM r JOIN b USING (lang) WHERE run <= budget
+      |ORDER BY doc_id""".stripMargin
+
   // ---- curation: unigram-LM perplexity scoring (CCNet-style filter core) ----
   def curate_lm_score(s: SparkSession, dir: String): DataFrame =
     Curate.lmScore(t(s, dir).documents, "doc_id", "text")
@@ -520,6 +540,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "curate_mix_domains" -> (curate_mix_domains _),
+    "curate_mix_token_budget" -> (curate_mix_token_budget _),
     "curate_lm_score" -> (curate_lm_score _),
     "curate_pack_sequences" -> (curate_pack_sequences _),
     "dedup_exact" -> (dedup_exact _),
@@ -547,6 +568,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "curate_mix_domains" -> curateMixDomainsSql,
+    "curate_mix_token_budget" -> curateMixTokenBudgetSql,
     "curate_lm_score" -> curateLmScoreSql,
     "curate_pack_sequences" -> curatePackSequencesSql,
     "dedup_exact" -> dedupExactSql,

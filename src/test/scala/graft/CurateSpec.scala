@@ -45,6 +45,36 @@ class CurateSpec extends AnyFunSuite {
     assert(byDom == Map("en" -> 10L)) // all 10 en docs, de quota 0, fr unweighted
   }
 
+  test("mixDomainsByBudget keeps the maximal in-budget prefix per domain") {
+    val docs = Seq(
+      (0L, "a", 10), (1L, "a", 10), (2L, "a", 10), // budget 25: rows 0,1 (20), row 2 overflows
+      (3L, "b", 100),                               // budget 50: overflowing head → empty
+      (10L, "c", 30), (11L, "c", 30)                // budget 60: exactly both
+    ).toDF("doc_id", "lang", "w")
+    val got = Curate.mixDomainsByBudget(docs, "lang", "doc_id", col("w"),
+        Map("a" -> 25L, "b" -> 50L, "c" -> 60L), bucketWidth = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(Array(0L, 1L, 10L, 11L)))
+  }
+
+  test("mixDomainsByBudget equals the naive running-sum filter across buckets") {
+    val docs = corpus(300).withColumn("w", (col("doc_id") % 7 + 1).cast("long"))
+    val budgets = Map("en" -> 150L, "de" -> 90L, "fr" -> 40L)
+    val got = Curate.mixDomainsByBudget(docs, "lang", "doc_id", col("w"), budgets,
+        bucketWidth = 16)
+      .select("doc_id").as[Long].collect().sorted
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs
+      .withColumn("run", sum("w").over(
+        Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("budget",
+        when(col("lang") === "en", 150L).when(col("lang") === "de", 90L).otherwise(40L))
+      .filter(col("run") <= col("budget"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(naive))
+  }
+
   test("lmScore matches a hand-computed unigram model with add-one smoothing") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = Curate.lmScore(docs, "doc_id", "text")
