@@ -26,7 +26,22 @@ object Engine {
       // planner extension: custom whole-operator plans (as-of join) are
       // planned by Catalyst like built-in joins — EnsureRequirements owns
       // their exchanges/sorts (brief tier (c): LogicalPlan+Strategy+Exec)
-      .withExtensions(_.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy))
+      .withExtensions { ext =>
+        ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+        // SQL surface parity (ref daft-sql exposes every function to
+        // `daft.sql(...)`): the native codegen kernels register as SQL
+        // functions, so `spark.sql("SELECT graft_cosine_similarity(a,b)")`
+        // plans the same whole-stage-codegen expression as the Column API
+        ext.injectFunction((
+          org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_similarity"),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            "graft.expressions.CosineSimilarityExpr", "graft_cosine_similarity"),
+          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(exprs.length == 2,
+              "graft_cosine_similarity(arr_a, arr_b) takes exactly 2 arguments")
+            graft.expressions.CosineSimilarityExpr(exprs(0), exprs(1))
+          }))
+      }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -56,7 +71,21 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerSqlUdfs(spark)
     spark
+  }
+
+  /** UDF-backed graft functions for the SQL surface (ref daft-sql binds
+    * minhash/simhash for `daft.sql`). Idempotent per session. */
+  private def registerSqlUdfs(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.udf
+    spark.udf.register("graft_minhash",
+      udf((tokens: Seq[String], k: Int) =>
+        graft.functions.Misc.minhashSignature(tokens, k, 1L)))
+    spark.udf.register("graft_simhash",
+      udf((tokens: Seq[String]) => graft.functions.Misc.simhash64(tokens, 1L)))
+    spark.udf.register("graft_jq",
+      udf((json: String, expr: String) => graft.functions.Jq.eval(json, expr)))
   }
 }
 

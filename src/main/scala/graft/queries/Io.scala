@@ -742,6 +742,28 @@ object Io {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Graft-native functions on the SQL surface (ref daft-sql binds every
+    * function for `daft.sql`): `graft_cosine_similarity` is the SAME
+    * codegen CosineSimilarityExpr the Column API plans, injected via
+    * SparkSessionExtensions.injectFunction — SQL users get the fused
+    * whole-stage-codegen kernel, not a UDF. */
+  def sql_graft_functions(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir).embeddings.createOrReplaceTempView("v_emb")
+    s.sql(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  graft_cosine_similarity(a.embedding, b.embedding) AS cos_sim
+        |FROM v_emb a JOIN v_emb b ON a.vec_id + 1 = b.vec_id
+        |WHERE a.vec_id < 200
+        |ORDER BY id_a""".stripMargin)
+  }
+
+  val sqlGraftFunctionsSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+      |WHERE a.vec_id < 200
+      |ORDER BY id_a""".stripMargin
+
   /** CORRELATED scalar subquery (ref `unnest_subquery.rs` surface; SURVEY
     * §2.6; complements Relational's uncorrelated `subquery_scalar`): each
     * order compares against ITS customer's average price — Catalyst's
@@ -889,6 +911,7 @@ object Io {
     "io_read_sql" -> (io_read_sql _),
     "io_write_sink" -> (io_write_sink _),
     "sql_entry" -> (sql_entry _),
+    "sql_graft_functions" -> (sql_graft_functions _),
     "subquery_scalar_corr" -> (subquery_scalar_corr _),
     "subquery_in_sql" -> (subquery_in_sql _),
     "subquery_exists" -> (subquery_exists _))
@@ -923,6 +946,7 @@ object Io {
     "io_read_sql" -> ioReadSqlSql,
     "io_write_sink" -> ioWriteSinkSql,
     "sql_entry" -> sqlEntrySql,
+    "sql_graft_functions" -> sqlGraftFunctionsSql,
     "subquery_scalar_corr" -> subqueryScalarCorrSql,
     "subquery_in_sql" -> subqueryInSqlSql,
     "subquery_exists" -> subqueryExistsSql)
