@@ -416,6 +416,23 @@ object Advanced {
       |FROM events
       |GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""".stripMargin
 
+  /** Structured Streaming over the graft-kafka SOURCE: the firehose goes
+    * through a real broker (offset-addressed partitions) and the
+    * watermarked window agg runs on Kafka-carried event time — the
+    * round-5 composition of wire-protocol ingest + event-time windows. */
+  def streaming_kafka_window(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming
+      .kafkaWindowed(s, dir, s"graft_kwin_${math.abs(dir.hashCode)}")
+      .withColumn("total_value", round(col("total_value"), 2))
+      .orderBy("day", "hr", "event_type")
+
+  val streamingKafkaWindowSql =
+    """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |  hour(CAST(ts AS TIMESTAMP)) AS hr,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id < 3000
+      |GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""".stripMargin
+
   /** Structured Streaming: stateful exact dedup — every event arrives
     * twice, dropDuplicates inside the stream restores single-copy counts. */
   def streaming_dedup(s: SparkSession, dir: String): DataFrame =
@@ -557,6 +574,7 @@ object Advanced {
     "udf_generator" -> (udf_generator _),
     "udf_process" -> (udf_process _),
     "streaming_window" -> (streaming_window _),
+    "streaming_kafka_window" -> (streaming_kafka_window _),
     "streaming_sessions" -> (streaming_sessions _),
     "streaming_dedup" -> (streaming_dedup _),
     "streaming_enrich" -> (streaming_enrich _),
@@ -580,6 +598,7 @@ object Advanced {
     "udf_generator" -> udfGeneratorSql,
     "udf_process" -> udfProcessSql,
     "streaming_window" -> streamingWindowSql,
+    "streaming_kafka_window" -> streamingKafkaWindowSql,
     "streaming_sessions" -> streamingSessionsSql,
     "streaming_dedup" -> streamingDedupSql,
     "streaming_enrich" -> streamingEnrichSql,

@@ -103,18 +103,26 @@ object KafkaStream {
   /** Current watermark (per partition) + leader routing, one connection. */
   private[streaming] def survey(opts: Opts, earliest: Boolean)
       : (PartOffsets, Map[(String, Int), (String, Int)]) = {
+    val (lows, highs, leaders) = surveyFull(opts)
+    (if (earliest) lows else highs, leaders)
+  }
+
+  /** Low + high watermarks and leader routing, one connection. */
+  private[streaming] def surveyFull(opts: Opts)
+      : (PartOffsets, PartOffsets, Map[(String, Int), (String, Int)]) = {
     val (h, p) = hostPort(opts.bootstrap)
     val client = new KafkaClient(h, p, opts.timeoutMs)
     try {
       val meta = client.metadata(opts.topics)
-      val offs = Map.newBuilder[(String, Int), Long]
+      val lows = Map.newBuilder[(String, Int), Long]
+      val highs = Map.newBuilder[(String, Int), Long]
       val leaders = Map.newBuilder[(String, Int), (String, Int)]
       for (tm <- meta.topics; pm <- tm.partitions) {
-        val off = client.listOffset(tm.topic, pm.partition, if (earliest) -2L else -1L)
-        offs += ((tm.topic, pm.partition) -> off)
+        lows += ((tm.topic, pm.partition) -> client.listOffset(tm.topic, pm.partition, -2L))
+        highs += ((tm.topic, pm.partition) -> client.listOffset(tm.topic, pm.partition, -1L))
         leaders += ((tm.topic, pm.partition) -> meta.brokers.getOrElse(pm.leaderId, (h, p)))
       }
-      (offs.result(), leaders.result())
+      (lows.result(), highs.result(), leaders.result())
     } finally client.close()
   }
 }
@@ -198,13 +206,14 @@ final class KafkaMicroBatchStream(opts: KafkaStream.Opts)
     * partitions behind one deep backlog). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[KOffset].parts
-    val (highs, _) = frozenTarget match {
-      case Some(t) => (t, Map.empty[(String, Int), (String, Int)])
-      case None => survey(opts, earliest = false)
-    }
-    // new partitions (or a fresh topic) appear mid-stream at their low
-    // watermark; a missing start entry must not re-read history silently
-    val effFrom = highs.map { case (tp, hi) => tp -> from.getOrElse(tp, hi) }
+    val (lows, liveHighs, _) = surveyFull(opts)
+    val highs = frozenTarget.getOrElse(liveHighs)
+    // a partition added AFTER query start has no cursor yet: begin at its
+    // LOW watermark so rows produced before discovery are not lost (the
+    // Kafka connector's new-partition semantics) — starting at the high
+    // watermark would silently drop the discovery gap
+    val effFrom = highs.map { case (tp, hi) =>
+      tp -> from.getOrElse(tp, lows.getOrElse(tp, hi)) }
     val capped = limit match {
       case _: ReadAllAvailable => highs
       case r: ReadMaxRows =>
@@ -226,15 +235,18 @@ final class KafkaMicroBatchStream(opts: KafkaStream.Opts)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KOffset].parts
     val e = end.asInstanceOf[KOffset].parts
-    if (e.forall { case (tp, hi) => s.getOrElse(tp, hi) >= hi }) return Array.empty
-    val (_, leaders) = survey(opts, earliest = false)
+    val (lows, _, leaders) = surveyFull(opts)
+    // same new-partition default as latestOffset: no cursor → low watermark
+    def startOf(tp: (String, Int), hi: Long) =
+      s.getOrElse(tp, lows.getOrElse(tp, hi))
+    if (e.forall { case (tp, hi) => startOf(tp, hi) >= hi }) return Array.empty
     val (bh, bp) = {
       val first = opts.bootstrap.split(",").head.trim
       val i = first.lastIndexOf(':')
       (first.substring(0, i), first.substring(i + 1).toInt)
     }
     e.toSeq.sortBy(_._1).flatMap { case (tp, hi) =>
-      val lo = s.getOrElse(tp, hi)
+      val lo = startOf(tp, hi)
       val (lh, lp) = leaders.getOrElse(tp, (bh, bp))
       if (hi > lo) Some(KSlice(tp._1, tp._2, lh, lp, lo, hi)) else None
     }.toArray

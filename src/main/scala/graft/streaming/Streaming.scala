@@ -60,6 +60,55 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** End-to-end composition of the round-5 pieces: events flow through a
+    * Kafka broker (MiniBroker, offsets assigned per partition), the
+    * `graft-kafka` micro-batch SOURCE reads them, and a watermarked
+    * tumbling-window aggregation runs on the event-time carried in the
+    * Kafka `timestamp_ms` field — the canonical "stream the firehose,
+    * window by event time" production shape, one task per Kafka
+    * partition end to end. */
+  def kafkaWindowed(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    val broker = new graft.sources.kafka.MiniBroker
+    try {
+      val evs = graft.Tables(spark, sfDir).events
+        .filter(col("event_id") < 3000)
+        .select(
+          col("event_id"),
+          (unix_micros(col("ts")) / 1000L).cast("long").as("ms"),
+          concat_ws(",", col("event_type"), col("value")).as("payload"))
+        .collect() // bounded fixture: the broker under test needs the rows
+      evs.foreach { r =>
+        broker.append("events", (r.getLong(0) % 4).toInt, r.getLong(1),
+          null, r.getString(2).getBytes("UTF-8"))
+      }
+      val parsed = spark.readStream.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrap)
+        .option("topics", "events")
+        .load()
+        .select(
+          timestamp_millis(col("timestamp_ms")).as("ts"),
+          split(decode(col("value"), "UTF-8"), ",").as("kv"))
+        .select(col("ts"), col("kv")(0).as("event_type"),
+          col("kv")(1).cast("double").as("value"))
+      val agg = parsed
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+        .select(
+          col("window.start").cast("date").as("day"),
+          hour(col("window.start")).as("hr"),
+          col("event_type"), col("n"), col("total_value"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(queryName)
+    } finally broker.close()
+  }
+
   /** Stream-static enrichment join: the streaming fact side joins a
     * static dimension — broadcast, stateless (no stream-stream state, no
     * watermark needed), the standard shape for decorating an event

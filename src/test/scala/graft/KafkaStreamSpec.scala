@@ -110,6 +110,35 @@ class KafkaStreamSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("a partition added mid-stream is read from its LOW watermark (no lost rows)") {
+    val b = new MiniBroker
+    try {
+      b.createTopic("tg", 1)
+      fill(b, "tg", 0, 4) // all land in partition 0 (i % 2 ∈ {0,1}? ids 0..3 → parts 0/1)
+      val out = freshDir("grow_out"); val ck = freshDir("grow_ck")
+      val q = spark.readStream.format("graft-kafka")
+        .option("kafka.bootstrap.servers", b.bootstrap)
+        .option("topics", "tg")
+        .load()
+        .selectExpr("partition", "cast(value as string) AS value")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .start()
+      try {
+        q.processAllAvailable()
+        // partition 7 appears mid-stream WITH rows already in it — the
+        // rows written before the source discovers it must not be lost
+        b.append("tg", 7, 5000L, null, "pre-discovery".getBytes(UTF_8))
+        b.append("tg", 7, 5001L, null, "post".getBytes(UTF_8))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(out)
+        .selectExpr("value").as[String].collect().sorted
+      assert(got.contains("pre-discovery") && got.contains("post"),
+        s"new partition must start at its low watermark, got ${got.mkString(",")}")
+    } finally b.close()
+  }
+
   test("batch read parity through the same provider") {
     val b = new MiniBroker
     try {
