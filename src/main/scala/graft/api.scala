@@ -260,6 +260,34 @@ object implicits {
     def shard(worldSize: Int, rank: Int, keyCol: String): DataFrame =
       df.filter(pmod(xxhash64(col(keyCol)), lit(worldSize)) === rank)
 
+    // ---- curation verbs (ops/Curate.scala) ----
+    def mixDomains(domainCol: String, orderCol: String,
+        weights: Map[String, Double], total: Long): DataFrame =
+      ops.Curate.mixDomains(df, domainCol, orderCol, weights, total)
+    def mixDomainsByBudget(domainCol: String, orderCol: String,
+        weightCol: Column, budgets: Map[String, Long]): DataFrame =
+      ops.Curate.mixDomainsByBudget(df, domainCol, orderCol, weightCol, budgets)
+    def lmScore(idCol: String, textCol: String): DataFrame =
+      ops.Curate.lmScore(df, idCol, textCol)
+    def packSequences(idCol: String, textCol: String, budget: Int,
+        shardSize: Long = 4096): DataFrame =
+      ops.Curate.packSequences(df, idCol, textCol, budget, shardSize)
+
+    // ---- reference writer verbs (dataframe.py write_* family) ----
+    def writeSink(sink: sources.DataSink): DataFrame =
+      sources.Sinks.writeSink(df, sink)
+    def writeClickhouse(endpoint: String, table: String,
+        database: String = "default"): DataFrame =
+      sources.Sinks.writeSink(df, new sources.ClickHouse.Sink(endpoint, table, database))
+    def writeTurbopuffer(endpoint: String, namespace: String, apiKey: String = "",
+        idColumn: String = "id", vectorColumn: String = "vector"): DataFrame =
+      sources.Sinks.writeSink(df,
+        new sources.Turbopuffer.Sink(endpoint, namespace, apiKey, idColumn, vectorColumn))
+    def writeHuggingface(repo: String,
+        endpoint: String = "https://huggingface.co", token: Option[String] = None,
+        overwrite: Boolean = false): DataFrame =
+      sources.HuggingFaceUpload.upload(df, repo, endpoint, token, overwrite = overwrite)
+
     /** Per-column summary stats (ref describe/summarize;
       * ref src/daft-logical-plan/src/ops/summarize.rs:48 computes all
       * columns in ONE pass). A single `agg` emits every per-column stat,

@@ -87,10 +87,15 @@ object CosineSimilarityExpr {
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarityExpr(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register as a SQL function `graft_cosine_similarity`. */
+  /** Register as a SQL function `graft_cosine_similarity` (same builder
+    * contract as the Engine.session extension injection). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_similarity",
-      exprs => CosineSimilarityExpr(exprs(0), exprs(1)),
+      exprs => {
+        require(exprs.length == 2,
+          "graft_cosine_similarity(arr_a, arr_b) takes exactly 2 arguments")
+        CosineSimilarityExpr(exprs(0), exprs(1))
+      },
       "built-in")
 }

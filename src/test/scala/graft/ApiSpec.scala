@@ -31,6 +31,22 @@ class ApiSpec extends AnyFunSuite {
     assert(summary.count() == 2)
   }
 
+  test("curation and writer verbs delegate to their ops") {
+    val docs = Tables(spark, dir).documents
+    val mixed = docs.mixDomains("lang", "doc_id", Map("en" -> 1.0), total = 5)
+    assert(mixed.count() == 5 &&
+      mixed.select("lang").distinct().head().getString(0) == "en")
+
+    val packed = docs.packSequences("doc_id", "text", budget = 128)
+    assert(packed.count() == docs.count())
+
+    val ch = new graft.sources.ClickHouse.MiniClickHouse
+    try {
+      docs.select("doc_id", "lang").writeClickhouse(ch.endpoint, "verbs").count()
+      assert(ch.rowCount("verbs") == docs.count())
+    } finally ch.close()
+  }
+
   test("asofJoin through the implicit API") {
     val e = Tables(spark, dir).events
     val clicks = e.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
