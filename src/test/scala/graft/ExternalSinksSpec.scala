@@ -35,6 +35,29 @@ class ExternalSinksSpec extends AnyFunSuite {
     } finally ch.close()
   }
 
+  test("clickhouse TSV round-trip holds for random hostile strings (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val hostileChar: Gen[Char] =
+      Gen.oneOf('\t', '\n', '\r', '\\', '"', 'ü', '中', ' ', 'x', '☃')
+    val strGen: Gen[String] = Gen.frequency(
+      (4, Gen.asciiPrintableStr),
+      (2, Gen.listOfN(8, hostileChar).map(_.mkString)),
+      (1, Gen.const("")))
+    val batchGen: Gen[List[String]] = Gen.listOfN(50, strGen)
+    val ch = new ClickHouse.MiniClickHouse
+    try (0 until 4).foreach { round =>
+      val strings: List[String] =
+        batchGen.apply(Gen.Parameters.default, Seed(77L + round)).getOrElse(Nil)
+      val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val tbl = s"prop_$round"
+      Sinks.writeSink(df.repartition(3), new ClickHouse.Sink(ch.endpoint, tbl)).count()
+      val back = ClickHouse.readAll(spark, ch.endpoint, tbl, schema = df.schema)
+        .as[(Long, String)].collect().sortBy(_._1).map(_._2).toList
+      assert(back == strings, s"round $round: TSV round-trip diverged")
+    } finally ch.close()
+  }
+
   test("clickhouse sink batches large partitions and recreates on start") {
     val ch = new ClickHouse.MiniClickHouse
     try {
