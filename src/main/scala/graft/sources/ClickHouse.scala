@@ -76,8 +76,12 @@ object ClickHouse {
 
     def name = s"clickhouse:$database.$table"
 
+    // one client per sink instance; instances are per-task after Spark
+    // deserializes the closure, so connections are never shared across
+    // threads. @transient: HttpClient itself is not serializable.
+    @transient private lazy val http = HttpClient.newHttpClient()
+
     private def post(query: String, body: Array[Byte]): String = {
-      val http = HttpClient.newHttpClient()
       val uri = URI.create(
         s"$endpoint/?query=${URLEncoder.encode(query, UTF_8)}")
       val resp = http.send(

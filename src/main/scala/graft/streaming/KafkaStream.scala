@@ -157,8 +157,7 @@ final class KafkaScan(opts: KafkaStream.Opts) extends Scan {
   /** Batch parity: earliest→latest snapshot, one task per partition. */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val (lows, leaders) = survey(opts, earliest = true)
-      val (highs, _) = survey(opts, earliest = false)
+      val (lows, highs, leaders) = surveyFull(opts)
       lows.toSeq.sortBy(_._1).flatMap { case (tp, lo) =>
         val hi = highs.getOrElse(tp, lo)
         val (lh, lp) = leaders(tp)
