@@ -93,9 +93,16 @@ object Dedup {
     * are missed. That bounds the join blowup at O(#shingles · cap²). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Option[Long] = None): DataFrame = {
-    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // hashed shingles: one O(tokens) kernel pass per doc, and the
+    // inverted-index shuffle moves 8-byte keys instead of n-gram strings
+    // (jaccard is a function of distinct-set sizes only, so values are
+    // unchanged; 64-bit in-doc collisions are ~n²/2⁶⁵). Persisted: both
+    // self-join branches and the df-cap aggregation reuse it.
+    val withSh = docs.select(col(idCol).as("id"),
+        GMisc.hashedShinglesUdf(n)(col(textCol)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = withSh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
     maxShingleDf match {
       case None =>
@@ -139,24 +146,30 @@ object Dedup {
     * all false positives, making the output equal to the exact pipeline. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bandRows: Int, threshold: Double): DataFrame = {
+    // shingles are hashed and sorted in ONE O(tokens) kernel pass, then
+    // PERSISTED: this projection is the expensive shared subtree of the
+    // plan (band explode on both self-join sides + two verification
+    // joins re-evaluate it — measured 6× at sf0.1 before the persist,
+    // which is the difference between 28 s and 4 s). Production minhash
+    // pipelines materialize signatures for exactly this reason; the
+    // cached form is ids + long arrays ≈ 8 B/shingle, MEMORY_AND_DISK so
+    // a 100 TB corpus spills instead of evicting. A 64-bit hash
+    // collision inside one doc's set is ~n²/2⁶⁵ — negligible.
     val withSh = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = withSh.withColumn("mh", GMisc.minhash(col("sh"), k))
-    val nBands = k / bandRows
+      .select(col(idCol).as("id"),
+        GMisc.hashedShinglesUdf(shingleN)(col(textCol)).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids only through the nBands-way explode: shingle arrays would be
     // replicated nBands× through the bucket shuffle otherwise. They are
     // re-attached to the (tiny) candidate set for exact verification.
-    val banded = sig.select(
-      col("id"),
-      posexplode(
-        transform(sequence(lit(0), lit(nBands - 1)),
-          bIdx => struct(
-            bIdx.as("band"),
-            xxhash64(array_join(
-              transform(slice(col("mh"), bIdx * bandRows + 1, lit(bandRows)), _.cast("string")),
-              ",")).as("bucket")))))
-      .select(col("id"), col("col.band"), col("col.bucket"))
+    // Band buckets come out of ONE fused kernel call (signature + band
+    // hashing inside the UDF) — slicing a signature column per band
+    // re-evaluates the kernel per band after CollapseProject inlining.
+    val banded = withSh.select(
+        col("id"),
+        posexplode(GMisc.minhashBandsFromHashesUdf(k, bandRows, 1L)(col("shh"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val l = banded.select(col("id").as("doc_a"), col("band"), col("bucket"))
     val r = banded.select(col("id").as("doc_b"), col("band"), col("bucket"))
     val candidateIds = l.join(r, Seq("band", "bucket"))
@@ -164,12 +177,17 @@ object Dedup {
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     val candidates = candidateIds
-      .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(withSh.select(col("id").as("doc_a"), col("shh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("id").as("doc_b"), col("shh").as("sh_b")), "doc_b")
+    // codegen expression verification (array_intersect over primitive
+    // longs), NOT a Scala UDF: the UDF boundary boxes every element of
+    // both arrays per pair — measured 7.0 s vs 1.7 s over the same 495k
+    // candidates. One intersect pass; the union size is derived.
     candidates
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jac",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
   }
@@ -179,10 +197,16 @@ object Dedup {
     * verification on candidates. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, maxHamming: Int): DataFrame = {
+    // same materialization discipline as minhashLshPairs: one fused
+    // hash kernel per doc (bit-identical signatures to the string form —
+    // both vote on stringHash64(gram, 0)), persisted so the self-join
+    // branches don't re-shingle the corpus
     val withSig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", GMisc.simhash(col("sh")))
+      .select(col(idCol).as("id"),
+        GMisc.hashedShinglesUdf(shingleN)(col(textCol)).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .withColumn("sig", GMisc.simhash64FromHashesUdf(col("shh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
