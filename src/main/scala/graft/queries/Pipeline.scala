@@ -257,8 +257,13 @@ object Pipeline {
     val all = base
       .union(base.withColumn("doc_id", col("doc_id") + 10000))
       .union(base.withColumn("doc_id", col("doc_id") + 20000))
+    // banding tuned to the threshold: at t=1.0 only identical shingle
+    // sets qualify, and identical sets have identical signatures — ONE
+    // full-signature band (bandRows = k) has recall 1 and generates only
+    // the dup groups as candidates instead of every pair that collides
+    // in any of 64 r=1 bands (~1.5M → ~30k candidates at sf0.1)
     val pairs = Dedup.minhashLshPairs(all, "doc_id", "text",
-      shingleN = 3, k = 64, bandRows = 1, threshold = 1.0)
+      shingleN = 3, k = 64, bandRows = 64, threshold = 1.0)
     val members = Dedup.clusters(pairs, "doc_a", "doc_b")
     val losers = members.filter(col("member") =!= col("cluster"))
       .select(col("member").as("doc_id"))
