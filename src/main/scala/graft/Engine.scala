@@ -83,7 +83,9 @@ object Engine {
       udf((tokens: Seq[String], k: Int) =>
         graft.functions.Misc.minhashSignature(tokens, k, 1L)))
     spark.udf.register("graft_simhash",
-      udf((tokens: Seq[String]) => graft.functions.Misc.simhash64(tokens, 1L)))
+      // seed 0L = simhashUdfDefault, so SQL- and Column-computed
+      // fingerprints are hamming-comparable across surfaces
+      udf((tokens: Seq[String]) => graft.functions.Misc.simhash64(tokens, 0L)))
     spark.udf.register("graft_jq",
       udf((json: String, expr: String) => graft.functions.Jq.eval(json, expr)))
   }

@@ -55,13 +55,19 @@ object ClickHouse {
     b.toString
   }
 
-  private[sources] def tsvValue(v: Any): String = v match {
+  private[graft] def tsvValue(v: Any): String = v match {
     case null => "\\N"
     case b: Boolean => if (b) "1" else "0"
     case ts: java.sql.Timestamp =>
       // DateTime64(6) literal: epoch micros rendered as decimal seconds
       val us = ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
-      f"${us / 1000000L}%d.${math.abs(us % 1000000L)}%06d"
+      // sign rendered separately: `us/1000000L` truncates toward zero, so
+      // for us in (-1e6, 0) the integral part is 0 and the "-" vanished
+      // (-0.5s rendered as "0.500000"); a floorDiv representation would be
+      // just as wrong in a decimal string ("-1.500000" parses as -1.5s)
+      val sign = if (us < 0) "-" else ""
+      val abs = math.abs(us)
+      f"$sign%s${abs / 1000000L}%d.${abs % 1000000L}%06d"
     case a: scala.collection.Seq[_] =>
       a.map(tsvValue).mkString("[", ",", "]")
     case other => tsvEscape(String.valueOf(other))

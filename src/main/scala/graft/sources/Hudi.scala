@@ -227,6 +227,7 @@ object Hudi {
     Files.write(tmp, json)
     Files.move(tmp, dir.resolve(s"$instant.$action"))
     Files.deleteIfExists(dir.resolve(s"$instant.$action.requested"))
+    Files.deleteIfExists(dir.resolve(s"$instant.requested"))
     Files.deleteIfExists(dir.resolve(s"$instant.$action.inflight"))
   }
 
@@ -385,7 +386,13 @@ object Hudi {
     var claimed = false
     while (!claimed) {
       try {
-        Files.write(dir.resolve(s"$instant.$action.requested"), Array.emptyByteArray,
+        // claim on an ACTION-INDEPENDENT marker: keying the CREATE_NEW on
+        // `$instant.$action.requested` would let an `append` (commit) and a
+        // DML (replacecommit) writer both claim the same instant time —
+        // Hudi requires instant times to be unique across the timeline.
+        // The completed-commit reader only consumes `.commit`/
+        // `.replacecommit` files, so the extra marker is invisible to it.
+        Files.write(dir.resolve(s"$instant.requested"), Array.emptyByteArray,
           java.nio.file.StandardOpenOption.CREATE_NEW)
         claimed = true
       } catch {
@@ -393,6 +400,8 @@ object Hudi {
           instant = (BigInt(instant) + 1).toString
       }
     }
+    // spec-shaped requested marker for timeline tooling (not the lock)
+    Files.write(dir.resolve(s"$instant.$action.requested"), Array.emptyByteArray)
     instant
   }
 
@@ -413,6 +422,7 @@ object Hudi {
     staged.foreach(f => Files.deleteIfExists(Paths.get(s"$tablePath/${f.relPath}")))
     Files.deleteIfExists(dir.resolve(s"$instant.$action.inflight"))
     Files.deleteIfExists(dir.resolve(s"$instant.$action.requested"))
+    Files.deleteIfExists(dir.resolve(s"$instant.requested"))
     throw new IllegalStateException(reason)
   }
 

@@ -223,7 +223,13 @@ final class KafkaMicroBatchStream(opts: KafkaStream.Opts)
         else {
           val f = r.maxRows.toDouble / total
           highs.map { case (tp, hi) =>
-            tp -> (effFrom(tp) + math.floor(backlog(tp) * f).toLong) }
+            // round sub-1 prorations UP (the upstream connector's rateLimit
+            // rule): with many backlogged partitions and a small trigger cap,
+            // flooring every share to 0 would make end==start forever and
+            // Trigger.AvailableNow could never reach its frozen target
+            val share = backlog(tp) * f
+            val give = if (share > 0 && share < 1) 1L else math.floor(share).toLong
+            tp -> (effFrom(tp) + give) }
         }
       case _ => highs // unknown composite limit: take everything available
     }

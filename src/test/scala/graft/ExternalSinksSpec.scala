@@ -35,6 +35,15 @@ class ExternalSinksSpec extends AnyFunSuite {
     } finally ch.close()
   }
 
+  test("clickhouse tsvValue keeps the sign of pre-epoch sub-second timestamps") {
+    def ts(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
+    assert(ClickHouse.tsvValue(ts(-500L)) == "-0.500000",   "(-1s,0) must keep '-'")
+    assert(ClickHouse.tsvValue(ts(-1500L)) == "-1.500000",  "not a floorDiv rendering")
+    assert(ClickHouse.tsvValue(ts(1500L)) == "1.500000")
+    assert(ClickHouse.tsvValue(ts(0L)) == "0.000000")
+    assert(ClickHouse.tsvValue(ts(-1000L)) == "-1.000000")
+  }
+
   test("clickhouse TSV round-trip holds for random hostile strings (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -93,6 +93,24 @@ class HudiSpec extends AnyFunSuite {
     Seq(a, b).foreach(i => Files.deleteIfExists(dir.resolve(s"$i.commit.requested")))
   }
 
+  test("instant claim excludes across DIFFERENT actions (commit vs replacecommit)") {
+    val path = freshDir("claim_x")
+    Hudi.write(fixture(0, 10), path)
+    val dir = Paths.get(path, ".hoodie")
+    // an appender (commit) and a DML writer (replacecommit) computing the
+    // same instant must not both claim it — Hudi instant times are unique
+    // timeline-wide, not per-action
+    val future = "99990101000000000"
+    val a = Hudi.claimInstant(dir, "commit", Seq(future))
+    val b = Hudi.claimInstant(dir, "replacecommit", Seq(future))
+    assert(a != b, "cross-action claimants must get distinct instants")
+    assert(b == (BigInt(future) + 2).toString)
+    Seq(a -> "commit", b -> "replacecommit").foreach { case (i, act) =>
+      Files.deleteIfExists(dir.resolve(s"$i.$act.requested"))
+      Files.deleteIfExists(dir.resolve(s"$i.requested"))
+    }
+  }
+
   test("racing appenders all commit with distinct instants; no lost rows") {
     val path = freshDir("race")
     Hudi.write(fixture(0, 10), path) // create

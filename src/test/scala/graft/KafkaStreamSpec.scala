@@ -85,6 +85,21 @@ class KafkaStreamSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("cap below the backlogged-partition count still makes progress (no starvation)") {
+    val b = new MiniBroker
+    try {
+      // 3 backlogged partitions, cap 2: a floor-only proration gives every
+      // partition ⌊backlog·2/6⌋ = 0 → end==start forever and AvailableNow
+      // never reaches its frozen target. Sub-1 shares must round up.
+      b.createTopic("ts", 3)
+      (0 until 3).foreach(p => (0 until 2).foreach(i =>
+        b.append("ts", p, 1000L + i, s"k$p-$i".getBytes(UTF_8), s"v$p-$i".getBytes(UTF_8))))
+      val out = freshDir("starve_out"); val ck = freshDir("starve_ck")
+      runAvailableNow(b, "ts", out, ck, Map("maxOffsetsPerTrigger" -> "2"))
+      assert(spark.read.parquet(out).count() == 6, "all partitions drained")
+    } finally b.close()
+  }
+
   test("startingOffsets=latest skips history and reads only post-start appends") {
     val b = new MiniBroker
     try {

@@ -41,6 +41,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
       "SELECT graft_minhash(array('a','b','c'), 4) AS mh, graft_simhash(array('a','b','c')) AS sh")
       .as[(Seq[Long], Long)].head()
     assert(row._1 == Misc.minhashSignature(Seq("a", "b", "c"), 4, 1L).toSeq)
-    assert(row._2 == Misc.simhash64(Seq("a", "b", "c"), 1L))
+    // seed 0L = the Column-API default (simhashUdfDefault), so SQL and
+    // Column fingerprints are directly hamming-comparable
+    assert(row._2 == Misc.simhash64(Seq("a", "b", "c"), 0L))
   }
 }
