@@ -72,10 +72,24 @@ object Bench {
     dir
   }
 
-  private case class QRes(name: String, sec: Double, ok: Boolean)
+  /** Per-query result over `reps` repetitions: `sec` is the MEDIAN (robust
+    * to a contended machine — single runs misled tuning in r5: quiet-machine
+    * 162 s vs driver-run 247 s on the same tier), `spread` is max−min over
+    * the successful reps. */
+  private case class QRes(name: String, sec: Double, spread: Double, ok: Boolean)
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
 
   private def jsonQueries(results: Seq[QRes]): String =
     results.map(r => "\"" + r.name + f"""\":${r.sec}%.3f""").mkString("{", ",", "}")
+
+  private def jsonSpread(results: Seq[QRes]): String =
+    results.map(r => "\"" + r.name + f"""\":${r.spread}%.3f""").mkString("{", ",", "}")
 
   private def jsonFailed(results: Seq[QRes]): String =
     results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
@@ -88,6 +102,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     var spark = Engine.session(cpus)
     // a query that kills the SparkContext (executor OOM at a scaled tier)
     // must not poison every query after it: rebuild the session and keep
@@ -99,6 +114,9 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     val headline = (1 to 10).map(i => s"q$i")
+    // q11..q22 have correctness coverage but would otherwise carry no scale
+    // signal; timed once per scaled tier (single rep bounds bench time)
+    val extended = (11 to 22).map(i => s"q$i")
 
     def warm(dir: String): Unit = {
       ensureAlive()
@@ -106,7 +124,10 @@ object Bench {
       tpchTables.foreach(n => try t(n).count() catch { case _: Throwable => () })
     }
 
-    def run(dir: String, names: Seq[String] = headline): Seq[QRes] = names.map { name =>
+    /** One timed execution; leased caches are dropped afterwards so every
+      * rep (and every query) measures the full computation, not a warm
+      * cache from the previous run. */
+    def runOnce(dir: String, name: String): (Double, Boolean) = {
       ensureAlive()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -117,13 +138,26 @@ object Bench {
             System.err.println(s"[bench] $name FAILED on $dir: ${e.getMessage}")
             false
         }
-      QRes(name, (System.nanoTime() - t0) / 1e9, ok)
+        finally graft.ops.Caches.releaseAll()
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    def tierJson(label: String, k: Int, dir: String, res: Seq[QRes]): String = {
+    def run(dir: String, names: Seq[String] = headline, nReps: Int = reps): Seq[QRes] =
+      names.map { name =>
+        val runs = (1 to nReps).map(_ => runOnce(dir, name))
+        val okSecs = runs.collect { case (s, true) => s }
+        if (okSecs.isEmpty) QRes(name, runs.map(_._1).min, 0.0, ok = false)
+        else QRes(name, median(okSecs), okSecs.max - okSecs.min, ok = true)
+      }
+
+    def tierJson(label: String, k: Int, dir: String, res: Seq[QRes],
+        ext: Seq[QRes] = Nil): String = {
       val gb = inputBytes(dir, tpchTables) / 1e9
       val tot = okTotal(res)
-      f""","$label":{"k":$k,"input_gb":$gb%.3f,"total_sec":$tot%.3f,"sec_per_gb":${tot / math.max(gb, 1e-9)}%.2f,"queries":${jsonQueries(res)},"failed":${jsonFailed(res)}}"""
+      val extPart =
+        if (ext.isEmpty) ""
+        else f""","extended_total_sec":${okTotal(ext)}%.3f,"extended":${jsonQueries(ext)},"extended_failed":${jsonFailed(ext)}"""
+      f""","$label":{"k":$k,"input_gb":$gb%.3f,"total_sec":$tot%.3f,"sec_per_gb":${tot / math.max(gb, 1e-9)}%.2f,"reps":$reps,"queries":${jsonQueries(res)},"spread":${jsonSpread(res)},"failed":${jsonFailed(res)}$extPart}"""
     }
 
     // JVM/codegen warmup on the smallest SF so measured numbers reflect
@@ -147,10 +181,12 @@ object Bench {
         // (measured: 674 s/GB at sf0.1 → 30 s/GB here), small enough to
         // generate+run in minutes; fits the 24g bench heap.
         val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "100").toInt
+        val extOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0"
         ensureAlive() // the last base-tier query may have killed the context
         val sdir = ensureScaled(spark, sfDir, k)
         warm(sdir)
-        val tier1 = tierJson("scaled", k, sdir, run(sdir))
+        val tier1 = tierJson("scaled", k, sdir, run(sdir),
+          if (extOn) run(sdir, extended, nReps = 1) else Nil)
 
         // one decade further (default k=1000 ≈ SF100-equivalent, ~13 GB):
         // the FULL headline set — direct per-query comparison against the
@@ -162,7 +198,8 @@ object Bench {
             val k2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_K2", "1000").toInt
             ensureAlive() // tier-1's last query may have killed the context
             val sdir2 = ensureScaled(spark, sfDir, k2)
-            tierJson("scaled2", k2, sdir2, run(sdir2))
+            tierJson("scaled2", k2, sdir2, run(sdir2),
+              if (extOn) run(sdir2, extended, nReps = 1) else Nil)
           } else ""
         tier1 + tier2
       } else ""

@@ -54,7 +54,8 @@ object Profile {
     names.foreach { name =>
       metrics.reset()
       val t0 = System.nanoTime()
-      drain(SparkEntry.queries(name)(spark, dir))
+      try drain(SparkEntry.queries(name)(spark, dir))
+      finally graft.ops.Caches.releaseAll() // drop query-leased cached blocks
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(800) // let the listener bus drain task-end events
       def gb(a: LongAdder) = a.sum / 1e9

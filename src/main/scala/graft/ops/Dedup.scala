@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Shared-subtree caches leased by the pair pipelines (the persisted
+    * shingle/signature projections). The returned DataFrames are lazy, so
+    * the pipelines cannot unpersist eagerly themselves — a long-lived
+    * session that runs many pipelines would otherwise accumulate cached
+    * blocks indefinitely. Callers should invoke [[releaseCaches]] after
+    * materializing a pipeline's result (write/collect); until then the
+    * cache keeps candidate verification from re-shingling the corpus. */
+  private def lease(df: DataFrame): DataFrame = Caches.lease(df)
+
+  /** Unpersist every cache leased by prior pipeline calls (non-blocking).
+    * Safe to call at any time: an unpersisted frame recomputes. */
+  def releaseCaches(): Unit = Caches.releaseAll()
+
   /** Word n-gram shingles of a text column (distinct, nulls filtered). */
   def shingles(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
     val toks = split(text, " ")
@@ -98,11 +111,10 @@ object Dedup {
     // (jaccard is a function of distinct-set sizes only, so values are
     // unchanged; 64-bit in-doc collisions are ~n²/2⁶⁵). Persisted: both
     // self-join branches and the df-cap aggregation reuse it.
-    val withSh = docs.select(col(idCol).as("id"),
+    val withSh = lease(docs.select(col(idCol).as("id"),
         GMisc.hashedShinglesUdf(n)(col(textCol)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .filter(col("n_sh") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("n_sh") > 0))
     val inv = withSh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
     maxShingleDf match {
       case None =>
@@ -155,11 +167,10 @@ object Dedup {
     // cached form is ids + long arrays ≈ 8 B/shingle, MEMORY_AND_DISK so
     // a 100 TB corpus spills instead of evicting. A 64-bit hash
     // collision inside one doc's set is ~n²/2⁶⁵ — negligible.
-    val withSh = docs
+    val withSh = lease(docs
       .select(col(idCol).as("id"),
         GMisc.hashedShinglesUdf(shingleN)(col(textCol)).as("shh"))
-      .filter(size(col("shh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("shh")) > 0))
     // ids only through the nBands-way explode: shingle arrays would be
     // replicated nBands× through the bucket shuffle otherwise. They are
     // re-attached to the (tiny) candidate set for exact verification.
@@ -201,12 +212,11 @@ object Dedup {
     // hash kernel per doc (bit-identical signatures to the string form —
     // both vote on stringHash64(gram, 0)), persisted so the self-join
     // branches don't re-shingle the corpus
-    val withSig = docs
+    val withSig = lease(docs
       .select(col(idCol).as("id"),
         GMisc.hashedShinglesUdf(shingleN)(col(textCol)).as("shh"))
       .filter(size(col("shh")) > 0)
-      .withColumn("sig", GMisc.simhash64FromHashesUdf(col("shh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", GMisc.simhash64FromHashesUdf(col("shh"))))
     val banded = withSig.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map(i =>

@@ -38,9 +38,11 @@ class QueriesSpec extends AnyFunSuite {
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name executes and returns rows at sf0.001") {
-      val df = fn(spark, dir)
-      assert(df.schema.nonEmpty)
-      assert(df.count() >= 0) // some dedup queries may legitimately be empty
+      try {
+        val df = fn(spark, dir)
+        assert(df.schema.nonEmpty)
+        assert(df.count() >= 0) // some dedup queries may legitimately be empty
+      } finally graft.ops.Caches.releaseAll() // drop query-leased blocks
     }
   }
 

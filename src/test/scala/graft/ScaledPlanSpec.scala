@@ -13,8 +13,40 @@ class ScaledPlanSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private lazy val dir = Bench.ensureScaled(spark, "/root/testdata/sf0.1", 100)
 
+  /** Top-level executed plan only — cached (leased) subtrees print as
+    * InMemoryTableScan leaves. Use for assertions about what the QUERY
+    * itself does per execution (e.g. broadcast counts). */
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    finally graft.ops.Caches.releaseAll()
+
+  /** Executed plan with every cached subtree (InMemoryTableScan) expanded
+    * to its cachedPlan — the full physical work including the cache-fill
+    * pass. Use for assertions that a probe/broadcast exists SOMEWHERE in
+    * the computation (the bloom probes and dim broadcasts moved inside
+    * leased caches when the build-side triple-scan was fixed). */
+  private def planFull(name: String): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val sb = new StringBuilder
+    def expand(p: SparkPlan): Unit = {
+      sb.append(p.toString).append('\n')
+      def walk(n: SparkPlan): Unit = {
+        n match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: InMemoryTableScanExec => expand(s.relation.cachedPlan)
+          case _ => ()
+        }
+        n.children.foreach(walk)
+      }
+      walk(p)
+    }
+    try {
+      expand(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+      sb.toString
+    } finally graft.ops.Caches.releaseAll()
+  }
 
   test("q6 keeps filter+projection pushdown at bench scale") {
     val p = plan("q6")
@@ -37,7 +69,9 @@ class ScaledPlanSpec extends AnyFunSuite {
 
   for (q <- Seq("q5", "q7", "q8", "q9", "q10"))
     test(s"$q still broadcasts its dimension joins at bench scale") {
-      val p = plan(q)
+      // planFull: some dim broadcasts now live inside the leased cache-fill
+      // subtree (e.g. q7's nation joins into supplier/customer)
+      val p = planFull(q)
       assert(p.contains("BroadcastHashJoin"),
         s"$q: expected at least one broadcast dim join at k=100:\n$p")
     }
@@ -53,15 +87,16 @@ class ScaledPlanSpec extends AnyFunSuite {
   test("q3 prunes lineitem on surviving orderkeys before its shuffle") {
     // round-5 fix for the one superlinear scaler: both fact inputs carry
     // a bloom probe (orders on BUILDING custkeys, lineitem on surviving
-    // orderkeys) — a size-estimate change must not drop either
-    val p = plan("q3")
+    // orderkeys) — a size-estimate change must not drop either. The orders
+    // probe now lives inside oF's leased cache-fill subtree (planFull).
+    val p = planFull("q3")
     assert(p.sliding("bloommightcontainexpr".length).count(_ == "bloommightcontainexpr") >= 2,
       s"q3: expected bloom probes on BOTH orders and lineitem scans:\n$p")
   }
 
   test("q4/q5/q7/q8/q9 carry the bloom semi-prefilter on their fact scan side") {
     for (q <- Seq("q4", "q5", "q7", "q8", "q9")) {
-      val p = plan(q)
+      val p = planFull(q)
       assert(p.contains("bloommightcontainexpr"),
         s"$q: expected the native bloom probe in the plan:\n$p")
       assert(!p.contains("BatchEvalPython") && !p.contains("UDF("),
@@ -71,15 +106,22 @@ class ScaledPlanSpec extends AnyFunSuite {
 
   test("q3/q8/q9/q10 never broadcast their fact tables") {
     // part/orders/customer all scale with the data; the compressed
-    // fixture slips each under the broadcast threshold, so the
-    // shuffle-merge hints must hold
+    // fixture (and now the accurate stats of leased caches) slips each
+    // under the broadcast threshold, so the shuffle-merge hints must
+    // hold. Precise check: no BroadcastHashJoin may involve a FACT join
+    // key — raw BroadcastExchange counts also see the dims inside
+    // printed cache-fill subtrees and true-dim joins, which are fine.
+    val factKeys = Seq(
+      "o_custkey", "c_custkey", "l_orderkey", "o_orderkey", "l_partkey", "p_partkey")
     for (q <- Seq("q3", "q8", "q9", "q10")) {
       val p = plan(q)
       assert(p.contains("SortMergeJoin"), s"$q: fact joins must shuffle:\n$p")
-      val broadcasts = "BroadcastExchange".r.findAllIn(p).size
-      // remaining broadcasts are true dims (nation/region/supNation) plus
-      // an AQE supplier allowance; a broadcast fact would push past this
-      assert(broadcasts <= 4, s"$q: too many broadcasts ($broadcasts) — a fact slipped in:\n$p")
+      val offending = p.linesIterator
+        .filter(_.contains("BroadcastHashJoin"))
+        .filter(l => factKeys.exists(k => l.contains(s"[$k#")))
+        .toSeq
+      assert(offending.isEmpty,
+        s"$q: fact-key broadcast join(s):\n${offending.mkString("\n")}\nfull plan:\n$p")
     }
   }
 
