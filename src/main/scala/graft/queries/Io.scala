@@ -446,6 +446,36 @@ object Io {
       |                 ELSE o_totalprice END), 2) AS total
       |FROM orders WHERE o_orderkey > 500""".stripMargin
 
+  /** Delta deletion vectors (merge-on-read DELETE, PROTOCOL.md §Deletion
+    * Vectors): tombstone two predicates by (file, row-ordinal) bitmaps —
+    * one small enough to inline, one forced to an on-disk
+    * `deletion_vector_*.bin` — then verify the read-side anti-join
+    * against the oracle's relational recomputation. `mor` asserts no data
+    * file was rewritten; a CoW regression would flip it false. */
+  def io_delta_dv(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Delta
+    val path = s"$ioDir/delta_dv_${math.abs(dir.hashCode)}"
+    Delta.deleteTable(path)
+    val ord = t(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    Delta.write(ord.repartitionByRange(4, col("o_orderkey")), path)
+    val before = Delta.snapshot(s, path).files.map(_.path).toSet
+    Delta.deleteVectors(s, path, col("o_orderkey") % 3 === 0L, // forced on-disk
+      inlineMaxBytes = 0)
+    Delta.deleteVectors(s, path, col("o_custkey") % 100 === 11L) // merges bitmaps
+    val snap = Delta.snapshot(s, path)
+    // both DELETEs were merge-on-read: same data files, tombstones only
+    // (inline-vs-file storage is covered value-for-value in DeltaSpec)
+    val mor = snap.files.map(_.path).toSet == before &&
+      snap.files.exists(_.dv.isDefined)
+    Delta.read(s, path)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("mor", lit(mor))
+  }
+
+  val ioDeltaDvSql =
+    """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS mor
+      |FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 100 <> 11""".stripMargin
+
   /** Delta MERGE INTO (upsert by key, CoW): seed with low orderkeys,
     * merge a source that overlaps the top of the range and extends past
     * it; oracle reproduces matched-replaces + inserts with a UNION. */
@@ -543,6 +573,30 @@ object Io {
       |  round(sum(CASE WHEN c_nationkey = 3 THEN c_acctbal + 1000
       |                 ELSE c_acctbal END), 2) AS total
       |FROM customer WHERE c_custkey > 100""".stripMargin
+
+  /** Iceberg v2 merge-on-read position deletes (spec §Position Delete
+    * Files; the reference reads v2 tables via pyiceberg): two MoR DELETEs
+    * tombstone rows by (file_path, pos) without rewriting data files; the
+    * read applies them as an anti-join on (path, row ordinal). The oracle
+    * recomputes the surviving set relationally from the base table. */
+  def io_iceberg_v2_deletes(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Iceberg
+    val path = s"$ioDir/iceberg_v2del_${math.abs(dir.hashCode)}"
+    Iceberg.deleteTable(path)
+    val cust = t(s, dir).customer.select("c_custkey", "c_nationkey", "c_acctbal")
+    Iceberg.write(cust.repartitionByRange(4, col("c_custkey")), path, formatVersion = 2)
+    Iceberg.deletePositions(s, path, col("c_custkey") <= 200L)
+    Iceberg.deletePositions(s, path, col("c_nationkey") === 7)
+    // data files untouched (merge-on-read): assert via the state contract
+    val mor = Iceberg.state(path).deleteFiles.nonEmpty
+    Iceberg.read(s, path)
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total"))
+      .withColumn("mor", lit(mor))
+  }
+
+  val ioIcebergV2DeletesSql =
+    """SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total, true AS mor
+      |FROM customer WHERE c_custkey > 200 AND c_nationkey <> 7""".stripMargin
 
   /** Iceberg round-trip (ref daft/io/_iceberg.py read_iceberg /
     * write_iceberg; implemented from the open table spec — sources/
@@ -901,10 +955,12 @@ object Io {
     "io_delta_time_travel" -> (io_delta_time_travel _),
     "io_delta_stats_skip" -> (io_delta_stats_skip _),
     "io_delta_dml" -> (io_delta_dml _),
+    "io_delta_dv" -> (io_delta_dv _),
     "io_delta_merge" -> (io_delta_merge _),
     "io_iceberg_roundtrip" -> (io_iceberg_roundtrip _),
     "io_iceberg_stats_skip" -> (io_iceberg_stats_skip _),
     "io_iceberg_dml" -> (io_iceberg_dml _),
+    "io_iceberg_v2_deletes" -> (io_iceberg_v2_deletes _),
     "io_hudi_roundtrip" -> (io_hudi_roundtrip _),
     "io_hudi_dml" -> (io_hudi_dml _),
     "io_huggingface" -> (io_huggingface _),
@@ -936,10 +992,12 @@ object Io {
     "io_delta_time_travel" -> ioDeltaTimeTravelSql,
     "io_delta_stats_skip" -> ioDeltaStatsSkipSql,
     "io_delta_dml" -> ioDeltaDmlSql,
+    "io_delta_dv" -> ioDeltaDvSql,
     "io_delta_merge" -> ioDeltaMergeSql,
     "io_iceberg_roundtrip" -> ioIcebergRoundtripSql,
     "io_iceberg_stats_skip" -> ioIcebergStatsSkipSql,
     "io_iceberg_dml" -> ioIcebergDmlSql,
+    "io_iceberg_v2_deletes" -> ioIcebergV2DeletesSql,
     "io_hudi_roundtrip" -> ioHudiRoundtripSql,
     "io_hudi_dml" -> ioHudiDmlSql,
     "io_huggingface" -> ioHuggingfaceSql,

@@ -26,10 +26,13 @@ import org.apache.spark.sql.types._
   *    replay of the JSON commits after it; `add` actions keyed by path,
   *    `remove` cancels a prior `add`.
   *  - actions understood: `protocol`, `metaData` (schemaString is
-  *    Spark-schema JSON per the spec), `add`, `remove`, `commitInfo` (and
-  *    `txn`, ignored). Reader version > 1 / table features (deletion
-  *    vectors, column mapping) are rejected explicitly rather than
-  *    silently misread.
+  *    Spark-schema JSON per the spec), `add` (including its
+  *    `deletionVector` descriptor — inline, relative-UUID, and absolute
+  *    storage; see [[DeltaDeletionVectors]]), `remove`, `commitInfo` (and
+  *    `txn`, ignored). Unknown reader features (e.g. column mapping) are
+  *    rejected explicitly rather than silently misread; deletion vectors
+  *    are applied at read as a (path, row-ordinal) anti-join and written
+  *    by [[deleteVectors]] (merge-on-read DELETE).
   *  - time travel: `versionAsOf` replays the log only up to that version.
   *
   * Scale shape (100 TB posture):
@@ -56,7 +59,8 @@ object Delta {
       partitionValues: Map[String, String],
       size: Long,
       modificationTime: Long,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      dv: Option[DeltaDeletionVectors.Descriptor] = None)
 
   /** Reconstructed table state at a version. `appTxns` is the latest
     * `txn` action version per application id (the spec's idempotent-
@@ -72,6 +76,25 @@ object Delta {
     def dataSchema: StructType =
       StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
   }
+
+  /** Spark-side shape of the `deletionVector` struct (used for the
+    * checkpoint add column; field order per PROTOCOL.md). */
+  private val dvStructType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
+  private def dvFromRow(r: Row, idx: Int): Option[DeltaDeletionVectors.Descriptor] =
+    if (idx < 0 || r.isNullAt(idx)) None
+    else {
+      val d = r.getStruct(idx)
+      Some(DeltaDeletionVectors.Descriptor(
+        d.getString(0), d.getString(1),
+        if (d.isNullAt(2)) None else Some(d.getInt(2)),
+        d.getInt(3), d.getLong(4)))
+    }
 
   private def logDir(tablePath: String): Path = Paths.get(tablePath, "_delta_log")
 
@@ -148,10 +171,11 @@ object Delta {
       schemaString = schema; partitionCols = parts
     }
     def applyProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
-      val unsupported = readerFeatures.filterNot(Set("timestampNtz", "v2Checkpoint"))
+      val unsupported = readerFeatures
+        .filterNot(Set("timestampNtz", "v2Checkpoint", "deletionVectors"))
       require(minReader <= 3 && unsupported.isEmpty,
         s"unsupported Delta reader requirement: minReaderVersion=$minReader features=$unsupported " +
-          "(deletion vectors / column mapping are not implemented)")
+          "(e.g. column mapping is not implemented)")
     }
 
     // Checkpoint: protocol / metaData / txn rows are O(1) / O(writer apps)
@@ -195,19 +219,21 @@ object Delta {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("stats", StringType)))
+        StructField("stats", StringType),
+        StructField("deletionVector", dvStructType)))
       val adds =
         if (!cols("add"))
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], addsSchema)
         else {
-          val addHasStats = ck.schema("add").dataType
-            .asInstanceOf[StructType].fieldNames.contains("stats")
+          val addFields = ck.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
           ck.where(col("add").isNotNull).select(
             col("add.path").as("path"),
             col("add.partitionValues").as("partitionValues"),
             col("add.size").as("size"),
             col("add.modificationTime").as("modificationTime"),
-            (if (addHasStats) col("add.stats") else lit(null).cast(StringType)).as("stats"))
+            (if (addFields("stats")) col("add.stats") else lit(null).cast(StringType)).as("stats"),
+            (if (addFields("deletionVector")) col("add.deletionVector").cast(dvStructType)
+             else lit(null).cast(dvStructType)).as("deletionVector"))
         }
       if (cols("remove"))
         adds.join(
@@ -241,9 +267,17 @@ object Delta {
             o.properties().asScala.map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)).toMap
           }.getOrElse(Map.empty[String, String])
           val path = a.get("path").asText
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+            DeltaDeletionVectors.Descriptor(
+              d.get("storageType").asText,
+              d.get("pathOrInlineDv").asText,
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+              d.get("sizeInBytes").asInt,
+              d.get("cardinality").asLong)
+          }
           touched(path) = Some(AddFile(path, pv, a.get("size").asLong,
             Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText)))
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText), dv))
         }
         if (node.has("remove")) touched(node.get("remove").get("path").asText) = None
         if (node.has("txn")) {
@@ -294,7 +328,8 @@ object Delta {
             .map(_.toMap).getOrElse(Map.empty),
           r.getLong(r.fieldIndex("size")),
           r.getLong(r.fieldIndex("modificationTime")),
-          if (r.isNullAt(r.fieldIndex("stats"))) None else Some(r.getString(r.fieldIndex("stats"))))
+          if (r.isNullAt(r.fieldIndex("stats"))) None else Some(r.getString(r.fieldIndex("stats"))),
+          dvFromRow(r, r.schema.fieldNames.indexOf("deletionVector")))
       }.filter(f => partitionFilter(f.partitionValues))
     }
     fromCkpt ++ st.tailAdds.filter(f =>
@@ -331,11 +366,58 @@ object Delta {
       dataFilter: Option[Column] = None): DataFrame = {
     val st = state(spark, tablePath, versionAsOf)
     val live = collectAdds(st, partitionFilter, dataFilter)
-    val df = PartitionedFiles.readWithPartitions(
-      spark, st.schema, st.partitionColumns,
-      live.map(f => absolutePath(tablePath, f.path)),
-      live.map(_.partitionValues))
+    val df = readFiles(spark, tablePath, st.schema, st.partitionColumns, live)
     dataFilter.fold(df)(df.filter)
+  }
+
+  /** Scan a live file set, applying any deletion vectors (PROTOCOL.md
+    * §Deletion Vectors): a row survives iff its (file, ordinal) is not in
+    * its file's DV. The tombstone side is decoded on EXECUTORS (one task
+    * per DV'd file) and anti-joined on (path, `_metadata.row_index`) —
+    * driver holds only descriptors; the tombstone volume is proportional
+    * to deleted rows, so Catalyst broadcasts it when small and shuffles
+    * at billion-tombstone scale. */
+  private def readFiles(
+      spark: SparkSession,
+      tablePath: String,
+      schema: StructType,
+      partCols: Seq[String],
+      live: Seq[AddFile]): DataFrame = {
+    if (!live.exists(_.dv.isDefined))
+      PartitionedFiles.readWithPartitions(
+        spark, schema, partCols,
+        live.map(f => absolutePath(tablePath, f.path)),
+        live.map(_.partitionValues))
+    else {
+      val data = PartitionedFiles.readWithPartitions(
+        spark, schema, partCols,
+        live.map(f => absolutePath(tablePath, f.path)),
+        live.map(_.partitionValues),
+        sourceCol = Some("__graft_src"), posCol = Some("__graft_pos"))
+      minusDvTombstones(spark, tablePath, data, live)
+        .drop("__graft_src", "__graft_pos")
+    }
+  }
+
+  /** Anti-join `data` (must carry `__graft_src`/`__graft_pos`) against
+    * the deletion vectors of `files`. No-op when none has a DV. */
+  private def minusDvTombstones(
+      spark: SparkSession, tablePath: String,
+      data: DataFrame, files: Seq[AddFile]): DataFrame = {
+    val withDv = files.flatMap(f => f.dv.map(d =>
+      (Paths.get(absolutePath(tablePath, f.path)).normalize.toString, d)))
+    if (withDv.isEmpty) return data
+    val tp = tablePath
+    val rows = spark.sparkContext
+      .parallelize(withDv, math.min(withDv.size, 64))
+      .flatMap { case (p, d) =>
+        DeltaDeletionVectors.positions(tp, d).map(pos => Row(p, pos)) }
+    val tombstones = spark.createDataFrame(rows, StructType(Seq(
+      StructField("__del_path", StringType), StructField("__del_pos", LongType))))
+    data.join(tombstones,
+      data("__graft_src") === col("__del_path") &&
+        data("__graft_pos") === col("__del_pos"),
+      "left_anti")
   }
 
   /** The file subset [[read]] would open for `dataFilter` — exposed so
@@ -353,10 +435,7 @@ object Delta {
     val partLive = snap.files.filter(f => partitionFilter(f.partitionValues))
     val live = dataFilter.fold(partLive)(
       DeltaStats.prune(partLive, _, snap.schema, snap.partitionColumns))
-    PartitionedFiles.readWithPartitions(
-      spark, snap.schema, snap.partitionColumns,
-      live.map(f => absolutePath(snap.tablePath, f.path)),
-      live.map(_.partitionValues))
+    readFiles(spark, snap.tablePath, snap.schema, snap.partitionColumns, live)
   }
 
   private def absolutePath(tablePath: String, rel: String): String = {
@@ -428,17 +507,7 @@ object Delta {
         r.put("path", p); r.put("deletionTimestamp", now); r.put("dataChange", true)
         lines += om.writeValueAsString(o)
       }
-      added.foreach { a =>
-        val o = om.createObjectNode()
-        val ad = o.putObject("add")
-        ad.put("path", a.path)
-        val pv = ad.putObject("partitionValues")
-        a.partitionValues.foreach { case (k, v) => if (v == null) pv.putNull(k) else pv.put(k, v) }
-        ad.put("size", a.size); ad.put("modificationTime", a.modificationTime)
-        ad.put("dataChange", true)
-        a.stats.foreach(ad.put("stats", _))
-        lines += om.writeValueAsString(o)
-      }
+      added.foreach(a => lines += addJson(om, a, dataChange = true))
       txn.foreach { case (appId, v) =>
         val o = om.createObjectNode()
         val t = o.putObject("txn")
@@ -462,6 +531,28 @@ object Delta {
       }
     }
     committed
+  }
+
+  /** One `add` action line (shared by write / rewrite / DML commits);
+    * emits the `deletionVector` struct when the file carries one. */
+  private def addJson(om: ObjectMapper, a: AddFile, dataChange: Boolean): String = {
+    val o = om.createObjectNode()
+    val ad = o.putObject("add")
+    ad.put("path", a.path)
+    val pv = ad.putObject("partitionValues")
+    a.partitionValues.foreach { case (k, v) => if (v == null) pv.putNull(k) else pv.put(k, v) }
+    ad.put("size", a.size); ad.put("modificationTime", a.modificationTime)
+    ad.put("dataChange", dataChange)
+    a.stats.foreach(ad.put("stats", _))
+    a.dv.foreach { d =>
+      val dn = ad.putObject("deletionVector")
+      dn.put("storageType", d.storageType)
+      dn.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(off => { dn.put("offset", off); () })
+      dn.put("sizeInBytes", d.sizeInBytes)
+      dn.put("cardinality", d.cardinality)
+    }
+    om.writeValueAsString(o)
   }
 
   private def metaDataJson(om: ObjectMapper, schema: StructType, partCols: Seq[String]): String = {
@@ -549,17 +640,7 @@ object Delta {
       r.put("path", f.path); r.put("deletionTimestamp", now); r.put("dataChange", false)
       lines += om.writeValueAsString(o)
     }
-    added.foreach { a =>
-      val o = om.createObjectNode()
-      val ad = o.putObject("add")
-      ad.put("path", a.path)
-      val pv = ad.putObject("partitionValues")
-      a.partitionValues.foreach { case (k, v) => if (v == null) pv.putNull(k) else pv.put(k, v) }
-      ad.put("size", a.size); ad.put("modificationTime", a.modificationTime)
-      ad.put("dataChange", false)
-      a.stats.foreach(ad.put("stats", _))
-      lines += om.writeValueAsString(o)
-    }
+    added.foreach(a => lines += addJson(om, a, dataChange = false))
     val ci = om.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", operation)
@@ -663,6 +744,75 @@ object Delta {
       (slice, hit) => slice.filter(!hit))
   }
 
+  /** Row-level DELETE via deletion vectors (merge-on-read; PROTOCOL.md
+    * §Deletion Vectors): matching rows are tombstoned by row ordinal —
+    * the write cost is proportional to DELETED rows, not touched files
+    * ([[delete]] is the copy-on-write alternative; at 100 TB a point
+    * delete under CoW rewrites gigabytes, under MoR kilobytes). Each
+    * touched file is re-added with a descriptor whose bitmap is the UNION
+    * of its previous DV and the new tombstones (one DV per file, per
+    * spec). Blobs ≤ `inlineMaxBytes` inline ("i"); larger ones share one
+    * `deletion_vector_<uuid>.bin` ("u" multi-DV file). The commit carries
+    * the table-features protocol (minReader 3 / minWriter 7 +
+    * deletionVectors). Returns (version, rows newly deleted). */
+  def deleteVectors(spark: SparkSession, tablePath: String, pred: Column,
+      inlineMaxBytes: Int = 512): (Long, Long) = {
+    val snap = snapshot(spark, tablePath)
+    val hit = coalesce(pred, lit(false))
+    val candidates = DeltaStats.prune(snap.files, pred, snap.schema, snap.partitionColumns)
+    if (candidates.isEmpty) return (snap.version, 0L)
+    def normPath(f: AddFile): String =
+      Paths.get(absolutePath(tablePath, f.path)).normalize.toString
+    // one distributed pass: new tombstone ordinals per file (previously
+    // tombstoned rows excluded, so a repeated DELETE is a no-op and
+    // cardinalities stay exact)
+    val newPositions: Map[String, Array[Long]] = minusDvTombstones(spark, tablePath,
+        PartitionedFiles.readWithPartitions(
+          spark, snap.schema, snap.partitionColumns,
+          candidates.map(f => absolutePath(tablePath, f.path)),
+          candidates.map(_.partitionValues),
+          sourceCol = Some("__graft_src"), posCol = Some("__graft_pos")),
+        candidates)
+      .filter(hit)
+      .groupBy(col("__graft_src"))
+      .agg(collect_list(col("__graft_pos")).as("__ps"))
+      .collect()
+      .map(r => Paths.get(r.getString(0)).normalize.toString -> r.getSeq[Long](1).toArray)
+      .toMap
+    val touched = candidates.filter(f =>
+      newPositions.getOrElse(normPath(f), Array.empty[Long]).nonEmpty)
+    if (touched.isEmpty) return (snap.version, 0L)
+    val deleted = touched.map(f => newPositions(normPath(f)).length.toLong).sum
+
+    // merged blob per touched file: previous DV ∪ new tombstones
+    val blobs: Seq[(AddFile, Array[Byte], Long)] = touched.map { f =>
+      val prev = f.dv.map(DeltaDeletionVectors.positions(tablePath, _))
+        .getOrElse(Array.empty[Long])
+      val all = (prev ++ newPositions(normPath(f))).distinct.sorted
+      (f, DeltaDeletionVectors.serialize(all), all.length.toLong)
+    }
+    val big = blobs.filter(_._2.length > inlineMaxBytes)
+    val bigDescriptors: Map[String, DeltaDeletionVectors.Descriptor] =
+      if (big.isEmpty) Map.empty
+      else big.map(_._1.path)
+        .zip(DeltaDeletionVectors.writeDvFile(tablePath, big.map(b => (b._2, b._3))))
+        .toMap
+    val withDv: Seq[AddFile] = blobs.map { case (f, blob, card) =>
+      val d = bigDescriptors.getOrElse(f.path,
+        DeltaDeletionVectors.inlineDescriptor(blob, card))
+      f.copy(dv = Some(d), modificationTime = System.currentTimeMillis())
+    }
+    // protocol action is idempotent (last one wins) — declaring the
+    // table-features requirement with every DV commit keeps this path
+    // stateless about what earlier commits declared
+    val protocolLine =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    val v = commitDml(spark, tablePath, snap, touched, withDv,
+      System.currentTimeMillis(), "DELETE", Some(pred), Seq(protocolLine))
+    (v, deleted)
+  }
+
   /** Row-level UPDATE via copy-on-write: `set` maps column name →
     * replacement expression, applied where `pred` holds (NULL = row
     * kept unchanged, SQL UPDATE semantics). Partition columns may be
@@ -726,11 +876,13 @@ object Delta {
 
       val matchedPerFile: Map[String, Long] =
         if (candidates.isEmpty) Map.empty
-        else PartitionedFiles.readWithPartitions(
-            spark, snap.schema, snap.partitionColumns,
-            candidates.map(f => absolutePath(tablePath, f.path)),
-            candidates.map(_.partitionValues),
-            sourceCol = Some("__graft_src"))
+        else minusDvTombstones(spark, tablePath,
+            PartitionedFiles.readWithPartitions(
+              spark, snap.schema, snap.partitionColumns,
+              candidates.map(f => absolutePath(tablePath, f.path)),
+              candidates.map(_.partitionValues),
+              sourceCol = Some("__graft_src"), posCol = Some("__graft_pos")),
+            candidates)
           .join(src.select(col(key)), Seq(key), "left_semi")
           .groupBy(col("__graft_src")).count()
           .collect()
@@ -797,11 +949,15 @@ object Delta {
     def normPath(f: AddFile): String =
       Paths.get(absolutePath(tablePath, f.path)).normalize.toString
     // phase 2: one distributed pass counts matches per candidate file
-    val matches: Map[String, Long] = PartitionedFiles.readWithPartitions(
-        spark, snap.schema, snap.partitionColumns,
-        candidates.map(f => absolutePath(tablePath, f.path)),
-        candidates.map(_.partitionValues),
-        sourceCol = Some("__graft_src"))
+    // (minus DV-tombstoned rows — a CoW DML on a DV table must neither
+    // count nor resurrect already-deleted rows)
+    val matches: Map[String, Long] = minusDvTombstones(spark, tablePath,
+        PartitionedFiles.readWithPartitions(
+          spark, snap.schema, snap.partitionColumns,
+          candidates.map(f => absolutePath(tablePath, f.path)),
+          candidates.map(_.partitionValues),
+          sourceCol = Some("__graft_src"), posCol = Some("__graft_pos")),
+        candidates)
       .groupBy(col("__graft_src"))
       .agg(sum(when(hit, 1L).otherwise(0L)).as("__m"))
       .collect()
@@ -839,8 +995,11 @@ object Delta {
       latest: Snapshot,
       removed: Seq[AddFile],
       pred: Option[Column]): Boolean = {
-    val stillLive = latest.files.map(_.path).toSet
-    if (!removed.forall(f => stillLive.contains(f.path))) return true
+    // identity is (path, deletionVector): a concurrent MoR delete re-adds
+    // the same path with a new DV — committing a rewrite built against
+    // the old DV would silently resurrect its tombstoned rows
+    val stillLive = latest.files.map(f => f.path -> f.dv).toMap
+    if (!removed.forall(f => stillLive.get(f.path).contains(f.dv))) return true
     val startPaths = start.files.map(_.path).toSet
     val newlyAdded = latest.files.filterNot(f => startPaths.contains(f.path))
     pred match {
@@ -859,26 +1018,18 @@ object Delta {
       added: Seq[AddFile],
       now: Long,
       operation: String,
-      pred: Option[Column]): Long = {
+      pred: Option[Column],
+      headLines: Seq[String] = Nil): Long = {
     val om = mapper
     val lines = mutable.ArrayBuffer.empty[String]
+    lines ++= headLines
     removed.foreach { f =>
       val o = om.createObjectNode()
       val r = o.putObject("remove")
       r.put("path", f.path); r.put("deletionTimestamp", now); r.put("dataChange", true)
       lines += om.writeValueAsString(o)
     }
-    added.foreach { a =>
-      val o = om.createObjectNode()
-      val ad = o.putObject("add")
-      ad.put("path", a.path)
-      val pv = ad.putObject("partitionValues")
-      a.partitionValues.foreach { case (k, v) => if (v == null) pv.putNull(k) else pv.put(k, v) }
-      ad.put("size", a.size); ad.put("modificationTime", a.modificationTime)
-      ad.put("dataChange", true)
-      a.stats.foreach(ad.put("stats", _))
-      lines += om.writeValueAsString(o)
-    }
+    added.foreach(a => lines += addJson(om, a, dataChange = true))
     val ci = om.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", operation)
@@ -915,13 +1066,23 @@ object Delta {
     * the number of files deleted. */
   def vacuum(spark: SparkSession, tablePath: String,
       retainMillis: Long = 7L * 24 * 3600 * 1000): Int = {
-    val live: Set[String] = snapshot(spark, tablePath).files
-      .map(f => Paths.get(absolutePath(tablePath, f.path)).normalize.toString).toSet
+    val snap = snapshot(spark, tablePath)
+    // live = data files plus their deletion-vector .bin files — a DV
+    // referenced by a live add must survive, an orphaned DV (its file was
+    // rewritten) is vacuumable garbage like the data file itself
+    val live: Set[String] = (snap.files
+      .map(f => absolutePath(tablePath, f.path)) ++
+      snap.files.flatMap(_.dv).filter(d => d.storageType == "u" || d.storageType == "p")
+        .map(d => DeltaDeletionVectors.absolutePath(tablePath, d)))
+      .map(p => Paths.get(p).normalize.toString).toSet
     val root = Paths.get(tablePath)
     val cutoff = System.currentTimeMillis() - math.max(retainMillis, 0L)
     var deleted = 0
     Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => Files.isRegularFile(p) && {
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") || n.endsWith(".bin")
+      })
       .filterNot(_.startsWith(root.resolve("_delta_log")))
       .filterNot(p => p.iterator().asScala.exists(_.toString.startsWith(".staging-")))
       .filterNot(p => live.contains(p.normalize.toString))
@@ -948,11 +1109,14 @@ object Delta {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))
+      StructField("stats", StringType),
+      StructField("deletionVector", dvStructType)))
     val ckSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
@@ -963,13 +1127,27 @@ object Delta {
         StructField("appId", StringType),
         StructField("version", LongType))))))
 
-    // driver-side rows: protocol + metaData + txns + the JSON-tail adds
+    // driver-side rows: protocol + metaData + txns + the JSON-tail adds.
+    // A table using DVs keeps its table-features protocol through the
+    // checkpoint — downgrading to (1,2) would hide the requirement from
+    // feature-checking readers.
+    val usesDv = st.tailAdds.exists(_.dv.isDefined) ||
+      st.ckptAdds.exists(df => !df.filter(col("deletionVector").isNotNull).isEmpty)
+    val protocolRow =
+      if (usesDv) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+      else Row(1, 2, null, null)
     val headRows: Seq[Row] =
-      Row(Row(1, 2), null, null, null) +:
+      Row(protocolRow, null, null, null) +:
       Row(null, Row(UUID.randomUUID().toString, st.schema.json, st.partitionColumns,
         System.currentTimeMillis()), null, null) +:
-      (st.tailAdds.map(f =>
-        Row(null, null, Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull), null)) ++
+      (st.tailAdds.map { f =>
+        val dvRow = f.dv.map(d =>
+          Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
+            d.sizeInBytes, d.cardinality)).orNull
+        Row(null, null,
+          Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull, dvRow),
+          null)
+      } ++
        st.appTxns.toSeq.map { case (app, v) => Row(null, null, null, Row(app, v)) })
     val head = spark.createDataFrame(
       spark.sparkContext.parallelize(headRows, 1), ckSchema)
@@ -980,7 +1158,8 @@ object Delta {
           lit(null).cast(ckSchema("protocol").dataType).as("protocol"),
           lit(null).cast(ckSchema("metaData").dataType).as("metaData"),
           struct(col("path"), col("partitionValues"), col("size"),
-            col("modificationTime"), lit(true).as("dataChange"), col("stats")).as("add"),
+            col("modificationTime"), lit(true).as("dataChange"), col("stats"),
+            col("deletionVector")).as("add"),
           lit(null).cast(ckSchema("txn").dataType).as("txn"))
         head.unionByName(wrapped)
       case None => head

@@ -25,13 +25,16 @@ import org.apache.spark.sql.types._
   * Avro manifest lists and manifests (read+written with the avro jar that
   * ships with Spark), parquet data files.
   *
-  * Spec subset (format-version 1, the append/overwrite core):
+  * Spec subset (format-version 1 append/overwrite core + the v2
+  * merge-on-read read path):
   *  - table layout: `metadata/vN.metadata.json` + `version-hint.text`,
   *    snapshots pointing at an Avro manifest list, whose entries point at
   *    Avro manifests, whose entries point at parquet data files.
   *  - state: manifest entries with status EXISTING(0)/ADDED(1) are live,
-  *    DELETED(2) are dropped. v2 delete files (content != 0) are rejected
-  *    explicitly — row-level deletes are not implemented.
+  *    DELETED(2) are dropped. v2 POSITION deletes (content=1, parquet
+  *    (file_path, pos) tombstones) are applied at read as an anti-join on
+  *    (path, row ordinal) and written by [[deletePositions]]; equality
+  *    deletes (content=2) are rejected explicitly.
   *  - snapshot time travel: `snapshotId` picks any snapshot in the log.
   *  - schema: Iceberg's field-id JSON schema is converted to/from Spark
   *    `StructType` (primitives + struct/list/map/decimal).
@@ -47,15 +50,18 @@ object Iceberg {
 
   private def mapper = new ObjectMapper()
 
+  /** `content` per spec: 0 = data, 1 = position deletes (the file's rows
+    * are (file_path, pos) tombstones, not table rows). */
   final case class DataFileRef(path: String, recordCount: Long, sizeBytes: Long,
-      partition: Map[String, String], stats: Option[String] = None)
+      partition: Map[String, String], stats: Option[String] = None, content: Int = 0)
 
   final case class TableState(
       tablePath: String,
       snapshotId: Long,
       schema: StructType,
       partitionFields: Seq[String],
-      files: Seq[DataFileRef])
+      files: Seq[DataFileRef],
+      deleteFiles: Seq[DataFileRef] = Nil)
 
   // ------------------------------------------------------------ metadata io
 
@@ -97,8 +103,9 @@ object Iceberg {
     * walk, pruned before collect) instead. */
   def state(tablePath: String, snapshotId: Option[Long] = None): TableState = {
     val (schema, partitionFields, snapId, manifests, fieldsById) = header(tablePath, snapshotId)
-    val files = manifests.flatMap(mp => manifestEntries(tablePath, mp, fieldsById))
-    TableState(tablePath, snapId, schema, partitionFields, files)
+    val all = manifests.flatMap(mp => manifestEntries(tablePath, mp, fieldsById))
+    val (dels, data) = all.partition(_.content == 1)
+    TableState(tablePath, snapId, schema, partitionFields, data, dels)
   }
 
   /** Live data-file entries of one manifest — callable on an executor
@@ -115,9 +122,16 @@ object Iceberg {
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         def field(r: GenericRecord, n: String): Option[AnyRef] =
           Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
+        // content: 0 = data, 1 = position deletes (v2, supported — applied
+        // as an anti-join at read), 2 = equality deletes (NOT supported:
+        // they need the delete file's equality_ids + sequence-number
+        // scoping to be sound — rejected loudly rather than read wrong)
         val content = field(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
-        require(content == 0,
-          s"unsupported Iceberg delete file (content=$content) — row-level deletes not implemented")
+        require(content == 0 || content == 1,
+          s"unsupported Iceberg delete file (content=$content) — equality deletes not implemented")
+        if (content == 1)
+          require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
+            s"unsupported position-delete file format ${df.get("file_format")} (parquet only)")
         val partition = Option(df.get("partition").asInstanceOf[GenericRecord]).map { p =>
           p.getSchema.getFields.asScala.map { f =>
             // typed avro value → canonical string in the COLUMN's domain:
@@ -140,7 +154,8 @@ object Iceberg {
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long],
           partition,
-          statsJson(df, fieldsById, df.get("record_count").asInstanceOf[Long])))
+          statsJson(df, fieldsById, df.get("record_count").asInstanceOf[Long]),
+          content))
       }
     }
   }
@@ -193,22 +208,26 @@ object Iceberg {
       tablePath: String,
       snapshotId: Option[Long],
       partitionFilter: Map[String, String] => Boolean,
-      dataFilter: Option[org.apache.spark.sql.Column]): (StructType, Seq[String], Seq[DataFileRef]) = {
+      dataFilter: Option[org.apache.spark.sql.Column]): (StructType, Seq[String], Seq[DataFileRef], Seq[DataFileRef]) = {
     val (schema, partitionFields, _, manifests, fieldsById) = header(tablePath, snapshotId)
     val keepStats: (Option[String], Map[String, String]) => Boolean =
       dataFilter.map(DeltaStats.keep(_, schema, partitionFields)).getOrElse((_, _) => true)
     // bounds pruning runs on executors (its closure captures only a
     // serializable Catalyst expression); the caller-supplied
     // partitionFilter function may capture anything, so it filters the
-    // already-pruned survivors on the driver
-    val live: Seq[DataFileRef] =
+    // already-pruned survivors on the driver. Position-delete files are
+    // NEVER pruned: they target data files by exact path, so a delete
+    // whose data file was pruned is a no-op in the anti-join, while
+    // pruning a delete that still applies would resurrect rows.
+    val entries: Seq[DataFileRef] =
       if (manifests.isEmpty) Nil
       else spark.sparkContext
         .parallelize(manifests, math.min(manifests.size, 64))
         .flatMap(mp => manifestEntries(tablePath, mp, fieldsById)
-          .filter(f => keepStats(f.stats, f.partition)))
+          .filter(f => f.content == 1 || keepStats(f.stats, f.partition)))
         .collect().toSeq
-    (schema, partitionFields, live.filter(f => partitionFilter(f.partition)))
+    val (dels, live) = entries.partition(_.content == 1)
+    (schema, partitionFields, live.filter(f => partitionFilter(f.partition)), dels)
   }
 
   /** Read an Iceberg table as a DataFrame (one parquet scan; identity
@@ -230,12 +249,57 @@ object Iceberg {
       snapshotId: Option[Long] = None,
       partitionFilter: Map[String, String] => Boolean = _ => true,
       dataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val (schema, partitionFields, live) =
+    val (schema, partitionFields, live, dels) =
       scanFiles(spark, tablePath, snapshotId, partitionFilter, dataFilter)
-    val df = PartitionedFiles.readWithPartitions(
-      spark, schema, partitionFields,
-      live.map(_.path), live.map(_.partition))
+    val df =
+      if (dels.isEmpty)
+        PartitionedFiles.readWithPartitions(
+          spark, schema, partitionFields,
+          live.map(_.path), live.map(_.partition))
+      else applyPositionDeletes(spark, schema, partitionFields, live, dels)
     dataFilter.fold(df)(df.filter)
+  }
+
+  /** v2 position deletes (spec §Position Delete Files): delete files are
+    * parquet with reserved columns `file_path` (2147483546) + `pos`
+    * (2147483545); a table row survives iff its (absolute file path,
+    * ordinal within file) is not tombstoned. Applied as a distributed
+    * anti-join on (path, `_metadata.row_index`) — no driver-side state;
+    * the tombstone side stays proportional to deleted rows, not table
+    * size, so Catalyst/AQE broadcast it when small and shuffle it when a
+    * table carries billions of tombstones. File paths target exactly (the
+    * spec's sequence-number scoping exists for engines that can order
+    * commits; paths are unique per spec, so path-addressed application is
+    * equivalent for reads of a consistent snapshot). */
+  private def applyPositionDeletes(
+      spark: SparkSession,
+      schema: StructType,
+      partitionFields: Seq[String],
+      live: Seq[DataFileRef],
+      dels: Seq[DataFileRef]): DataFrame = {
+    val data = PartitionedFiles.readWithPartitions(
+      spark, schema, partitionFields,
+      live.map(_.path), live.map(_.partition),
+      sourceCol = Some("__graft_src"), posCol = Some("__graft_pos"))
+    minusTombstones(spark, data, dels).drop("__graft_src", "__graft_pos")
+  }
+
+  /** Anti-join `data` (which must carry `__graft_src`/`__graft_pos`)
+    * against the rows of the position-delete files `dels`. */
+  private def minusTombstones(
+      spark: SparkSession, data: DataFrame, dels: Seq[DataFileRef]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (dels.isEmpty) return data
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType), StructField("pos", LongType)))
+    val tombstones = spark.read.schema(delSchema).parquet(dels.map(_.path): _*)
+      .select(
+        regexp_replace(col("file_path"), "^file:(//)?", "").as("__del_path"),
+        col("pos").as("__del_pos"))
+    data.join(tombstones,
+        data("__graft_src") === col("__del_path") &&
+          data("__graft_pos") === col("__del_pos"),
+        "left_anti")
   }
 
   /** The file subset [[read]] would open for `dataFilter` — exposed so
@@ -269,8 +333,11 @@ object Iceberg {
       df: DataFrame,
       tablePath: String,
       mode: String = "append",
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      formatVersion: Int = 1): Long = {
     require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
+    require(formatVersion == 1 || formatVersion == 2,
+      s"unsupported Iceberg format-version $formatVersion")
     val exists = Files.exists(metadataDir(tablePath).resolve("version-hint.text"))
     val prior: Option[(JsonNode, TableState)] =
       if (exists) {
@@ -345,7 +412,8 @@ object Iceberg {
 
     // 4. new metadata json + version hint
     publishMetadata(tablePath, prior.map(_._1), df.schema, partCols,
-      snapshotId, mlPath, if (mode == "overwrite") "overwrite" else "append")
+      snapshotId, mlPath, if (mode == "overwrite") "overwrite" else "append",
+      formatVersion)
     snapshotId
   }
 
@@ -387,6 +455,93 @@ object Iceberg {
     })
   }
 
+  /** Merge-on-read row-level DELETE (spec §Position Delete Files): rows
+    * matching `pred` are tombstoned by (file_path, pos) WITHOUT rewriting
+    * any data file — write cost is proportional to the deleted rows, not
+    * to the touched files ([[delete]] is the copy-on-write alternative;
+    * at 100 TB a point-delete under CoW rewrites gigabytes, under MoR it
+    * writes kilobytes). Requires a format-version 2 table
+    * (`write(..., formatVersion = 2)`). Delete files are parquet, written
+    * per partition of their target files with the spec's reserved
+    * (file_path, pos) columns, sorted for locality. Returns
+    * (snapshotId, rows deleted). */
+  def deletePositions(spark: SparkSession, tablePath: String,
+      pred: org.apache.spark.sql.Column): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val meta = readMetadata(tablePath)
+    require(meta.get("format-version").asInt >= 2,
+      s"position deletes require a format-version 2 Iceberg table: $tablePath " +
+        "(create with write(..., formatVersion = 2))")
+    val st = state(tablePath)
+    val keep = DeltaStats.keep(pred, st.schema, st.partitionFields)
+    val candidates = st.files.filter(f => keep(f.stats, f.partition))
+    if (candidates.isEmpty) return (st.snapshotId, 0L)
+    val hit = coalesce(pred, lit(false))
+    // (path, pos) of matching rows, minus rows already tombstoned — a
+    // repeated DELETE over the same predicate is a no-op, not a second
+    // tombstone for the same position
+    val delRows = minusTombstones(spark,
+        PartitionedFiles.readWithPartitions(
+          spark, st.schema, st.partitionFields,
+          candidates.map(_.path), candidates.map(_.partition),
+          sourceCol = Some("__graft_src"), posCol = Some("__graft_pos")),
+        st.deleteFiles)
+      .filter(hit)
+      .select(col("__graft_src").as("file_path"), col("__graft_pos").as("pos"))
+    // delete files are scoped by the partition tuple of their TARGET data
+    // files: attach it via a broadcast path→tuple map (normalized join
+    // key; the STORED file_path stays byte-identical to what the scan
+    // side reports, which is what the read anti-join compares)
+    val byName = st.schema.fields.map(f => f.name -> f.dataType).toMap
+    val withPart =
+      if (st.partitionFields.isEmpty) delRows
+      else {
+        val normUdf = udf((s: String) => Paths.get(s).normalize.toString)
+        val pvSchema = StructType(
+          StructField("__nk", StringType) +:
+            st.partitionFields.map(c => StructField(s"__pv_$c", StringType)))
+        val pvRows = candidates.map(f => Row.fromSeq(
+          Paths.get(f.path).normalize.toString +:
+            st.partitionFields.map(c => f.partition.getOrElse(c, null))))
+        val pvDf = spark.createDataFrame(spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+        st.partitionFields.foldLeft(
+            delRows.withColumn("__nk", normUdf(col("file_path")))
+              .join(broadcast(pvDf), Seq("__nk"))) { (df, c) =>
+            df.withColumn(c, col(s"__pv_$c").cast(byName(c)))
+          }
+          .select(("file_path" +: "pos" +: st.partitionFields).map(col(_)): _*)
+      }
+    val staged = PartitionedFiles.stageAndMove(
+      withPart.sort("file_path", "pos"), tablePath, st.partitionFields,
+      subDir = "data", countRows = true)
+    val delFiles = staged.filter(_.rowCount > 0).map(f =>
+      DataFileRef(f.relPath, f.rowCount, f.sizeBytes, f.partitionValues, None, content = 1))
+    val deleted = delFiles.map(_.recordCount).sum
+    if (deleted == 0) return (st.snapshotId, 0L)
+
+    // new snapshot: one delete manifest + every prior manifest carried
+    // forward untouched (no data file changes)
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val manifestName = s"manifest-$snapshotId.avro"
+    writeManifest(metadataDir(tablePath).resolve(manifestName), st.schema,
+      st.partitionFields, byName, delFiles.toSeq, Nil, snapshotId)
+    val curSnap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == st.snapshotId)
+      .getOrElse(sys.error(s"current snapshot ${st.snapshotId} missing from metadata"))
+    val priorManifests = readAvro(resolve(tablePath, curSnap.get("manifest-list").asText))
+      .map { r =>
+        val p = resolve(tablePath, r.get("manifest_path").toString)
+        (p, Files.size(Paths.get(p)))
+      }
+    val mlPath = metadataDir(tablePath).resolve(s"snap-$snapshotId.avro")
+    val mfp = metadataDir(tablePath).resolve(manifestName).toString
+    writeManifestList(mlPath,
+      (mfp, Files.size(Paths.get(mfp))) +: priorManifests, snapshotId)
+    publishMetadata(tablePath, Some(meta), st.schema, st.partitionFields,
+      snapshotId, mlPath, "delete")
+    (snapshotId, deleted)
+  }
+
   private def dml(
       spark: SparkSession,
       tablePath: String,
@@ -401,11 +556,15 @@ object Iceberg {
     if (candidates.isEmpty) return (st.snapshotId, 0L)
     val hit = coalesce(pred, lit(false))
 
-    // one distributed pass: matches per candidate file
-    val matches: Map[String, Long] = PartitionedFiles.readWithPartitions(
-        spark, st.schema, st.partitionFields,
-        candidates.map(_.path), candidates.map(_.partition),
-        sourceCol = Some("__graft_src"))
+    // one distributed pass: matches per candidate file. Position-deleted
+    // rows are excluded FIRST — a CoW DELETE/UPDATE on a v2 table must
+    // not resurrect (or double-count) rows already tombstoned.
+    val matches: Map[String, Long] = minusTombstones(spark,
+        PartitionedFiles.readWithPartitions(
+          spark, st.schema, st.partitionFields,
+          candidates.map(_.path), candidates.map(_.partition),
+          sourceCol = Some("__graft_src"), posCol = Some("__graft_pos")),
+        st.deleteFiles)
       .groupBy(col("__graft_src"))
       .agg(sum(when(hit, 1L).otherwise(0L)).as("__m"))
       .collect()
@@ -415,10 +574,14 @@ object Iceberg {
     if (touchedRefs.isEmpty) return (st.snapshotId, 0L)
     val touchedAbs = touchedRefs.map(f => norm(f.path)).toSet
 
-    // rewrite only the touched files
-    val slice = PartitionedFiles.readWithPartitions(
-      spark, st.schema, st.partitionFields,
-      touchedRefs.map(_.path), touchedRefs.map(_.partition))
+    // rewrite only the touched files (again minus tombstoned rows)
+    val slice = minusTombstones(spark,
+        PartitionedFiles.readWithPartitions(
+          spark, st.schema, st.partitionFields,
+          touchedRefs.map(_.path), touchedRefs.map(_.partition),
+          sourceCol = Some("__graft_src"), posCol = Some("__graft_pos")),
+        st.deleteFiles)
+      .drop("__graft_src", "__graft_pos")
     val staged = PartitionedFiles.stageAndMove(
       rewrite(slice, hit), tablePath, st.partitionFields, subDir = "data", countRows = true)
     val newFiles = staged.map(f => DataFileRef(f.relPath, f.rowCount, f.sizeBytes, f.partitionValues))
@@ -503,7 +666,8 @@ object Iceberg {
       partCols: Seq[String],
       snapshotId: Long,
       mlPath: Path,
-      operation: String): Unit = {
+      operation: String,
+      formatVersion: Int = 1): Unit = {
     val om = mapper
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val carried: Option[ObjectNode] = priorMeta
@@ -511,7 +675,10 @@ object Iceberg {
       .map(_.deepCopy[JsonNode]().asInstanceOf[ObjectNode])
     val root: ObjectNode = carried.getOrElse {
       val r = om.createObjectNode()
-      r.put("format-version", 1)
+      r.put("format-version", formatVersion)
+      // v2 commits carry a table-wide sequence counter (bumped + stamped
+      // onto the snapshot below); position deletes are scoped by it
+      if (formatVersion == 2) r.put("last-sequence-number", 0L)
       r.put("table-uuid",
         priorMeta.map(_.get("table-uuid").asText).getOrElse(UUID.randomUUID().toString))
       r.put("location", tablePath)
@@ -578,14 +745,17 @@ object Iceberg {
   def expireSnapshots(tablePath: String): Int = {
     val meta = readMetadata(tablePath)
     val current = meta.get("current-snapshot-id").asLong
-    val live = state(tablePath).files.map(_.path).toSet
+    val curState = state(tablePath)
+    // live = current data files AND current delete files — a delete file
+    // referenced by both an expired and the current snapshot must survive
+    val live = (curState.files ++ curState.deleteFiles).map(_.path).toSet
     val expired = meta.get("snapshots").elements().asScala
       .filter(_.get("snapshot-id").asLong != current).toSeq
     // delete data files referenced by expired snapshots but not live
     var deleted = 0
     expired.foreach { sn =>
       val st = state(tablePath, Some(sn.get("snapshot-id").asLong))
-      st.files.map(_.path).filterNot(live).foreach { p =>
+      (st.files ++ st.deleteFiles).map(_.path).filterNot(live).foreach { p =>
         if (Files.deleteIfExists(Paths.get(p))) deleted += 1
       }
     }
@@ -730,6 +900,7 @@ object Iceberg {
         {"name":"status","type":"int"},
         {"name":"snapshot_id","type":["null","long"],"default":null},
         {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          {"name":"content","type":"int","default":0},
           {"name":"file_path","type":"string"},
           {"name":"file_format","type":"string"},
           {"name":"partition","type":{"type":"record","name":"r102",
@@ -796,6 +967,7 @@ object Iceberg {
           }
         }
         val data = new GenericData.Record(dfSchema)
+        data.put("content", f.content)
         data.put("file_path", f.path)
         data.put("file_format", "PARQUET")
         data.put("partition", part)

@@ -96,23 +96,32 @@ private[graft] object PartitionedFiles {
       partitionColumns: Seq[String],
       paths: Seq[String],
       filePv: Seq[Map[String, String]],
-      sourceCol: Option[String] = None): DataFrame = {
+      sourceCol: Option[String] = None,
+      posCol: Option[String] = None): DataFrame = {
     // sourceCol: carry the DECODED absolute source-file path as an extra
     // column — row-level rewrite ops (DELETE/UPDATE) group on it to find
-    // which files actually contain matching rows
+    // which files actually contain matching rows.
+    // posCol: carry the row's ordinal within its file (_metadata.row_index)
+    // — the join key for position-addressed row-level deletes (Iceberg v2
+    // position deletes, Delta deletion vectors).
     val ordered: Seq[Column] =
-      schema.map(f => col(f.name)) ++ sourceCol.map(col).toSeq
+      schema.map(f => col(f.name)) ++ sourceCol.map(col).toSeq ++ posCol.map(col).toSeq
     def srcKey: Column = percentDecodeUdf(
       regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+    def addExtras(df: DataFrame): DataFrame = {
+      val s = sourceCol.fold(df)(n => df.withColumn(n, srcKey))
+      posCol.fold(s)(n => s.withColumn(n, col("_metadata.row_index")))
+    }
     if (paths.isEmpty) {
       val outSchema = StructType(
-        schema.fields.toSeq ++ sourceCol.map(StructField(_, StringType)).toSeq)
+        schema.fields.toSeq ++ sourceCol.map(StructField(_, StringType)).toSeq ++
+          posCol.map(StructField(_, LongType)).toSeq)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     }
     val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
     if (partitionColumns.isEmpty) {
       val base = spark.read.schema(dataSchema).parquet(paths: _*)
-      return sourceCol.fold(base)(n => base.withColumn(n, srcKey)).select(ordered: _*)
+      return addExtras(base).select(ordered: _*)
     }
 
     val segs = partitionColumns.size + 1
@@ -131,7 +140,7 @@ private[graft] object PartitionedFiles {
     val scanKey = if (needsDecode) percentDecodeUdf(rawKey) else rawKey
     val data0 = spark.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("__graft_file", scanKey)
-    val data = sourceCol.fold(data0)(n => data0.withColumn(n, srcKey))
+    val data = addExtras(data0)
     val joined = data.join(broadcast(pvDf), Seq("__graft_file"))
     val withParts = partitionColumns.foldLeft(joined) { (df, c) =>
       df.withColumn(c, col(s"__pv_$c").cast(byName(c).dataType))

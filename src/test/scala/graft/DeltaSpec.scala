@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -118,15 +120,109 @@ class DeltaSpec extends AnyFunSuite {
     assert(back.count() == 0)
   }
 
+  test("deletion vectors: roaring codec round-trips array, bitmap, and run containers") {
+    import graft.sources.DeltaDeletionVectors._
+    // array container (small), bitmap container (dense > 4096), spread
+    // across two 32-bit bitmaps
+    val positions: Array[Long] =
+      (Array(1L, 5L, 70000L) ++ (100000L until 105000L) ++
+        Array((1L << 32) + 3L, (1L << 32) + 65537L)).sorted
+    assert(deserialize(serialize(positions)).toSeq == positions.toSeq)
+    // run-container parse (what external writers may emit): hand-build a
+    // single bitmap with one run [10, 14] using the run cookie
+    val run = java.nio.ByteBuffer.allocate(4 + 8 + 4 + 4 + 2 + 3 * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    run.putInt(1681511377).putLong(1L) // magic + one bitmap
+    run.putInt(12347 | (0 << 16))      // SERIAL_COOKIE, size-1=0
+    run.put(1.toByte)                  // run flag for container 0
+    run.putShort(0).putShort(4)        // key 0, cardinality-1 = 4
+    // size < 4 with runs → no offset header
+    run.putShort(1).putShort(10).putShort(4) // 1 run: start 10, len-1 = 4
+    assert(deserialize(run.array()).toSeq == Seq(10L, 11L, 12L, 13L, 14L))
+    // z85 round-trip
+    val bytes = Array.tabulate(16)(i => (i * 17 - 128).toByte)
+    assert(z85Decode(z85Encode(bytes)).toSeq == bytes.toSeq)
+  }
+
+  test("deletion vectors: MoR delete tombstones rows without rewriting files") {
+    val path = freshDir("dv")
+    Delta.write(fixture(0, 300).repartition(3), path)
+    val before = Delta.snapshot(spark, path).files.map(_.path).toSet
+    val (_, n) = Delta.deleteVectors(spark, path, col("id") % 3 === 0)
+    assert(n == 100, s"0..299 has 100 multiples of 3, got $n")
+    val snap = Delta.snapshot(spark, path)
+    assert(snap.files.map(_.path).toSet == before, "no data file may be rewritten")
+    assert(snap.files.forall(_.dv.isDefined))
+    val after = Delta.read(spark, path)
+    assert(after.count() == 200)
+    assert(after.filter(col("id") % 3 === 0).count() == 0)
+    // time travel to the pre-delete version sees all rows
+    assert(Delta.read(spark, path, versionAsOf = Some(0L)).count() == 300)
+    // repeated delete over the same predicate is a no-op
+    assert(Delta.deleteVectors(spark, path, col("id") % 3 === 0)._2 == 0L)
+    // second MoR delete merges bitmaps (union, not replace)
+    val (_, n2) = Delta.deleteVectors(spark, path, col("id") === 1L)
+    assert(n2 == 1L)
+    assert(Delta.read(spark, path).count() == 199)
+  }
+
+  test("deletion vectors: inline and on-disk storage both round-trip") {
+    val path = freshDir("dv_storage")
+    Delta.write(fixture(0, 5000).repartition(2), path)
+    // tiny delete → inline "i"; big delete → shared "u" .bin file
+    Delta.deleteVectors(spark, path, col("id") === 7L)
+    val inline = Delta.snapshot(spark, path).files.flatMap(_.dv)
+    assert(inline.nonEmpty && inline.forall(_.storageType == "i"))
+    Delta.deleteVectors(spark, path, col("id") >= 1000L && col("id") < 4000L)
+    val dvs = Delta.snapshot(spark, path).files.flatMap(_.dv)
+    assert(dvs.exists(_.storageType == "u"), s"expected on-disk DV, got $dvs")
+    assert(Files.list(Paths.get(path)).iterator().asScala
+      .exists(_.getFileName.toString.matches("deletion_vector_.*\\.bin")))
+    assert(Delta.read(spark, path).count() == 5000 - 1 - 3000)
+    assert(Delta.read(spark, path).filter(col("id") === 7L || col("id") === 2000L).count() == 0)
+  }
+
+  test("deletion vectors: CoW update respects tombstones and drops stale DVs") {
+    val path = freshDir("dv_cow")
+    Delta.write(fixture(0, 100).repartition(2), path)
+    Delta.deleteVectors(spark, path, col("id") < 10)
+    val (_, updated) = Delta.update(spark, path,
+      Map("score" -> (col("score") + 1000)), col("id") < 50)
+    assert(updated == 40, s"ids 10..49 = 40 rows, got $updated")
+    val after = Delta.read(spark, path)
+    assert(after.count() == 90)
+    assert(after.filter(col("id") < 10).count() == 0, "rewrite must not resurrect")
+    assert(after.filter(col("score") > 1000).count() == 40)
+    // rewritten files carry no DV
+    assert(Delta.snapshot(spark, path).files.forall(_.dv.isEmpty))
+  }
+
+  test("deletion vectors survive a checkpoint; vacuum keeps live DV files") {
+    val path = freshDir("dv_ckpt")
+    Delta.write(fixture(0, 5000).repartition(2), path)
+    Delta.deleteVectors(spark, path, col("id") >= 500L && col("id") < 3500L) // on-disk DV
+    Delta.checkpoint(spark, path)
+    Delta.write(fixture(5000, 5100), path) // tail commit after checkpoint
+    assert(Delta.read(spark, path).count() == 5000 - 3000 + 100)
+    // vacuum (retain 0) must NOT delete the live DV bin file
+    Delta.vacuum(spark, path, retainMillis = 0)
+    assert(Delta.read(spark, path).count() == 5000 - 3000 + 100)
+    // after a CoW rewrite drops the DVs, vacuum reclaims the orphaned bin
+    Delta.delete(spark, path, col("id") >= 0L) // rewrites everything away
+    Delta.vacuum(spark, path, retainMillis = 0)
+    assert(!Files.list(Paths.get(path)).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".bin")), "orphaned DV not vacuumed")
+  }
+
   test("rejects tables that demand unsupported reader features") {
     val path = freshDir("features")
     Delta.write(fixture(0, 5), path)
     val log = Paths.get(path, "_delta_log", f"${1L}%020d.json")
     Files.write(log,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}"""
         .getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](Delta.read(spark, path))
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("columnMapping"))
   }
 
   test("append with a mismatched schema is rejected, not silently corrupted") {

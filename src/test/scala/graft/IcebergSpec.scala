@@ -197,14 +197,94 @@ class IcebergSpec extends AnyFunSuite {
     intercept[RuntimeException](Iceberg.read(spark, path, snapshotId = Some(0L)))
   }
 
-  test("rejects v2 delete files instead of silently misreading") {
+  test("unknown snapshot ids fail fast") {
     val path = freshDir("deletes")
     Iceberg.write(fixture(0, 10), path)
-    // simulate a v2 row-level delete by rewriting the metadata to format 2
-    // and injecting content=1 — easier: assert the reader checks `content`
-    // via the state() contract on a hand-built manifest is covered by the
-    // partitioned round-trips; here assert unknown snapshot ids fail fast
     val e = intercept[RuntimeException](Iceberg.read(spark, path, snapshotId = Some(42L)))
     assert(e.getMessage.contains("snapshot 42 not found"))
+  }
+
+  test("v2 position deletes: MoR tombstones apply at read; time travel sees pre-delete rows") {
+    val path = freshDir("v2_posdel")
+    Iceberg.write(fixture(0, 200).repartition(4), path, formatVersion = 2)
+    val preDelete = Iceberg.state(path).snapshotId
+    val (_, n) = Iceberg.deletePositions(spark, path, col("id") % 3 === 0)
+    assert(n == 67, s"0..199 has 67 multiples of 3, deleted $n")
+    // no data file was rewritten (merge-on-read, not copy-on-write)
+    assert(Iceberg.state(path).files.map(_.path).toSet ==
+      Iceberg.state(path, Some(preDelete)).files.map(_.path).toSet)
+    val after = Iceberg.read(spark, path)
+    assert(after.count() == 133)
+    assert(after.filter(col("id") % 3 === 0).count() == 0)
+    // time travel to the pre-delete snapshot still sees every row
+    assert(Iceberg.read(spark, path, snapshotId = Some(preDelete)).count() == 200)
+    // a repeated DELETE over the same predicate is a no-op
+    val (_, n2) = Iceberg.deletePositions(spark, path, col("id") % 3 === 0)
+    assert(n2 == 0, s"re-delete must tombstone nothing, got $n2")
+  }
+
+  test("v2 position deletes on a partitioned table scope by partition tuple") {
+    val path = freshDir("v2_posdel_part")
+    Iceberg.write(fixture(0, 120), path, partitionBy = Seq("bucket"), formatVersion = 2)
+    val (_, n) = Iceberg.deletePositions(spark, path, col("bucket") === 2 && col("id") < 60)
+    assert(n == 15, s"ids 0..59 with id%4==2: 15 rows, got $n")
+    val after = Iceberg.read(spark, path)
+    assert(after.count() == 105)
+    assert(after.filter(col("bucket") === 2).count() == 15) // ids 60..119
+    // each delete file carries its target partition's tuple
+    val dels = Iceberg.state(path).deleteFiles
+    assert(dels.nonEmpty && dels.forall(_.partition.get("bucket").contains("2")))
+  }
+
+  test("CoW DML on a table with tombstones does not resurrect deleted rows") {
+    val path = freshDir("v2_posdel_dml")
+    Iceberg.write(fixture(0, 100).repartition(2), path, formatVersion = 2)
+    Iceberg.deletePositions(spark, path, col("id") < 10)
+    // CoW update rewrites every file containing score matches; the rewrite
+    // must drop tombstoned rows rather than copy them back to life
+    val (_, updated) = Iceberg.update(spark, path,
+      Map("score" -> (col("score") + 1000)), col("id") < 50)
+    assert(updated == 40, s"ids 10..49 = 40 rows, got $updated")
+    val after = Iceberg.read(spark, path)
+    assert(after.count() == 90)
+    assert(after.filter(col("id") < 10).count() == 0)
+    assert(after.filter(col("score") > 1000).count() == 40)
+  }
+
+  test("equality deletes (content=2) are rejected loudly, not misread") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val path = freshDir("v2_eqdel")
+    Iceberg.write(fixture(0, 20), path, formatVersion = 2)
+    Iceberg.deletePositions(spark, path, col("id") === 1L)
+    // flip the delete manifest's content 1 → 2 in place: the reader must
+    // refuse (equality deletes need equality_ids + sequence scoping)
+    val mdir = Paths.get(path, "metadata")
+    Files.list(mdir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest-")).foreach { mf =>
+        val reader = new DataFileReader[GenericRecord](
+          mf.toFile, new GenericDatumReader[GenericRecord]())
+        val (schema, entries) =
+          try (reader.getSchema, reader.iterator().asScala.toVector)
+          finally reader.close()
+        var flipped = false
+        entries.foreach { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          if (Option(df.getSchema.getField("content")).exists(_ => df.get("content") == 1)) {
+            df.put("content", 2); flipped = true
+          }
+        }
+        if (flipped) {
+          val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+          w.create(schema, mf.toFile)
+          try entries.foreach(w.append) finally w.close()
+        }
+      }
+    // the failure surfaces from an executor task — search the cause chain
+    val e = intercept[Throwable](Iceberg.read(spark, path).count())
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("equality deletes not implemented"), s"wrong failure: $msgs")
   }
 }
