@@ -151,21 +151,40 @@ object Curate {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      train: Option[DataFrame] = None): DataFrame = {
+      train: Option[DataFrame] = None,
+      headK: Int = 4096): DataFrame = {
     val trainDf = train.getOrElse(docs)
-    val vocab = trainDf
+    // leased: the unigram aggregate feeds the head limit, the totals, and
+    // the tail join — one pass over the train corpus, released by the
+    // harness loop (graft.ops.Caches)
+    val vocab = Caches.lease(trainDf
       .select(explode(lmTokens(col(textCol))).as("_tk"))
       .filter(col("_tk") =!= "")
-      .groupBy("_tk").agg(count(lit(1)).as("_c"))
+      .groupBy("_tk").agg(count(lit(1)).as("_c")))
     // two scalars (corpus size, vocab size) — a 1-row broadcast, not state
     val totals = broadcast(vocab.agg(
       sum("_c").as("_n"), count(lit(1)).as("_v")))
+    // Zipf guard: the token⋈vocab join key is extremely skewed ("the"
+    // hits every document), so a plain shuffle join funnels most of the
+    // token volume through a handful of tasks. The top-K most frequent
+    // entries — bounded memory at ANY corpus size, covering ~95% of token
+    // mass in natural text — broadcast and join map-side; only the
+    // low-frequency TAIL (near-uniform key distribution) pays the shuffle.
+    val head = broadcast(vocab
+      .orderBy(col("_c").desc, col("_tk").asc).limit(headK)
+      .withColumnRenamed("_c", "_c_head"))
 
     val tokens = docs
       .select(col(idCol), explode(lmTokens(col(textCol))).as("_tk"))
       .filter(col("_tk") =!= "")
-    tokens
+    val headJoined = tokens.join(head, Seq("_tk"), "left")
+    val headHits = headJoined.filter(col("_c_head").isNotNull)
+      .select(col(idCol), col("_c_head").as("_c"))
+    val tailHits = headJoined.filter(col("_c_head").isNull)
+      .select(col(idCol), col("_tk"))
       .join(vocab, Seq("_tk"), "left")
+      .select(col(idCol), col("_c"))
+    headHits.unionByName(tailHits)
       .crossJoin(totals)
       .withColumn("_logp",
         log((coalesce(col("_c"), lit(0L)) + 1L) / (col("_n") + col("_v"))))

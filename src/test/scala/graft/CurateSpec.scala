@@ -100,6 +100,55 @@ class CurateSpec extends AnyFunSuite {
     assert(math.abs(got(0)._3 - want) < 1e-12)
   }
 
+  test("lmScore skew guard: a planted hot token never reaches the shuffle join") {
+    // one token in ~90% of docs (the Zipf head), unique fillers as tail
+    val docs = (0 until 400).map { i =>
+      val hot = if (i % 10 != 0) "the " * 20 else ""
+      (i.toLong, s"${hot}uniq_$i tail_${i % 7}")
+    }.toDF("doc_id", "text")
+    // values must be identical with the guard on (headK=8 captures "the")
+    // and effectively off (headK=0 → everything through the shuffle)
+    def run(k: Int) = Curate.lmScore(docs, "doc_id", "text", headK = k)
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    val (guarded, unguarded) =
+      try (run(8), run(0)) finally graft.ops.Caches.releaseAll()
+    assert(guarded.map(r => (r._1, r._2)) == unguarded.map(r => (r._1, r._2)))
+    guarded.zip(unguarded).foreach { case (g, u) =>
+      assert(math.abs(g._3 - u._3) < 1e-9, s"doc ${g._1}: ${g._3} vs ${u._3}") }
+
+    // straggler property: with the guard the hot token joins map-side, so
+    // the shuffle carries only tail tokens — shuffle records must drop by
+    // at least the hot-token share (~90% of volume here). Auto-broadcast
+    // is disabled to emulate the at-scale plan where the vocab exceeds
+    // the broadcast threshold (the guard's explicit broadcast() hint on
+    // the bounded top-K head still applies — that is the point).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def shuffleRecords(k: Int): Long = {
+      recs.set(0L)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        run(k)
+        Thread.sleep(800) // let the listener bus drain task-end events
+        recs.get()
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        graft.ops.Caches.releaseAll()
+      }
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (without, withGuard) =
+      try (shuffleRecords(0), shuffleRecords(8))
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(withGuard < without / 2,
+      s"hot token still shuffling: $withGuard records with guard vs $without without")
+  }
+
   test("packSequences: greedy fill, oversize doc gets its own bin, shards independent") {
     val docs = Seq(
       (0L, "w " * 100), (1L, "w " * 100), (2L, "w " * 100), // 100+100 | 100
