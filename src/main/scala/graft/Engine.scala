@@ -108,13 +108,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val lineitem: DataFrame = load("lineitem")
 
   /** events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong=true Spark
-    * reads it as Long ns-since-epoch. Convert to a µs TimestampType by
-    * integer-division truncation — matching DuckDB's ns→µs cast semantics
-    * (floor). This is the documented ns→µs semantic delta (SURVEY §1.2). */
+    * reads it as Long ns-since-epoch. Convert to a µs TimestampType with
+    * EXACT integer division (`div`) — `floor(ts / 1000L)` would divide in
+    * double precision, and 2024-era ns values (~1.7e18) exceed a double's
+    * 53-bit mantissa, shifting some timestamps by ±1 µs vs DuckDB's
+    * truncating ns→µs cast. This is the documented ns→µs semantic delta
+    * (SURVEY §1.2). */
   lazy val events: DataFrame = {
     val raw = load("events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 

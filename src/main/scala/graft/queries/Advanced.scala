@@ -433,6 +433,25 @@ object Advanced {
       |FROM events WHERE event_id < 3000
       |GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""".stripMargin
 
+  /** The end-to-end composition the two previous queries prove in halves:
+    * Kafka wire source → watermarked tumbling window → exactly-once Delta
+    * sink in ONE streaming query, restarted mid-stream from its
+    * checkpoint (offsets + window state recovered; a replayed batch is
+    * skipped via the Delta txn action). The oracle recomputes the same
+    * hourly windows relationally — a lost or duplicated window row breaks
+    * the equality. */
+  def streaming_kafka_to_delta(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.kafkaToDelta(s, dir)
+      .withColumn("total_value", round(col("total_value"), 2))
+      .orderBy("day", "hr", "event_type")
+
+  val streamingKafkaToDeltaSql =
+    """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |  hour(CAST(ts AS TIMESTAMP)) AS hr,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id < 3000
+      |GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""".stripMargin
+
   /** Structured Streaming: stateful exact dedup — every event arrives
     * twice, dropDuplicates inside the stream restores single-copy counts. */
   def streaming_dedup(s: SparkSession, dir: String): DataFrame =
@@ -578,7 +597,8 @@ object Advanced {
     "streaming_sessions" -> (streaming_sessions _),
     "streaming_dedup" -> (streaming_dedup _),
     "streaming_enrich" -> (streaming_enrich _),
-    "streaming_delta_sink" -> (streaming_delta_sink _))
+    "streaming_delta_sink" -> (streaming_delta_sink _),
+    "streaming_kafka_to_delta" -> (streaming_kafka_to_delta _))
 
   val oracle: Map[String, String] = Map(
     "llm_generate" -> llmGenerateSql,
@@ -602,5 +622,6 @@ object Advanced {
     "streaming_sessions" -> streamingSessionsSql,
     "streaming_dedup" -> streamingDedupSql,
     "streaming_enrich" -> streamingEnrichSql,
-    "streaming_delta_sink" -> streamingDeltaSinkSql)
+    "streaming_delta_sink" -> streamingDeltaSinkSql,
+    "streaming_kafka_to_delta" -> streamingKafkaToDeltaSql)
 }

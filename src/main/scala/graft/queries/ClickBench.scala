@@ -133,6 +133,189 @@ object ClickBench {
     """SELECT count(*) AS n, round(sum(value), 2) AS sum_v
       |FROM events WHERE user_id = 13 AND event_type = 'error'""".stripMargin
 
+  /** Q29 shape: regex EXTRACTION as the group key (hits' Referer-domain
+    * rollup) — the regex runs per row inside the scan projection, then a
+    * plain hash aggregate; no UDF. */
+  def cb_regex_extract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents
+      .withColumn("src_id", regexp_extract(col("source"), "^src(\\d+)$", 1).cast("int"))
+      .groupBy("src_id")
+      .agg(round(avg(length(col("text"))), 6).as("l"),
+        count(lit(1)).as("c"), min("source").as("m"))
+      .filter(col("c") > 10)
+      .orderBy(col("l").desc, col("src_id").asc)
+      .limit(25)
+
+  val cbRegexExtractSql =
+    """SELECT CAST(regexp_extract(source, '^src(\d+)$', 1) AS INT) AS src_id,
+      |  round(avg(length(text)), 6) AS l, count(*) AS c, min(source) AS m
+      |FROM documents GROUP BY src_id HAVING count(*) > 10
+      |ORDER BY l DESC, src_id ASC LIMIT 25""".stripMargin
+
+  /** Q30 shape: a WIDE single-pass aggregate (hits does 90 sums) — one
+    * scan must carry all expressions; a per-column-union plan would be a
+    * regression. */
+  def cb_sums_wide(s: SparkSession, dir: String): DataFrame = {
+    val sums = (0 until 30).map(i => round(sum(col("value") + lit(i)), 2).as(s"s$i"))
+    t(s, dir).events.agg(sums.head, sums.tail: _*)
+  }
+
+  val cbSumsWideSql =
+    (0 until 30).map(i => s"round(sum(value + $i), 2) AS s$i")
+      .mkString("SELECT ", ", ", " FROM events")
+
+  /** Q31/33 shape: two-key drill-down (SearchEngineID, ClientIP) with
+    * mixed aggregates under a selective filter. */
+  def cb_pair_drill(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .filter(col("event_type") =!= "view")
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(16)).as("ip_bucket"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("value") > 0.5, 1L).otherwise(0L)).as("refresh"),
+        round(avg("value"), 6).as("avg_v"))
+      .orderBy(col("c").desc, col("event_type").asc, col("ip_bucket").asc)
+      .limit(10)
+
+  val cbPairDrillSql =
+    """SELECT event_type, user_id % 16 AS ip_bucket, count(*) AS c,
+      |  sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS refresh,
+      |  round(avg(value), 6) AS avg_v
+      |FROM events WHERE event_type <> 'view'
+      |GROUP BY event_type, ip_bucket
+      |ORDER BY c DESC, event_type ASC, ip_bucket ASC LIMIT 10""".stripMargin
+
+  /** Q35 shape: EXPRESSIONS as group keys (ClientIP, ClientIP-1, ...) —
+    * the keys are derived, not stored. */
+  def cb_group_expr_keys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .groupBy(col("user_id").as("u"),
+        (col("user_id") - 1).as("u1"), (col("user_id") - 2).as("u2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("u").asc)
+      .limit(10)
+
+  val cbGroupExprKeysSql =
+    """SELECT user_id AS u, user_id - 1 AS u1, user_id - 2 AS u2, count(*) AS c
+      |FROM events GROUP BY u, u1, u2 ORDER BY c DESC, u ASC LIMIT 10""".stripMargin
+
+  /** Q36-39 shape: selective flag+range filter, top-k with an OFFSET
+    * page (hits' PageViews pagination). */
+  def cb_topk_offset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .filter(col("event_type") === "click")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("k").asc)
+      .offset(10)
+      .limit(10)
+
+  val cbTopkOffsetSql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS c
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY k ORDER BY c DESC, k ASC LIMIT 10 OFFSET 10""".stripMargin
+
+  /** Q43 shape: per-minute time series page (DATE_TRUNC + count, ordered
+    * by the minute, with an offset). */
+  def cb_minute_series(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .filter(col("event_type") =!= "view")
+      .groupBy(date_trunc("minute", col("ts")).cast("timestamp_ntz").as("m"))
+      .agg(count(lit(1)).as("page_views"))
+      .orderBy(col("m").asc)
+      .offset(5)
+      .limit(10)
+
+  val cbMinuteSeriesSql =
+    """SELECT date_trunc('minute', ts) AS m, count(*) AS page_views
+      |FROM events WHERE event_type <> 'view'
+      |GROUP BY m ORDER BY m ASC LIMIT 10 OFFSET 5""".stripMargin
+
+  /** Q28 shape: HAVING over a count with a string-length average. */
+  def cb_having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .groupBy("event_type")
+      .agg(round(avg(length(col("props"))), 6).as("l"), count(lit(1)).as("c"))
+      .filter(col("c") > 100)
+      .orderBy(col("l").desc, col("event_type").asc)
+      .limit(25)
+
+  val cbHavingSql =
+    """SELECT event_type, round(avg(length(props)), 6) AS l, count(*) AS c
+      |FROM events GROUP BY event_type HAVING count(*) > 100
+      |ORDER BY l DESC, event_type ASC LIMIT 25""".stripMargin
+
+  /** Q21/22 shape: LIKE-filtered aggregate with MIN over strings and a
+    * distinct-user drill-in. */
+  def cb_like_minmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .filter(col("props").like("""%"k": 1%""") && col("event_type") =!= "view")
+      .groupBy("event_type")
+      .agg(min("props").as("m"), count(lit(1)).as("c"),
+        countDistinct("user_id").as("u"))
+      .orderBy(col("c").desc, col("event_type").asc)
+      .limit(10)
+
+  val cbLikeMinmaxSql =
+    """SELECT event_type, min(props) AS m, count(*) AS c,
+      |  count(DISTINCT user_id) AS u
+      |FROM events WHERE props LIKE '%"k": 1%' AND event_type <> 'view'
+      |GROUP BY event_type ORDER BY c DESC, event_type ASC LIMIT 10""".stripMargin
+
+  /** Q24/25 shape: row-level top-k by event time (no aggregation — this
+    * must plan as TakeOrdered, not a global sort). */
+  def cb_time_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("t"))
+      .orderBy(col("t").asc, col("event_id").asc)
+      .limit(10)
+
+  val cbTimeTopkSql =
+    """SELECT event_id, user_id, ts AS t FROM events
+      |WHERE event_type = 'error' ORDER BY t ASC, event_id ASC LIMIT 10""".stripMargin
+
+  /** URL-hierarchy shape: build a path string, split it, group by its
+    * segments (hits' URL-prefix rollups). */
+  def cb_url_hierarchy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .withColumn("path", concat(col("event_type"), lit("/"),
+        pmod(get_json_object(col("props"), "$.k").cast("int"), lit(10))))
+      .groupBy(
+        substring_index(col("path"), "/", 1).as("seg1"),
+        substring_index(col("path"), "/", -1).as("seg2"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sum_v"))
+      .orderBy(col("c").desc, col("seg1").asc, col("seg2").asc)
+      .limit(20)
+
+  val cbUrlHierarchySql =
+    """SELECT split_part(path, '/', 1) AS seg1, split_part(path, '/', 2) AS seg2,
+      |  count(*) AS c, round(sum(value), 2) AS sum_v
+      |FROM (SELECT event_type || '/' ||
+      |        (CAST(json_extract_string(props, '$.k') AS INT) % 10) AS path,
+      |        value
+      |      FROM events) t
+      |GROUP BY seg1, seg2 ORDER BY c DESC, seg1 ASC, seg2 ASC LIMIT 20""".stripMargin
+
+  /** Q11/12 shape: mobile-UA-style cardinalities — two low-cardinality
+    * keys, distinct users, non-empty filter. */
+  def cb_ua_cardinality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .withColumn("model", pmod(get_json_object(col("props"), "$.k").cast("int"), lit(5)))
+      .filter(col("model").isNotNull)
+      .groupBy(col("event_type"), col("model"))
+      .agg(countDistinct("user_id").as("u"))
+      .orderBy(col("u").desc, col("event_type").asc, col("model").asc)
+      .limit(10)
+
+  val cbUaCardinalitySql =
+    """SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) % 5 AS model,
+      |  count(DISTINCT user_id) AS u
+      |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+      |GROUP BY event_type, model
+      |ORDER BY u DESC, event_type ASC, model ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cb_scan_aggs" -> (cb_scan_aggs _),
     "cb_cardinalities" -> (cb_cardinalities _),
@@ -142,7 +325,18 @@ object ClickBench {
     "cb_props" -> (cb_props _),
     "cb_hourly" -> (cb_hourly _),
     "cb_quantiles" -> (cb_quantiles _),
-    "cb_needle" -> (cb_needle _))
+    "cb_needle" -> (cb_needle _),
+    "cb_regex_extract" -> (cb_regex_extract _),
+    "cb_sums_wide" -> (cb_sums_wide _),
+    "cb_pair_drill" -> (cb_pair_drill _),
+    "cb_group_expr_keys" -> (cb_group_expr_keys _),
+    "cb_topk_offset" -> (cb_topk_offset _),
+    "cb_minute_series" -> (cb_minute_series _),
+    "cb_having" -> (cb_having _),
+    "cb_like_minmax" -> (cb_like_minmax _),
+    "cb_time_topk" -> (cb_time_topk _),
+    "cb_url_hierarchy" -> (cb_url_hierarchy _),
+    "cb_ua_cardinality" -> (cb_ua_cardinality _))
 
   val oracle: Map[String, String] = Map(
     "cb_scan_aggs" -> cbScanAggsSql,
@@ -153,5 +347,16 @@ object ClickBench {
     "cb_props" -> cbPropsSql,
     "cb_hourly" -> cbHourlySql,
     "cb_quantiles" -> cbQuantilesSql,
-    "cb_needle" -> cbNeedleSql)
+    "cb_needle" -> cbNeedleSql,
+    "cb_regex_extract" -> cbRegexExtractSql,
+    "cb_sums_wide" -> cbSumsWideSql,
+    "cb_pair_drill" -> cbPairDrillSql,
+    "cb_group_expr_keys" -> cbGroupExprKeysSql,
+    "cb_topk_offset" -> cbTopkOffsetSql,
+    "cb_minute_series" -> cbMinuteSeriesSql,
+    "cb_having" -> cbHavingSql,
+    "cb_like_minmax" -> cbLikeMinmaxSql,
+    "cb_time_topk" -> cbTimeTopkSql,
+    "cb_url_hierarchy" -> cbUrlHierarchySql,
+    "cb_ua_cardinality" -> cbUaCardinalitySql)
 }

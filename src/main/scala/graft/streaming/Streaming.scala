@@ -41,7 +41,7 @@ object Streaming {
   def windowedCounts(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
     val dir = stageDir(sfDir)
     val events = spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -109,6 +109,72 @@ object Streaming {
     } finally broker.close()
   }
 
+  /** The full production pipeline in ONE streaming query: Kafka wire
+    * source → watermarked tumbling window → exactly-once Delta sink —
+    * with a RESTART mid-stream. Phase 1 drains half the fixture and
+    * stops; phase 2 reopens the SAME checkpoint (Kafka offsets + window
+    * state recovered) with the rest plus a far-future sentinel that
+    * pushes the watermark past every real window so append mode flushes
+    * them; phase 3 reopens once more with no new data (a replayed/empty
+    * batch must be a no-op thanks to the txn action). Loss would drop a
+    * window row; offset or batch replay would double one — either breaks
+    * the oracle equality on the Delta read-back. */
+  def kafkaToDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val broker = new graft.sources.kafka.MiniBroker
+    try {
+      val tag = math.abs(sfDir.hashCode)
+      val table = s"/tmp/graft_k2d_$tag"
+      val ckpt = s"/tmp/graft_k2d_ckpt_$tag"
+      graft.sources.Delta.deleteTable(table)
+      graft.sources.PartitionedFiles.deleteRecursively(Paths.get(ckpt))
+      val evs = graft.Tables(spark, sfDir).events
+        .filter(col("event_id") < 3000)
+        .select(
+          col("event_id"),
+          (unix_micros(col("ts")) / 1000L).cast("long").as("ms"),
+          concat_ws(",", col("event_type"), col("value")).as("payload"))
+        .collect() // bounded fixture: the broker under test needs the rows
+      val maxMs = evs.map(_.getLong(1)).max
+      val sentinelMs = maxMs + 2 * 24 * 3600 * 1000L
+      def feed(rows: Seq[org.apache.spark.sql.Row]): Unit = rows.foreach { r =>
+        broker.append("events", (r.getLong(0) % 4).toInt, r.getLong(1),
+          null, r.getString(2).getBytes("UTF-8"))
+      }
+      def runOnce(): Unit = {
+        val parsed = spark.readStream.format("graft-kafka")
+          .option("kafka.bootstrap.servers", broker.bootstrap)
+          .option("topics", "events")
+          .load()
+          .select(
+            timestamp_millis(col("timestamp_ms")).as("ts"),
+            split(decode(col("value"), "UTF-8"), ",").as("kv"))
+          .select(col("ts"), col("kv")(0).as("event_type"),
+            col("kv")(1).cast("double").as("value"))
+        val agg = parsed
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+          .select(col("window.start").as("w_start"),
+            col("event_type"), col("n"), col("total_value"))
+        val q = DeltaSink.start(agg, table, ckpt, appId = "graft-kafka-to-delta")
+        q.awaitTermination(300000)
+      }
+      val (first, second) = evs.toSeq.splitAt(evs.length / 2)
+      feed(first)
+      runOnce() // phase 1: partial drain, stop mid-stream
+      feed(second)
+      broker.append("events", 0, sentinelMs, null, "view,0.0".getBytes("UTF-8"))
+      runOnce() // phase 2: restart from the checkpoint, drain the rest
+      runOnce() // phase 3: nothing new — replay must be a no-op
+      graft.sources.Delta.read(spark, table)
+        .filter(col("w_start") < timestamp_millis(lit(maxMs + 24 * 3600 * 1000L)))
+        .select(
+          col("w_start").cast("date").as("day"),
+          hour(col("w_start")).as("hr"),
+          col("event_type"), col("n"), col("total_value"))
+    } finally broker.close()
+  }
+
   /** Stream-static enrichment join: the streaming fact side joins a
     * static dimension — broadcast, stateless (no stream-stream state, no
     * watermark needed), the standard shape for decorating an event
@@ -147,7 +213,7 @@ object Streaming {
       Files.copy(Paths.get(s"$base/events.parquet"), dir.resolve(n),
         StandardCopyOption.REPLACE_EXISTING)
     val events = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val deduped = events
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
@@ -197,7 +263,7 @@ object Streaming {
     val gapMicros = gapMinutes * 60L * 1000000L
 
     val events = spark.readStream.schema(rawSchema).parquet(dir)
-      .select(col("user_id"), floor(col("ts") / 1000L).cast("long").as("tsMicros"))
+      .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
       .as[Ev]
 
     // count closed+open sessions per user. State is O(1) per user —
