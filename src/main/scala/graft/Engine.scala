@@ -54,11 +54,14 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cores.toInt * sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS_X", "4").toInt).toString)
       // AQE coalesce target = the post-shuffle sort/agg chunk each task
-      // holds; profiled at the SF100-equivalent tier (Profile.scala):
-      // 64 MB advisory left q3/q8/q9 spilling 6-13 GB through their SMJ
-      // sorts, 32 MB halves the per-task sort footprint and removes the
-      // spill without measurably hurting the small queries (they
-      // coalesce to one partition either way)
+      // holds. Round-6 A/B (3 interleaved Profile passes per arm at the
+      // SF100-equivalent tier, medians): 32 MB beats 64 MB on EVERY
+      // headline bloom query — q3 20.6 vs 25.4 s, q4 10.1/12.6,
+      // q5 15.3/16.5, q7 14.7/15.3, q8 25.5/31.4, q9 24.9/27.5; sum of
+      // medians 111 vs 129 s — with ZERO spill in both arms (the r5
+      // spill rationale disappeared once the bloom build sides were
+      // leased; what remains is smaller sort chunks fitting cache).
+      // Small queries coalesce to one partition either way.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         (sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "32").toLong << 20).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -84,14 +84,17 @@ object Tpch {
     // cF and oF are each consumed three times (bloom count, bloom build,
     // final join) — leased so customer and orders are scanned ONCE and the
     // bloom-probe work is not recomputed per pass; Verify/Bench release
-    // after materializing (graft.ops.Caches)
+    // after materializing (graft.ops.Caches). Leased frames are projected
+    // to the columns the query uses FIRST: a cache materializes full rows,
+    // so an unprojected lease would pay for strings no operator reads.
     val cF = graft.ops.Caches.lease(
-      tt.customer.filter(col("c_mktsegment") === "BUILDING"))
+      tt.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
     // only 1/5 of customers are BUILDING: bloom-prune the orders shuffle
     // on o_custkey before the fact join (same reduction as q4/q5/q7)
     val oF = graft.ops.Caches.lease(graft.ops.Prune.bloomSemiPrefilter(
-      tt.orders.filter(col("o_orderdate") < cutoff), "o_custkey",
-      cF.select("c_custkey"), "c_custkey"))
+      tt.orders.filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+      "o_custkey", cF, "c_custkey"))
     // only ~20% of orders survive segment+date: prune lineitem on the
     // surviving orderkeys BEFORE its shuffle (the q4 shape) — without
     // this all of lineitem (minus the shipdate pushdown) pays the
@@ -128,10 +131,12 @@ object Tpch {
   def q4(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
     // leased: o feeds the bloom count, the bloom build, and the semi join
-    // (one orders scan instead of three; released by the harness loop)
+    // (one orders scan instead of three; released by the harness loop);
+    // projected to the three columns the query touches before caching
     val o = graft.ops.Caches.lease(tt.orders.filter(
-      col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
-      col("o_orderdate") < lit("1997-10-01").cast("timestamp")))
+        col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority"))
     // semi-join reduction: only ~1/8 of orders survive the quarter filter,
     // so most lineitem rows can't match — drop them BEFORE the shuffle via
     // a count-sized broadcast bloom (Spark's auto runtime filter caps the
@@ -160,8 +165,9 @@ object Tpch {
   def q5(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
     val o = tt.orders.filter(
-      col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
-      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
     // Transitive closure of the co-location predicate: c_nationkey =
     // s_nationkey AND the supplier's nation is in ASIA forces BOTH
     // customer and supplier into ASIA nations (1/5) — push that in
@@ -175,7 +181,8 @@ object Tpch {
     // probe of orders runs once instead of three times (this triple-scan
     // was q5's r5 regression; released by the harness loop)
     val custA = graft.ops.Caches.lease(tt.customer
-      .join(broadcast(asiaKeys), col("c_nationkey") === col("asia_nk")).drop("asia_nk"))
+      .join(broadcast(asiaKeys), col("c_nationkey") === col("asia_nk"))
+      .select("c_custkey", "c_nationkey"))
     val supA = tt.supplier
       .join(broadcast(asiaKeys), col("s_nationkey") === col("asia_nk")).drop("asia_nk")
     // customer⋈orders is fact⋈fact: force the shuffle merge join — the
@@ -246,15 +253,18 @@ object Tpch {
     // supF/custF/oF each feed a bloom build (count + aggregation) plus the
     // final join — leased so supplier/customer/orders are scanned once
     // (released by the harness loop after materialization)
-    val supF = graft.ops.Caches.lease(
-      tt.supplier.join(broadcast(n1), col("s_nationkey") === col("s_nk")))
-    val custF = graft.ops.Caches.lease(
-      tt.customer.join(broadcast(n2), col("c_nationkey") === col("c_nk")))
+    val supF = graft.ops.Caches.lease(tt.supplier
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation"))
+    val custF = graft.ops.Caches.lease(tt.customer
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation"))
     // orders joins only customers of 2/25 nations: bloom-prune the orders
     // shuffle on o_custkey before the fact join chain (same reduction as
     // q4/q5 — the filtered-customer key set is a ~MB-scale broadcast)
     val oF = graft.ops.Caches.lease(graft.ops.Prune.bloomSemiPrefilter(
-      tt.orders, "o_custkey", custF.select("c_custkey"), "c_custkey"))
+      tt.orders.select("o_orderkey", "o_custkey"), "o_custkey",
+      custF.select("c_custkey"), "c_custkey"))
     // lineitem is the largest fact and joins only 2/25-nation suppliers
     // AND only surviving orders: bloom-prune BOTH keys at the scan, so
     // <1% of lineitem pays the two fact shuffles instead of 100%. No
@@ -305,9 +315,10 @@ object Tpch {
     // customers; lineitem is bloom-pruned to promo parts before its first
     // shuffle (p_type=PROMO keeps ~1/5 of parts).
     // partPromo and custEur each feed a bloom build plus the final join —
-    // leased (one part/customer scan; released by the harness loop)
+    // leased (one part/customer scan; released by the harness loop) and
+    // projected to keys: nothing downstream reads another part column
     val partPromo = graft.ops.Caches.lease(
-      tt.part.filter(col("p_type") === "PROMO"))
+      tt.part.filter(col("p_type") === "PROMO").select("p_partkey"))
     val custEur = graft.ops.Caches.lease(tt.customer
       .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(tt.region), col("n_regionkey") === col("r_regionkey"))
@@ -358,9 +369,11 @@ object Tpch {
     // same fact-join discipline as q8: part and orders scale with the
     // data — shuffle-merge, never broadcast; lineitem bloom-pruned to
     // the 'red' parts before its first shuffle.
-    // leased: partRed feeds the bloom count/build and the fact join
+    // leased: partRed feeds the bloom count/build and the fact join;
+    // projected to the key + the one measure column q9 reads
     val partRed = graft.ops.Caches.lease(
-      tt.part.filter(col("p_name").contains("red")))
+      tt.part.filter(col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice"))
     val li = graft.ops.Prune.bloomSemiPrefilter(
       tt.lineitem, "l_partkey", partRed.select("p_partkey"), "p_partkey")
     li
@@ -392,10 +405,12 @@ object Tpch {
   /** Q10: returned item reporting — top 20 customers by lost revenue. */
   def q10(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    // leased: o feeds the bloom count/build and the fact join
+    // leased: o feeds the bloom count/build and the fact join (projected
+    // to the two join keys — the date only filters)
     val o = graft.ops.Caches.lease(tt.orders.filter(
-      col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
-      col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+        col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey"))
     // the quarter keeps ~4% of orders: bloom-prune returned lineitems on
     // the quarter's orderkeys before their shuffle
     val li = graft.ops.Prune.bloomSemiPrefilter(

@@ -143,8 +143,16 @@ object Tpch2 {
     * (brand, type, size-band), excluding one brand. */
   def q16(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    tt.lineitem
-      .join(tt.part.filter(col("p_brand") =!= "Brand#3"),
+    // countDistinct(l_suppkey) by part attributes only consumes DISTINCT
+    // (partkey, suppkey) pairs — distinct lineitem FIRST (narrow 2-column
+    // shuffle with map-side collapse of the ~7x per-pair repetition), so
+    // the part join and the distinct-aggregate expansion both run on the
+    // reduced pair set instead of all of lineitem (158.9 -> measured
+    // fraction at the SF100-equivalent tier). part scales with the data:
+    // shuffle-merge, never broadcast.
+    val pairs = tt.lineitem.select("l_partkey", "l_suppkey").distinct()
+    pairs
+      .join(tt.part.filter(col("p_brand") =!= "Brand#3").hint("shuffle_merge"),
         col("l_partkey") === col("p_partkey"))
       .withColumn("size_band", floor(col("p_size") / 10).cast("int"))
       .groupBy("p_brand", "p_type", "size_band")
@@ -164,8 +172,15 @@ object Tpch2 {
   /** Q17: small-quantity-order revenue for one brand (correlated avg). */
   def q17(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    val brandParts = tt.part.filter(col("p_brand") === "Brand#5").select("p_partkey")
-    val li = tt.lineitem.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    // part scales with the data: an explicit broadcast of the brand's key
+    // set is a fact broadcast that dies at 100 TB. Bloom-prune lineitem at
+    // the scan instead (bounded ~MB bitmap), then shuffle-merge the exact
+    // join. brandParts leased: bloom count/build + join = one part scan.
+    val brandParts = graft.ops.Caches.lease(
+      tt.part.filter(col("p_brand") === "Brand#5").select("p_partkey"))
+    val li = graft.ops.Prune.bloomSemiPrefilter(
+        tt.lineitem, "l_partkey", brandParts, "p_partkey")
+      .join(brandParts.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
     val avgQty = li.groupBy(col("l_partkey").as("ap"))
       .agg((avg("l_quantity") * 0.5).as("half_avg"))
     li.join(avgQty, col("l_partkey") === col("ap"))
@@ -189,9 +204,14 @@ object Tpch2 {
       .groupBy("l_orderkey")
       .agg(sum("l_quantity").as("total_qty"))
       .filter(col("total_qty") > 300)
-    tt.customer
-      .join(tt.orders, col("c_custkey") === col("o_custkey"))
+    // join the SELECTIVE reduction first: qty > 300 keeps a sliver of
+    // orders, so orders⋈bigOrders shrinks the customer join input by
+    // orders of magnitude (the old customer⋈orders-first shape shuffled
+    // the full fact pair before any reduction — the classic q18 killer);
+    // AQE broadcasts the post-join sliver into customer at runtime
+    tt.orders
       .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(tt.customer, col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_orderdate"),
         col("o_totalprice"), col("total_qty"))
@@ -238,9 +258,15 @@ object Tpch2 {
     * 'red' parts with total quantity > 100 (nested semi joins). */
   def q20(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    val redParts = tt.part.filter(col("p_name").contains("red")).select("p_partkey")
-    val bigSuppliers = tt.lineitem
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+    // same fact-broadcast fix as q17: 'red' covers a constant fraction of
+    // part, so its key set scales with the data — bloom-prune lineitem,
+    // then an exact shuffle semi join (leased: one part scan)
+    val redParts = graft.ops.Caches.lease(
+      tt.part.filter(col("p_name").contains("red")).select("p_partkey"))
+    val bigSuppliers = graft.ops.Prune.bloomSemiPrefilter(
+        tt.lineitem, "l_partkey", redParts, "p_partkey")
+      .join(redParts.hint("shuffle_merge"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_suppkey")
       .agg(sum("l_quantity").as("qty"))
       .filter(col("qty") > 100)
@@ -271,13 +297,23 @@ object Tpch2 {
     val li = tt.lineitem.join(
       tt.orders.filter(col("o_orderstatus") === "F"),
       col("l_orderkey") === col("o_orderkey"))
-    val late = li.filter(col("l_shipdate") > date_add(col("o_orderdate"), 90))
-      .select(col("l_orderkey").as("lk"), col("l_suppkey").as("ls")).distinct()
-    val onTime = li.filter(col("l_shipdate") <= date_add(col("o_orderdate"), 90))
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("os")).distinct()
-    // late supplier with at least one *different* on-time supplier in the order
-    val culprits = late.join(onTime,
-        col("lk") === col("ok") && col("ls") =!= col("os"), "left_semi")
+    // ONE pass folds each (order, supplier) pair to late/on-time flags —
+    // the old shape consumed li twice (two filtered DISTINCTs) and then
+    // paid a pair⋈pair semi join; this is a single pair-key shuffle plus
+    // a per-order rollup. "another supplier was on time" becomes
+    // (order's on-time supplier count − this pair's own flag) > 0, which
+    // is exactly the ls =!= os exists condition on distinct pairs.
+    val pairs = li
+      .groupBy(col("l_orderkey").as("lk"), col("l_suppkey").as("ls"))
+      .agg(
+        max(when(col("l_shipdate") > date_add(col("o_orderdate"), 90), 1)
+          .otherwise(0)).as("late"),
+        max(when(col("l_shipdate") <= date_add(col("o_orderdate"), 90), 1)
+          .otherwise(0)).as("ontime"))
+    val culprits = pairs
+      .withColumn("n_ontime",
+        sum("ontime").over(Window.partitionBy(col("lk"))))
+      .filter(col("late") === 1 && col("n_ontime") - col("ontime") > 0)
     culprits
       .join(tt.supplier, col("ls") === col("s_suppkey"))
       .groupBy(col("s_name"), col("s_suppkey"))

@@ -125,6 +125,23 @@ class ScaledPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q17/q20 bloom-prune lineitem instead of broadcasting the part key set") {
+    // part scales with the data — these two explicitly broadcast a
+    // brand/name-filtered key set until round 6; the bloom probe plus a
+    // shuffle-merge exact join is the scale-correct shape
+    for (q <- Seq("q17", "q20")) {
+      val p = planFull(q)
+      assert(p.contains("bloommightcontainexpr"),
+        s"$q: expected the native bloom probe on lineitem:\n$p")
+      val offending = p.linesIterator
+        .filter(_.contains("BroadcastHashJoin"))
+        .filter(l => l.contains("[l_partkey#") || l.contains("[p_partkey#"))
+        .toSeq
+      assert(offending.isEmpty,
+        s"$q: part key set still broadcast:\n${offending.mkString("\n")}")
+    }
+  }
+
   test("no headline query plans a cartesian product at bench scale") {
     val offenders = (1 to 10).map(i => s"q$i").filter(q =>
       plan(q).contains("CartesianProduct"))
