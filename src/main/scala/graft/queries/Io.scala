@@ -598,6 +598,43 @@ object Io {
     """SELECT count(*) AS n, round(sum(c_acctbal), 2) AS total, true AS mor
       |FROM customer WHERE c_custkey > 200 AND c_nationkey <> 7""".stripMargin
 
+  /** Iceberg v2 merge-on-read EQUALITY deletes (spec §Equality Delete
+    * Files): delete by key tuple without reading or rewriting any data
+    * file — the cheapest delete the spec offers. Sequence-number scoping
+    * is exercised end-to-end: nation-3 suppliers are deleted by suppkey,
+    * then re-appended AFTER the delete (higher data sequence number), so
+    * they survive; a second delete on a different key set then applies to
+    * both generations. The oracle recomputes the surviving set
+    * relationally from the base table. */
+  def io_iceberg_eq_deletes(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Iceberg
+    val path = s"$ioDir/iceberg_eqdel_${math.abs(dir.hashCode)}"
+    Iceberg.deleteTable(path)
+    val sup = t(s, dir).supplier.select("s_suppkey", "s_nationkey", "s_acctbal")
+    Iceberg.write(sup.repartitionByRange(3, col("s_suppkey")), path,
+      formatVersion = 2)                                                 // seq 1
+    Iceberg.deleteEquality(s, path,
+      sup.filter(col("s_nationkey").isin(3, 7)).select("s_suppkey"))     // seq 2
+    Iceberg.write(sup.filter(col("s_nationkey") === 3), path)            // seq 3
+    Iceberg.deleteEquality(s, path,
+      s.range(1, 6).select(col("id").as("s_suppkey")))                   // seq 4
+    // data files untouched (merge-on-read): two equality-delete commits at
+    // distinct sequence numbers, asserted via the state contract
+    val mor = Iceberg.state(path).deleteFiles
+      .filter(_.content == 2).map(_.seq).distinct.size == 2
+    Iceberg.read(s, path)
+      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("total"))
+      .withColumn("mor", lit(mor))
+  }
+
+  val ioIcebergEqDeletesSql =
+    """SELECT count(*) AS n, round(sum(s_acctbal), 2) AS total, true AS mor
+      |FROM (
+      |  SELECT * FROM supplier WHERE s_nationkey NOT IN (3, 7)
+      |  UNION ALL
+      |  SELECT * FROM supplier WHERE s_nationkey = 3
+      |) WHERE s_suppkey NOT IN (1, 2, 3, 4, 5)""".stripMargin
+
   /** Iceberg round-trip (ref daft/io/_iceberg.py read_iceberg /
     * write_iceberg; implemented from the open table spec — sources/
     * Iceberg): two append snapshots through Avro manifests, snapshot
@@ -961,6 +998,7 @@ object Io {
     "io_iceberg_stats_skip" -> (io_iceberg_stats_skip _),
     "io_iceberg_dml" -> (io_iceberg_dml _),
     "io_iceberg_v2_deletes" -> (io_iceberg_v2_deletes _),
+    "io_iceberg_eq_deletes" -> (io_iceberg_eq_deletes _),
     "io_hudi_roundtrip" -> (io_hudi_roundtrip _),
     "io_hudi_dml" -> (io_hudi_dml _),
     "io_huggingface" -> (io_huggingface _),
@@ -998,6 +1036,7 @@ object Io {
     "io_iceberg_stats_skip" -> ioIcebergStatsSkipSql,
     "io_iceberg_dml" -> ioIcebergDmlSql,
     "io_iceberg_v2_deletes" -> ioIcebergV2DeletesSql,
+    "io_iceberg_eq_deletes" -> ioIcebergEqDeletesSql,
     "io_hudi_roundtrip" -> ioHudiRoundtripSql,
     "io_hudi_dml" -> ioHudiDmlSql,
     "io_huggingface" -> ioHuggingfaceSql,

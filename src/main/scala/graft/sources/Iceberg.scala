@@ -33,8 +33,11 @@ import org.apache.spark.sql.types._
   *  - state: manifest entries with status EXISTING(0)/ADDED(1) are live,
   *    DELETED(2) are dropped. v2 POSITION deletes (content=1, parquet
   *    (file_path, pos) tombstones) are applied at read as an anti-join on
-  *    (path, row ordinal) and written by [[deletePositions]]; equality
-  *    deletes (content=2) are rejected explicitly.
+  *    (path, row ordinal) and written by [[deletePositions]]; v2 EQUALITY
+  *    deletes (content=2, key tuples scoped by data sequence number,
+  *    inherited per spec §Sequence Number Inheritance from the manifest
+  *    list) are applied as null-safe anti-joins and written by
+  *    [[deleteEquality]].
   *  - snapshot time travel: `snapshotId` picks any snapshot in the log.
   *  - schema: Iceberg's field-id JSON schema is converted to/from Spark
   *    `StructType` (primitives + struct/list/map/decimal).
@@ -51,9 +54,14 @@ object Iceberg {
   private def mapper = new ObjectMapper()
 
   /** `content` per spec: 0 = data, 1 = position deletes (the file's rows
-    * are (file_path, pos) tombstones, not table rows). */
+    * are (file_path, pos) tombstones, not table rows), 2 = equality deletes
+    * (rows are key tuples; a data row dies when its values null-safe-equal
+    * a delete row on `equalityCols` AND the data file's sequence number is
+    * strictly below the delete file's — `seq`, inherited from the manifest
+    * list per spec §Sequence Number Inheritance). */
   final case class DataFileRef(path: String, recordCount: Long, sizeBytes: Long,
-      partition: Map[String, String], stats: Option[String] = None, content: Int = 0)
+      partition: Map[String, String], stats: Option[String] = None, content: Int = 0,
+      seq: Long = 0L, equalityCols: Seq[String] = Nil)
 
   final case class TableState(
       tablePath: String,
@@ -103,8 +111,8 @@ object Iceberg {
     * walk, pruned before collect) instead. */
   def state(tablePath: String, snapshotId: Option[Long] = None): TableState = {
     val (schema, partitionFields, snapId, manifests, fieldsById) = header(tablePath, snapshotId)
-    val all = manifests.flatMap(mp => manifestEntries(tablePath, mp, fieldsById))
-    val (dels, data) = all.partition(_.content == 1)
+    val all = manifests.flatMap { case (mp, seq) => manifestEntries(tablePath, mp, seq, fieldsById) }
+    val (dels, data) = all.partition(_.content != 0)
     TableState(tablePath, snapId, schema, partitionFields, data, dels)
   }
 
@@ -113,6 +121,7 @@ object Iceberg {
   private def manifestEntries(
       tablePath: String,
       manifestPath: String,
+      manifestSeq: Long,
       fieldsById: Map[Int, (String, DataType)]): Seq[DataFileRef] = {
     val typeByName: Map[String, DataType] = fieldsById.values.toMap
     readAvro(manifestPath).flatMap { entry =>
@@ -122,16 +131,30 @@ object Iceberg {
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         def field(r: GenericRecord, n: String): Option[AnyRef] =
           Option(r.getSchema.getField(n)).flatMap(_ => Option(r.get(n)))
-        // content: 0 = data, 1 = position deletes (v2, supported — applied
-        // as an anti-join at read), 2 = equality deletes (NOT supported:
-        // they need the delete file's equality_ids + sequence-number
-        // scoping to be sound — rejected loudly rather than read wrong)
+        // content: 0 = data, 1 = position deletes (applied as an anti-join
+        // on (path, pos) at read), 2 = equality deletes (applied as a
+        // null-safe anti-join on equality_ids columns, scoped by sequence
+        // number). Entry-level sequence_number wins when present (written
+        // for EXISTING entries by other engines); null inherits the
+        // manifest's own sequence number from the manifest list.
         val content = field(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
-        require(content == 0 || content == 1,
-          s"unsupported Iceberg delete file (content=$content) — equality deletes not implemented")
-        if (content == 1)
+        require(content >= 0 && content <= 2,
+          s"unsupported Iceberg content=$content in $manifestPath")
+        if (content != 0)
           require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
-            s"unsupported position-delete file format ${df.get("file_format")} (parquet only)")
+            s"unsupported delete file format ${df.get("file_format")} (parquet only)")
+        val seq = Option(entry.getSchema.getField("sequence_number"))
+          .flatMap(_ => Option(entry.get("sequence_number")))
+          .map(_.asInstanceOf[Long]).getOrElse(manifestSeq)
+        val eqCols: Seq[String] =
+          if (content != 2) Nil
+          else field(df, "equality_ids").toSeq.flatMap {
+            case l: java.util.List[_] => l.asScala.toSeq.map { id =>
+              fieldsById.getOrElse(id.asInstanceOf[Int],
+                sys.error(s"equality_ids field ${id} not in table schema"))._1
+            }
+            case _ => Nil
+          }
         val partition = Option(df.get("partition").asInstanceOf[GenericRecord]).map { p =>
           p.getSchema.getFields.asScala.map { f =>
             // typed avro value → canonical string in the COLUMN's domain:
@@ -155,15 +178,16 @@ object Iceberg {
           df.get("file_size_in_bytes").asInstanceOf[Long],
           partition,
           statsJson(df, fieldsById, df.get("record_count").asInstanceOf[Long]),
-          content))
+          content, seq, eqCols))
       }
     }
   }
 
   /** Planning header only (no file listing): schema, partition fields,
-    * snapshot id, and the manifest paths — O(manifests) driver work. */
+    * snapshot id, and (manifest path, sequence number) pairs —
+    * O(manifests) driver work. */
   private def header(
-      tablePath: String, snapshotId: Option[Long]): (StructType, Seq[String], Long, Seq[String], Map[Int, (String, DataType)]) = {
+      tablePath: String, snapshotId: Option[Long]): (StructType, Seq[String], Long, Seq[(String, Long)], Map[Int, (String, DataType)]) = {
     val meta = readMetadata(tablePath)
     val fv = meta.get("format-version").asInt
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
@@ -194,7 +218,12 @@ object Iceberg {
       .find(_.get("snapshot-id").asLong == snapId)
       .getOrElse(sys.error(s"snapshot $snapId not found in $tablePath"))
     val manifests = readAvro(resolve(tablePath, snap.get("manifest-list").asText))
-      .map(ml => resolve(tablePath, ml.get("manifest_path").toString))
+      .map { ml =>
+        val seq = Option(ml.getSchema.getField("sequence_number"))
+          .flatMap(_ => Option(ml.get("sequence_number")))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        (resolve(tablePath, ml.get("manifest_path").toString), seq)
+      }
     (schema, partitionFields, snapId, manifests, fieldsById)
   }
 
@@ -215,18 +244,19 @@ object Iceberg {
     // bounds pruning runs on executors (its closure captures only a
     // serializable Catalyst expression); the caller-supplied
     // partitionFilter function may capture anything, so it filters the
-    // already-pruned survivors on the driver. Position-delete files are
-    // NEVER pruned: they target data files by exact path, so a delete
-    // whose data file was pruned is a no-op in the anti-join, while
-    // pruning a delete that still applies would resurrect rows.
+    // already-pruned survivors on the driver. Delete files are NEVER
+    // pruned: position deletes target data files by exact path (a delete
+    // whose data file was pruned is a no-op in the anti-join) and
+    // equality deletes apply by value, so pruning either kind could
+    // resurrect rows.
     val entries: Seq[DataFileRef] =
       if (manifests.isEmpty) Nil
       else spark.sparkContext
         .parallelize(manifests, math.min(manifests.size, 64))
-        .flatMap(mp => manifestEntries(tablePath, mp, fieldsById)
-          .filter(f => f.content == 1 || keepStats(f.stats, f.partition)))
+        .flatMap { case (mp, seq) => manifestEntries(tablePath, mp, seq, fieldsById)
+          .filter(f => f.content != 0 || keepStats(f.stats, f.partition)) }
         .collect().toSeq
-    val (dels, live) = entries.partition(_.content == 1)
+    val (dels, live) = entries.partition(_.content != 0)
     (schema, partitionFields, live.filter(f => partitionFilter(f.partition)), dels)
   }
 
@@ -256,8 +286,36 @@ object Iceberg {
         PartitionedFiles.readWithPartitions(
           spark, schema, partitionFields,
           live.map(_.path), live.map(_.partition))
-      else applyPositionDeletes(spark, schema, partitionFields, live, dels)
+      else applyDeletes(spark, schema, partitionFields, live, dels)
     dataFilter.fold(df)(df.filter)
+  }
+
+  /** Merge-on-read: scan the live files with (path, ordinal) attached and
+    * subtract both delete kinds. */
+  private def applyDeletes(
+      spark: SparkSession,
+      schema: StructType,
+      partitionFields: Seq[String],
+      live: Seq[DataFileRef],
+      dels: Seq[DataFileRef]): DataFrame = {
+    val data = PartitionedFiles.readWithPartitions(
+      spark, schema, partitionFields,
+      live.map(_.path), live.map(_.partition),
+      sourceCol = Some("__graft_src"), posCol = Some("__graft_pos"))
+    subtractDeletes(spark, data, schema, live, dels).drop("__graft_src", "__graft_pos")
+  }
+
+  /** Subtract all delete files from `data` (which must carry
+    * `__graft_src`/`__graft_pos` and be backed by exactly the files in
+    * `live`). Position deletes first, then equality deletes. */
+  private def subtractDeletes(
+      spark: SparkSession,
+      data: DataFrame,
+      schema: StructType,
+      live: Seq[DataFileRef],
+      dels: Seq[DataFileRef]): DataFrame = {
+    val afterPos = minusTombstones(spark, data, dels.filter(_.content == 1))
+    minusEquality(spark, afterPos, schema, live, dels.filter(_.content == 2))
   }
 
   /** v2 position deletes (spec §Position Delete Files): delete files are
@@ -270,29 +328,18 @@ object Iceberg {
     * table carries billions of tombstones. File paths target exactly (the
     * spec's sequence-number scoping exists for engines that can order
     * commits; paths are unique per spec, so path-addressed application is
-    * equivalent for reads of a consistent snapshot). */
-  private def applyPositionDeletes(
-      spark: SparkSession,
-      schema: StructType,
-      partitionFields: Seq[String],
-      live: Seq[DataFileRef],
-      dels: Seq[DataFileRef]): DataFrame = {
-    val data = PartitionedFiles.readWithPartitions(
-      spark, schema, partitionFields,
-      live.map(_.path), live.map(_.partition),
-      sourceCol = Some("__graft_src"), posCol = Some("__graft_pos"))
-    minusTombstones(spark, data, dels).drop("__graft_src", "__graft_pos")
-  }
-
-  /** Anti-join `data` (which must carry `__graft_src`/`__graft_pos`)
-    * against the rows of the position-delete files `dels`. */
+    * equivalent for reads of a consistent snapshot).
+    *
+    * Anti-join `data` (which must carry `__graft_src`/`__graft_pos`)
+    * against the rows of the position-delete files in `dels`. */
   private def minusTombstones(
       spark: SparkSession, data: DataFrame, dels: Seq[DataFileRef]): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (dels.isEmpty) return data
+    val pos = dels.filter(_.content == 1)
+    if (pos.isEmpty) return data
     val delSchema = StructType(Seq(
       StructField("file_path", StringType), StructField("pos", LongType)))
-    val tombstones = spark.read.schema(delSchema).parquet(dels.map(_.path): _*)
+    val tombstones = spark.read.schema(delSchema).parquet(pos.map(_.path): _*)
       .select(
         regexp_replace(col("file_path"), "^file:(//)?", "").as("__del_path"),
         col("pos").as("__del_pos"))
@@ -300,6 +347,58 @@ object Iceberg {
         data("__graft_src") === col("__del_path") &&
           data("__graft_pos") === col("__del_pos"),
         "left_anti")
+  }
+
+  /** v2 equality deletes (spec §Equality Delete Files): a delete file's
+    * rows are key tuples over the columns named by its `equality_ids`; a
+    * data row dies when its values null-safe-equal a delete row on those
+    * columns AND its file's data sequence number is STRICTLY below the
+    * delete file's (rows re-inserted after the delete survive). A delete
+    * file written with a partition tuple applies only inside that
+    * partition; one with an empty tuple applies table-wide.
+    *
+    * Shape: each data row gets its file's sequence number via a broadcast
+    * (path → seq) map join — O(live files) rows, planner-side state only —
+    * then one anti-join per distinct (equality columns, partition scope)
+    * group. The delete side is proportional to deleted keys, so AQE
+    * broadcasts it when small and shuffles when huge. */
+  private def minusEquality(
+      spark: SparkSession,
+      data: DataFrame,
+      schema: StructType,
+      live: Seq[DataFileRef],
+      dels: Seq[DataFileRef]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val eqs = dels.filter(_.content == 2)
+    if (eqs.isEmpty) return data
+    eqs.foreach(f => require(f.equalityCols.nonEmpty,
+      s"equality delete file without equality_ids: ${f.path}"))
+    def norm(p: String): String = Paths.get(p).normalize.toString
+    val normUdf = udf(norm _)
+    val seqSchema = StructType(Seq(
+      StructField("__sq_nk", StringType), StructField("__graft_seq", LongType)))
+    val seqRows = live.map(f => Row(norm(f.path), f.seq))
+    val seqDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(seqRows, 1), seqSchema)
+    val withSeq = data.withColumn("__sq_nk", normUdf(col("__graft_src")))
+      .join(broadcast(seqDf), Seq("__sq_nk"))
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val out = eqs.groupBy(f => (f.equalityCols, f.partition)).toSeq
+      .foldLeft(withSeq) { case (acc, ((cols, part), files)) =>
+        val delSchema = StructType(cols.map(c => StructField(c, byName(c))))
+        val delDf = files.map { f =>
+          spark.read.schema(delSchema).parquet(f.path)
+            .select(cols.map(c => col(c).as(s"__eq_$c")) :+
+              lit(f.seq).as("__eq_seq"): _*)
+        }.reduce(_ unionAll _)
+        val keyCond = cols.map(c => acc(c) <=> delDf(s"__eq_$c")).reduce(_ && _)
+        val cond = part.toSeq.foldLeft(keyCond && (acc("__graft_seq") < delDf("__eq_seq"))) {
+          case (c, (k, null)) => c && acc(k).isNull
+          case (c, (k, v)) => c && (acc(k) <=> lit(v).cast(byName(k)))
+        }
+        acc.join(delDf, cond, "left_anti")
+      }
+    out.drop("__sq_nk", "__graft_seq")
   }
 
   /** The file subset [[read]] would open for `dataFilter` — exposed so
@@ -388,18 +487,17 @@ object Iceberg {
     writeManifest(metadataDir(tablePath).resolve(manifestName), df.schema, partCols,
       byName, newFiles.toSeq, removedAsDeleted, snapshotId, rawStats, fieldIds)
 
-    // 3. manifest list: new manifest + (on append) the prior snapshot's
-    //    manifests carried forward
-    val priorManifests: Seq[(String, Long)] =
+    // 3. manifest list: new manifest (at the new data sequence number) +
+    //    (on append) the prior snapshot's manifests carried forward with
+    //    the seqs they were added at
+    val nextSeq = nextSequenceNumber(prior.map(_._1), formatVersion)
+    val priorManifests: Seq[(String, Long, Long)] =
       if (mode == "append")
         prior.flatMap { case (m, st) =>
           if (st.snapshotId == -1) None
           else m.get("snapshots").elements().asScala
             .find(_.get("snapshot-id").asLong == st.snapshotId)
-            .map { sn =>
-              readAvro(resolve(tablePath, sn.get("manifest-list").asText))
-                .map(r => (r.get("manifest_path").toString, r.get("manifest_length").asInstanceOf[Long]))
-            }
+            .map(sn => readManifestListEntries(tablePath, sn.get("manifest-list").asText))
         }.getOrElse(Nil)
       else Nil
     val manifestListName = s"snap-$snapshotId.avro"
@@ -407,7 +505,7 @@ object Iceberg {
     Files.createDirectories(mlPath.getParent)
     val manifestFullPath = metadataDir(tablePath).resolve(manifestName).toString
     writeManifestList(mlPath,
-      (manifestFullPath, Files.size(Paths.get(manifestFullPath))) +: priorManifests,
+      (manifestFullPath, Files.size(Paths.get(manifestFullPath)), nextSeq) +: priorManifests,
       snapshotId)
 
     // 4. new metadata json + version hint
@@ -477,15 +575,15 @@ object Iceberg {
     val candidates = st.files.filter(f => keep(f.stats, f.partition))
     if (candidates.isEmpty) return (st.snapshotId, 0L)
     val hit = coalesce(pred, lit(false))
-    // (path, pos) of matching rows, minus rows already tombstoned — a
-    // repeated DELETE over the same predicate is a no-op, not a second
-    // tombstone for the same position
-    val delRows = minusTombstones(spark,
+    // (path, pos) of matching rows, minus rows already dead (position OR
+    // equality deletes) — a repeated DELETE over the same predicate is a
+    // no-op, not a second tombstone for the same position
+    val delRows = subtractDeletes(spark,
         PartitionedFiles.readWithPartitions(
           spark, st.schema, st.partitionFields,
           candidates.map(_.path), candidates.map(_.partition),
           sourceCol = Some("__graft_src"), posCol = Some("__graft_pos")),
-        st.deleteFiles)
+        st.schema, candidates, st.deleteFiles)
       .filter(hit)
       .select(col("__graft_src").as("file_path"), col("__graft_pos").as("pos"))
     // delete files are scoped by the partition tuple of their TARGET data
@@ -518,28 +616,75 @@ object Iceberg {
       DataFileRef(f.relPath, f.rowCount, f.sizeBytes, f.partitionValues, None, content = 1))
     val deleted = delFiles.map(_.recordCount).sum
     if (deleted == 0) return (st.snapshotId, 0L)
+    (commitDeleteSnapshot(tablePath, meta, st, byName, delFiles.toSeq), deleted)
+  }
 
-    // new snapshot: one delete manifest + every prior manifest carried
-    // forward untouched (no data file changes)
+  /** Merge-on-read row-level DELETE by key (spec §Equality Delete Files):
+    * every table row whose values null-safe-match a row of `keys` on the
+    * key columns is deleted, WITHOUT rewriting data files or even reading
+    * them — write cost is O(keys), the cheapest delete the spec offers
+    * (position deletes still scan the table to find ordinals; at 100 TB
+    * an id-list purge under equality MoR writes kilobytes and touches
+    * nothing else). The delete is stamped with the new commit's sequence
+    * number, so rows APPENDED AFTER it with the same keys survive — the
+    * delete-then-reinsert upsert pattern. `keys`' columns must be a
+    * subset of the table's columns. Requires format-version 2. Returns
+    * (snapshotId, distinct key rows written). */
+  def deleteEquality(spark: SparkSession, tablePath: String, keys: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val meta = readMetadata(tablePath)
+    require(meta.get("format-version").asInt >= 2,
+      s"equality deletes require a format-version 2 Iceberg table: $tablePath " +
+        "(create with write(..., formatVersion = 2))")
+    val st = state(tablePath)
+    val cols = keys.columns.toSeq
+    require(cols.nonEmpty, "equality delete requires at least one key column")
+    val bad = cols.filterNot(st.schema.fieldNames.contains)
+    require(bad.isEmpty, s"equality delete columns not in table schema: ${bad.mkString(", ")}")
+    val byName = st.schema.fields.map(f => f.name -> f.dataType).toMap
+    val typed = keys.select(cols.map(c => col(c).cast(byName(c)).as(c)): _*).distinct()
+    val staged = PartitionedFiles.stageAndMove(
+      typed, tablePath, Nil, subDir = "data", countRows = true)
+    // empty partition tuple = global scope (this writer's only shape;
+    // the reader also honors partition-scoped deletes from other engines)
+    val nextSeq = nextSequenceNumber(Some(meta), 2)
+    val delFiles = staged.filter(_.rowCount > 0).map(f =>
+      DataFileRef(f.relPath, f.rowCount, f.sizeBytes, Map.empty, None,
+        content = 2, seq = nextSeq, equalityCols = cols))
+    val keyRows = delFiles.map(_.recordCount).sum
+    if (keyRows == 0) return (st.snapshotId, 0L)
+    val schemaNode = currentSchemaNode(meta)
+    val fieldIds = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    (commitDeleteSnapshot(tablePath, meta, st, byName, delFiles.toSeq, fieldIds), keyRows)
+  }
+
+  /** Commit a delete-file-only snapshot: one new manifest holding
+    * `delFiles` at the next sequence number + every prior manifest
+    * carried forward untouched (no data-file changes). */
+  private def commitDeleteSnapshot(
+      tablePath: String,
+      meta: JsonNode,
+      st: TableState,
+      byName: Map[String, DataType],
+      delFiles: Seq[DataFileRef],
+      fieldIds: Map[String, Int] = Map.empty): Long = {
+    val nextSeq = nextSequenceNumber(Some(meta), 2)
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
     val manifestName = s"manifest-$snapshotId.avro"
     writeManifest(metadataDir(tablePath).resolve(manifestName), st.schema,
-      st.partitionFields, byName, delFiles.toSeq, Nil, snapshotId)
+      st.partitionFields, byName, delFiles, Nil, snapshotId, Map.empty, fieldIds)
     val curSnap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == st.snapshotId)
       .getOrElse(sys.error(s"current snapshot ${st.snapshotId} missing from metadata"))
-    val priorManifests = readAvro(resolve(tablePath, curSnap.get("manifest-list").asText))
-      .map { r =>
-        val p = resolve(tablePath, r.get("manifest_path").toString)
-        (p, Files.size(Paths.get(p)))
-      }
+    val priorManifests = readManifestListEntries(tablePath, curSnap.get("manifest-list").asText)
     val mlPath = metadataDir(tablePath).resolve(s"snap-$snapshotId.avro")
     val mfp = metadataDir(tablePath).resolve(manifestName).toString
     writeManifestList(mlPath,
-      (mfp, Files.size(Paths.get(mfp))) +: priorManifests, snapshotId)
+      (mfp, Files.size(Paths.get(mfp)), nextSeq) +: priorManifests, snapshotId)
     publishMetadata(tablePath, Some(meta), st.schema, st.partitionFields,
       snapshotId, mlPath, "delete")
-    (snapshotId, deleted)
+    snapshotId
   }
 
   private def dml(
@@ -556,15 +701,16 @@ object Iceberg {
     if (candidates.isEmpty) return (st.snapshotId, 0L)
     val hit = coalesce(pred, lit(false))
 
-    // one distributed pass: matches per candidate file. Position-deleted
-    // rows are excluded FIRST — a CoW DELETE/UPDATE on a v2 table must
-    // not resurrect (or double-count) rows already tombstoned.
-    val matches: Map[String, Long] = minusTombstones(spark,
+    // one distributed pass: matches per candidate file. Rows already dead
+    // (position OR equality deletes) are excluded FIRST — a CoW
+    // DELETE/UPDATE on a v2 table must not resurrect (or double-count)
+    // rows already tombstoned.
+    val matches: Map[String, Long] = subtractDeletes(spark,
         PartitionedFiles.readWithPartitions(
           spark, st.schema, st.partitionFields,
           candidates.map(_.path), candidates.map(_.partition),
           sourceCol = Some("__graft_src"), posCol = Some("__graft_pos")),
-        st.deleteFiles)
+        st.schema, candidates, st.deleteFiles)
       .groupBy(col("__graft_src"))
       .agg(sum(when(hit, 1L).otherwise(0L)).as("__m"))
       .collect()
@@ -574,13 +720,15 @@ object Iceberg {
     if (touchedRefs.isEmpty) return (st.snapshotId, 0L)
     val touchedAbs = touchedRefs.map(f => norm(f.path)).toSet
 
-    // rewrite only the touched files (again minus tombstoned rows)
-    val slice = minusTombstones(spark,
+    // rewrite only the touched files (again minus already-dead rows; the
+    // rewritten files land at the NEW sequence number, so older equality
+    // deletes correctly stop applying to them)
+    val slice = subtractDeletes(spark,
         PartitionedFiles.readWithPartitions(
           spark, st.schema, st.partitionFields,
           touchedRefs.map(_.path), touchedRefs.map(_.partition),
           sourceCol = Some("__graft_src"), posCol = Some("__graft_pos")),
-        st.deleteFiles)
+        st.schema, touchedRefs, st.deleteFiles)
       .drop("__graft_src", "__graft_pos")
     val staged = PartitionedFiles.stageAndMove(
       rewrite(slice, hit), tablePath, st.partitionFields, subDir = "data", countRows = true)
@@ -608,17 +756,20 @@ object Iceberg {
     val curSnap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == st.snapshotId)
       .getOrElse(sys.error(s"current snapshot ${st.snapshotId} missing from metadata"))
-    val priorManifests = readAvro(resolve(tablePath, curSnap.get("manifest-list").asText))
-      .map(r => r.get("manifest_path").toString)
+    val priorManifests = readManifestListEntries(tablePath, curSnap.get("manifest-list").asText)
     def entryPath(e: GenericRecord): String =
       norm(resolve(tablePath,
         e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
-    val carried: Seq[(String, Long)] = priorManifests.zipWithIndex.map { case (mp, i) =>
+    // a rewritten carried manifest keeps its ORIGINAL sequence number:
+    // its surviving entries were added at that seq, and equality-delete
+    // scoping reads the seq back from the manifest list
+    val carried: Seq[(String, Long, Long)] = priorManifests.zipWithIndex.map {
+      case ((mp, _, seq), i) =>
       val abs = resolve(tablePath, mp)
       val entries = readAvro(abs)
       val hasLiveTouched = entries.exists(e =>
         e.get("status").asInstanceOf[Int] != 2 && touchedAbs(entryPath(e)))
-      if (!hasLiveTouched) (abs, Files.size(Paths.get(abs)))
+      if (!hasLiveTouched) (abs, Files.size(Paths.get(abs)), seq)
       else {
         val dst = metadataDir(tablePath).resolve(s"manifest-$snapshotId-rw$i.avro")
         val reader = new DataFileReader[GenericRecord](
@@ -633,13 +784,14 @@ object Iceberg {
             writer.append(e)
           } finally writer.close()
         } finally reader.close()
-        (dst.toString, Files.size(dst))
+        (dst.toString, Files.size(dst), seq)
       }
     }
     val mlPath = metadataDir(tablePath).resolve(s"snap-$snapshotId.avro")
     val mfp = metadataDir(tablePath).resolve(manifestName).toString
     writeManifestList(mlPath,
-      (mfp, Files.size(Paths.get(mfp))) +: carried, snapshotId)
+      (mfp, Files.size(Paths.get(mfp)), nextSequenceNumber(Some(meta), 2)) +: carried,
+      snapshotId)
     publishMetadata(tablePath, Some(meta), st.schema, st.partitionFields,
       snapshotId, mlPath, "overwrite")
     (snapshotId, changed)
@@ -916,7 +1068,8 @@ object Iceberg {
               {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
           {"name":"upper_bounds","type":["null",{"type":"array","items":
             {"type":"record","name":"k129_v130","fields":[
-              {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null}
+              {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
+          {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
         ]}}
       ]}""")
 
@@ -926,8 +1079,29 @@ object Iceberg {
         {"name":"manifest_path","type":"string"},
         {"name":"manifest_length","type":"long"},
         {"name":"partition_spec_id","type":"int"},
-        {"name":"added_snapshot_id","type":["null","long"],"default":null}
+        {"name":"added_snapshot_id","type":["null","long"],"default":null},
+        {"name":"sequence_number","type":["null","long"],"default":null}
       ]}""")
+
+  /** Prior snapshot's manifest list as (raw path, length, sequence
+    * number) — seq 0 when the list predates sequence tracking (v1). */
+  private def readManifestListEntries(tablePath: String, mlPath: String): Seq[(String, Long, Long)] =
+    readAvro(resolve(tablePath, mlPath)).map { r =>
+      val seq = Option(r.getSchema.getField("sequence_number"))
+        .flatMap(_ => Option(r.get("sequence_number")))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      (r.get("manifest_path").toString, r.get("manifest_length").asInstanceOf[Long], seq)
+    }
+
+  /** The data sequence number the NEXT commit will be stamped with —
+    * matches the bump [[publishMetadata]] performs (v2 tables track
+    * `last-sequence-number`; v1 tables stay at 0). */
+  private def nextSequenceNumber(meta: Option[JsonNode], formatVersion: Int): Long =
+    meta match {
+      case Some(m) =>
+        if (m.has("last-sequence-number")) m.get("last-sequence-number").asLong + 1 else 0L
+      case None => if (formatVersion == 2) 1L else 0L
+    }
 
   private def writeManifest(
       path: Path,
@@ -974,6 +1148,14 @@ object Iceberg {
         data.put("record_count", f.recordCount)
         data.put("file_size_in_bytes", f.sizeBytes)
         data.put("block_size_in_bytes", 128L * 1024 * 1024)
+        if (f.content == 2) {
+          val ids = new java.util.ArrayList[Integer]()
+          f.equalityCols.foreach { c =>
+            ids.add(Int.box(fieldIds.getOrElse(c,
+              sys.error(s"equality column $c has no field id"))))
+          }
+          data.put("equality_ids", ids)
+        }
         rawStats.get(f.path).foreach { raw =>
           def kv(item: AvroSchema, id: Int, v: AnyRef): GenericRecord = {
             val r = new GenericData.Record(item)
@@ -1006,16 +1188,20 @@ object Iceberg {
     } finally writer.close()
   }
 
-  private def writeManifestList(path: Path, manifests: Seq[(String, Long)], snapshotId: Long): Unit = {
+  /** `manifests` are (path, length, sequence number) — a carried-forward
+    * manifest keeps the seq it was ADDED at (that is what its entries
+    * inherit on read); only the new snapshot's manifest gets the new seq. */
+  private def writeManifestList(path: Path, manifests: Seq[(String, Long, Long)], snapshotId: Long): Unit = {
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestListSchema))
     writer.create(manifestListSchema, path.toFile)
-    try manifests.foreach { case (mp, len) =>
+    try manifests.foreach { case (mp, len, seq) =>
       val r = new GenericData.Record(manifestListSchema)
       r.put("manifest_path", mp)
       r.put("manifest_length", len)
       r.put("partition_spec_id", 0)
       r.put("added_snapshot_id", snapshotId)
+      r.put("sequence_number", seq)
       writer.append(r)
     } finally writer.close()
   }

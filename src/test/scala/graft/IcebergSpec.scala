@@ -9,7 +9,7 @@ import graft.sources.Iceberg
 
 /** Iceberg source/sink (open-spec implementation): append/overwrite
   * snapshots via Avro manifests, snapshot time travel, partition pruning,
-  * schema JSON round-trip, delete-file rejection. */
+  * schema JSON round-trip, v2 merge-on-read position + equality deletes. */
 class IcebergSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
@@ -251,15 +251,16 @@ class IcebergSpec extends AnyFunSuite {
     assert(after.filter(col("score") > 1000).count() == 40)
   }
 
-  test("equality deletes (content=2) are rejected loudly, not misread") {
+  test("an equality-delete entry without equality_ids is rejected loudly, not misread") {
     import scala.jdk.CollectionConverters._
     import org.apache.avro.file.{DataFileReader, DataFileWriter}
     import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
-    val path = freshDir("v2_eqdel")
+    val path = freshDir("v2_eqdel_bad")
     Iceberg.write(fixture(0, 20), path, formatVersion = 2)
     Iceberg.deletePositions(spark, path, col("id") === 1L)
-    // flip the delete manifest's content 1 → 2 in place: the reader must
-    // refuse (equality deletes need equality_ids + sequence scoping)
+    // flip the delete manifest's content 1 → 2 in place WITHOUT setting
+    // equality_ids: the reader must refuse (it cannot know the key
+    // columns), never silently drop or keep rows
     val mdir = Paths.get(path, "metadata")
     Files.list(mdir).iterator().asScala
       .filter(_.getFileName.toString.startsWith("manifest-")).foreach { mf =>
@@ -281,10 +282,61 @@ class IcebergSpec extends AnyFunSuite {
           try entries.foreach(w.append) finally w.close()
         }
       }
-    // the failure surfaces from an executor task — search the cause chain
     val e = intercept[Throwable](Iceberg.read(spark, path).count())
     val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
       .map(t => String.valueOf(t.getMessage)).mkString(" | ")
-    assert(msgs.contains("equality deletes not implemented"), s"wrong failure: $msgs")
+    assert(msgs.contains("equality delete file without equality_ids"), s"wrong failure: $msgs")
+  }
+
+  test("equality deletes remove matching rows; later appends with the same keys survive") {
+    val path = freshDir("v2_eqdel")
+    Iceberg.write(fixture(0, 100).repartitionByRange(2, col("id")), path,
+      formatVersion = 2)                                               // seq 1
+    val before = Iceberg.state(path).snapshotId
+    val (_, nKeys) = Iceberg.deleteEquality(spark, path,
+      Seq(1, 2).toDF("bucket"))                                        // seq 2
+    assert(nKeys == 2)
+    // data files untouched — merge-on-read
+    val st = Iceberg.state(path)
+    assert(st.deleteFiles.exists(_.content == 2), "expected an equality delete file")
+    assert(st.files.size == 2, "data files must not be rewritten")
+    // 10 new rows, buckets 0..3 — the bucket-1/2 rows were appended AFTER
+    // the delete (higher data sequence number) and must survive
+    Iceberg.write(fixture(200, 210), path)                             // seq 3
+    val after = Iceberg.read(spark, path)
+    assert(after.count() == 60, "50 survivors of batch 1 + all 10 appended")
+    assert(after.filter(col("id") < 100 && col("bucket").isin(1, 2)).count() == 0)
+    assert(after.filter(col("id") >= 200).count() == 10)
+    // time travel to before the delete still sees every original row
+    assert(Iceberg.read(spark, path, snapshotId = Some(before)).count() == 100)
+  }
+
+  test("equality deletes use null-safe matching on multi-column keys") {
+    val path = freshDir("v2_eqdel_null")
+    val df = Seq(
+      (1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "name")
+    Iceberg.write(df, path, formatVersion = 2)
+    Iceberg.deleteEquality(spark, path,
+      Seq("a", null.asInstanceOf[String]).toDF("name"))
+    val left = Iceberg.read(spark, path).select("id").as[Long].collect().sorted.toSeq
+    assert(left == Seq(3L), s"null keys must match null values, got $left")
+  }
+
+  test("CoW update on a table with equality deletes does not resurrect dead rows") {
+    val path = freshDir("v2_eqdel_dml")
+    Iceberg.write(fixture(0, 50).repartitionByRange(2, col("id")), path,
+      formatVersion = 2)                                               // seq 1
+    Iceberg.deleteEquality(spark, path, Seq(1).toDF("bucket"))         // seq 2
+    // ids ≡ 1 (mod 4) are dead: 1, 5, ..., 49 → 13 rows
+    val (_, updated) = Iceberg.update(spark, path,
+      Map("score" -> (col("score") + 1000)), col("id") < 20)
+    assert(updated == 15, s"ids 0..19 minus 5 dead bucket-1 rows = 15, got $updated")
+    val after = Iceberg.read(spark, path)
+    assert(after.count() == 37, "50 - 13 equality-deleted rows")
+    assert(after.filter(col("bucket") === 1).count() == 0,
+      "the CoW rewrite must not resurrect equality-deleted rows")
+    // id=0 lands at exactly 1000.0 (0*1.5 + 1000); untouched scores top out at 73.5
+    assert(after.filter(col("score") >= 1000).count() == 15)
   }
 }
