@@ -82,6 +82,38 @@ object Dedup {
     corpus.filter(clean(gramHashes(col(textCol))))
   }
 
+  /** Corpus-level LINE deduplication (the CCNet/C4 boilerplate-removal
+    * step; ref surface: the reference's text-dedup pipeline family,
+    * `daft/functions` text ops): drop every line that appears verbatim in
+    * at least `minDocFreq` DISTINCT documents (cookie banners, nav menus,
+    * subscribe prompts), then reassemble each document from its surviving
+    * lines in original order. Documents whose every line is boilerplate
+    * disappear (CCNet's behavior).
+    *
+    * Scale shape: posexplode → per-(line-hash, doc) distinct →
+    * count(distinct docs) per hash is two shuffled aggs with map-side
+    * combine, all on 8-byte xxhash64 keys (the shuffle never carries line
+    * text twice); the frequent set is proportional to BOILERPLATE lines,
+    * not corpus size, so AQE broadcasts the anti-join side when small;
+    * reassembly is one groupBy over surviving lines. No driver-side
+    * state. 64-bit hash collisions (~n²/2⁶⁵) could at worst drop an
+    * innocent line alongside a hot one. Returns (idCol, textCol). */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__i", "__ln")))
+    val hot = lines.select(xxhash64(col("__ln")).as("__h"), col(idCol))
+      .distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__h")
+    lines.join(hot, xxhash64(col("__ln")) === hot("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__i"), col("__ln")))),
+          x => x.getField("__ln")), "\n").as(textCol))
+  }
+
   /** Exact dedup: keep the first row (min of `keepBy`) per duplicate group
     * — plain hash groupBy, fully distributed. */
   def exact(df: DataFrame, dupCols: Seq[String], keepBy: String): DataFrame = {

@@ -58,6 +58,43 @@ object Pipeline {
       |SELECT count(*) AS n_clean, CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM corp WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin
 
+  // ---- dedup: corpus-level line dedup (CCNet/C4 boilerplate removal) ----
+  // The synthetic documents are single-line, so the fixture builds
+  // multi-line docs DETERMINISTICALLY (both engines construct the same
+  // input): a banner + footer planted on every doc (df = |docs|), a
+  // subscribe prompt on every third doc (df ≈ |docs|/3), and a per-doc
+  // unique ref line. At minDocFreq=50 the three boilerplate lines die,
+  // the original text and ref lines survive in order.
+  def dedup_lines(s: SparkSession, dir: String): DataFrame = {
+    val synth = t(s, dir).documents.select(col("doc_id"),
+      concat_ws("\n",
+        lit("ACCEPT COOKIES TO CONTINUE"),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("SUBSCRIBE TO OUR NEWSLETTER"))
+          .otherwise(concat(lit("ref-"), col("doc_id"))),
+        lit("ALL RIGHTS RESERVED")).as("text"))
+    Dedup.dedupLines(synth, "doc_id", "text", minDocFreq = 50)
+      .orderBy("doc_id")
+  }
+
+  val dedupLinesSql =
+    """WITH synth AS (
+      |  SELECT doc_id,
+      |    'ACCEPT COOKIES TO CONTINUE' || chr(10) || text || chr(10) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER'
+      |          ELSE 'ref-' || doc_id END) || chr(10) || 'ALL RIGHTS RESERVED' AS text
+      |  FROM documents
+      |), e AS (
+      |  SELECT doc_id, generate_subscripts(ls, 1) AS i, unnest(ls) AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth)
+      |), f AS (
+      |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM e)
+      |  GROUP BY line HAVING count(*) >= 50
+      |)
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+      |FROM e WHERE line NOT IN (SELECT line FROM f)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- dedup: n-gram jaccard (exact inverted-index pipeline) ----
   def dedup_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir).documents, "doc_id", "text", n = 3, threshold = 0.2)
@@ -382,6 +419,30 @@ object Pipeline {
   val similarityIvfRecallSql =
     "SELECT CAST(50 AS BIGINT) AS n_exact_pairs, true AS recall_ok"
 
+  // ---- similarity search: IVF-PQ (ADC + exact refine) recall bound ----
+  // The 100 TB ANN shape: probed-cell candidates score on m=8 product-
+  // quantizer codes (never the raw vectors); only refine·k finalists per
+  // query fetch raw vectors for the exact re-rank. Recall is necessarily
+  // ≤ plain IVF over the same cells (the PQ handoff can drop true
+  // neighbors), so the bound is looser than similarity_ivf_recall's.
+  def similarity_ivfpq_recall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val exact = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = Similarity.ivfPqTopK(q, c, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 10, m = 8, ksub = 32, refine = 8)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    exact.join(pq, col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+      .agg(
+        count(lit(1)).as("n_exact_pairs"),
+        (count(col("n2")) >= 15).as("recall_ok")) // ≥30% of top-5s via PQ codes
+  }
+
+  val similarityIvfpqRecallSql =
+    "SELECT CAST(50 AS BIGINT) AS n_exact_pairs, true AS recall_ok"
+
   // ---- text analysis: tokens / quality / language id ----
   def text_stats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(t(s, dir).documents, "text")
@@ -549,6 +610,7 @@ object Pipeline {
     "curate_lm_score" -> (curate_lm_score _),
     "curate_pack_sequences" -> (curate_pack_sequences _),
     "dedup_exact" -> (dedup_exact _),
+    "dedup_lines" -> (dedup_lines _),
     "dedup_decontaminate" -> (dedup_decontaminate _),
     "dedup_ngram_jaccard" -> (dedup_ngram_jaccard _),
     "dedup_ngram_jaccard_dfcap" -> (dedup_ngram_jaccard_dfcap _),
@@ -566,6 +628,7 @@ object Pipeline {
     "text_repetition" -> (text_repetition _),
     "similarity_topk" -> (similarity_topk _),
     "similarity_ivf_recall" -> (similarity_ivf_recall _),
+    "similarity_ivfpq_recall" -> (similarity_ivfpq_recall _),
     "text_stats" -> (text_stats _),
     "text_fingerprint" -> (text_fingerprint _),
     "shard" -> (shard _),
@@ -577,6 +640,7 @@ object Pipeline {
     "curate_lm_score" -> curateLmScoreSql,
     "curate_pack_sequences" -> curatePackSequencesSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_lines" -> dedupLinesSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_ngram_jaccard_dfcap" -> dedupNgramJaccardDfcapSql,
@@ -594,6 +658,7 @@ object Pipeline {
     "text_repetition" -> textRepetitionSql,
     "similarity_topk" -> similarityTopkSql,
     "similarity_ivf_recall" -> similarityIvfRecallSql,
+    "similarity_ivfpq_recall" -> similarityIvfpqRecallSql,
     "text_stats" -> textStatsSql,
     "text_fingerprint" -> textFingerprintSql,
     "shard" -> shardSql,

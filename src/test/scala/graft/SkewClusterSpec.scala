@@ -21,6 +21,26 @@ class SkewClusterSpec extends AnyFunSuite {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("dedupLines drops corpus-frequent lines, keeps order, drops all-boilerplate docs") {
+    // banner in all 5 docs (df=5 ≥ 3); "promo" in 3 docs (df=3 ≥ 3);
+    // unique bodies survive. Doc 4 is banner+promo only → disappears.
+    // Doc 0 repeats its own body line twice: within-doc repetition counts
+    // ONCE toward document frequency, so it survives (df=1) — both copies.
+    val docs = Seq(
+      (0L, "BANNER\nbody zero\nbody zero\npromo"),
+      (1L, "BANNER\nbody one\npromo"),
+      (2L, "BANNER\nbody two\npromo"),
+      (3L, "BANNER\nbody three"),
+      (4L, "BANNER\npromo")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text", minDocFreq = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, "body zero\nbody zero"),
+      (1L, "body one"),
+      (2L, "body two"),
+      (3L, "body three")))
+  }
+
   test("ngram jaccard df-cap bounds the candidate blowup from a hot shingle") {
     // 60 docs all share one boilerplate trigram ("aa bb cc"); each also has
     // a unique tail. Without a cap the hot shingle alone self-joins into
