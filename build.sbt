@@ -31,8 +31,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 24g default: the machine has 128 GiB and the k=1000 bench tier (13 GB
+// parquet input) needs sort + broadcast headroom across 32 local tasks —
+// at 8g the q16 SMJ sort and the q18 AQE broadcast build both hit
+// UNABLE_TO_ACQUIRE_MEMORY. Max heap is reserved lazily, so tests and
+// small runs pay nothing for the larger ceiling.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -113,10 +113,17 @@ object Bench {
     def drain(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val headline = (1 to 10).map(i => s"q$i")
+    // SPARK_GRAFT_BENCH_ONLY="q16,q18" restricts both sets — a profiling
+    // convenience for re-measuring one query without the full sweep; the
+    // driver never sets it, so official runs always measure everything.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def keep(n: String): Boolean = only.isEmpty || only(n)
+    val headline = (1 to 10).map(i => s"q$i").filter(keep)
     // q11..q22 have correctness coverage but would otherwise carry no scale
     // signal; timed once per scaled tier (single rep bounds bench time)
-    val extended = (11 to 22).map(i => s"q$i")
+    val extended = (11 to 22).map(i => s"q$i").filter(keep)
 
     def warm(dir: String): Unit = {
       ensureAlive()
