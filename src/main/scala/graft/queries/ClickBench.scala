@@ -316,7 +316,63 @@ object ClickBench {
       |GROUP BY event_type, model
       |ORDER BY u DESC, event_type ASC, model ASC LIMIT 10""".stripMargin
 
+  /** Q40 shape: a CASE-derived group key alongside stored keys (hits'
+    * Src = CASE WHEN ... THEN Referer ELSE '' END) with an OFFSET page. */
+  def cb_case_group_key(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .filter(col("event_type") =!= "view")
+      .groupBy(col("event_type"),
+        when(pmod(col("user_id"), lit(4)) === 0, substring(col("props"), 1, 8))
+          .otherwise(lit("")).as("src"))
+      .agg(count(lit(1)).as("page_views"))
+      .orderBy(col("page_views").desc, col("event_type").asc, col("src").asc)
+      .offset(10)
+      .limit(10)
+
+  val cbCaseGroupKeySql =
+    """SELECT event_type,
+      |  CASE WHEN user_id % 4 = 0 THEN substring(props, 1, 8) ELSE '' END AS src,
+      |  count(*) AS page_views
+      |FROM events WHERE event_type <> 'view'
+      |GROUP BY event_type, src
+      |ORDER BY page_views DESC, event_type ASC, src ASC LIMIT 10 OFFSET 10""".stripMargin
+
+  /** Q41/42 shape: highly selective conjunctive filter (IN-list + modular
+    * point predicate) feeding a (key, date) rollup with an OFFSET page. */
+  def cb_selective_page(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .filter(col("event_type").isin("click", "error") &&
+        pmod(col("user_id"), lit(97)) === 3)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("page_views"))
+      .orderBy(col("page_views").desc, col("user_id").asc, col("d").asc)
+      .offset(5)
+      .limit(10)
+
+  val cbSelectivePageSql =
+    """SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS page_views
+      |FROM events
+      |WHERE event_type IN ('click', 'error') AND user_id % 97 = 3
+      |GROUP BY user_id, d
+      |ORDER BY page_views DESC, user_id ASC, d ASC LIMIT 10 OFFSET 5""".stripMargin
+
+  /** Q24 shape: SELECT * row-level top-k — FULL-WIDTH rows (all six
+    * columns, including the wide props string) through TakeOrdered. */
+  def cb_star_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .filter(col("props").like("""%"k": 2%"""))
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .limit(10)
+
+  val cbStarTopkSql =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM events
+      |WHERE props LIKE '%"k": 2%' ORDER BY ts ASC, event_id ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cb_case_group_key" -> (cb_case_group_key _),
+    "cb_selective_page" -> (cb_selective_page _),
+    "cb_star_topk" -> (cb_star_topk _),
     "cb_scan_aggs" -> (cb_scan_aggs _),
     "cb_cardinalities" -> (cb_cardinalities _),
     "cb_top_types" -> (cb_top_types _),
@@ -339,6 +395,9 @@ object ClickBench {
     "cb_ua_cardinality" -> (cb_ua_cardinality _))
 
   val oracle: Map[String, String] = Map(
+    "cb_case_group_key" -> cbCaseGroupKeySql,
+    "cb_selective_page" -> cbSelectivePageSql,
+    "cb_star_topk" -> cbStarTopkSql,
     "cb_scan_aggs" -> cbScanAggsSql,
     "cb_cardinalities" -> cbCardinalitiesSql,
     "cb_top_types" -> cbTopTypesSql,

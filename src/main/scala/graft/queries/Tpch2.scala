@@ -143,20 +143,40 @@ object Tpch2 {
     * (brand, type, size-band), excluding one brand. */
   def q16(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    // countDistinct(l_suppkey) by part attributes only consumes DISTINCT
-    // (partkey, suppkey) pairs — distinct lineitem FIRST (narrow 2-column
-    // shuffle with map-side collapse of the ~7x per-pair repetition), so
-    // the part join and the distinct-aggregate expansion both run on the
-    // reduced pair set instead of all of lineitem (158.9 -> measured
-    // fraction at the SF100-equivalent tier). part scales with the data:
-    // shuffle-merge, never broadcast.
-    val pairs = tt.lineitem.select("l_partkey", "l_suppkey").distinct()
-    pairs
-      .join(tt.part.filter(col("p_brand") =!= "Brand#3").hint("shuffle_merge"),
-        col("l_partkey") === col("p_partkey"))
-      .withColumn("size_band", floor(col("p_size") / 10).cast("int"))
-      .groupBy("p_brand", "p_type", "size_band")
-      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+    // Two facts shape the plan: (a) lineitem's (partkey, suppkey) pairs are
+    // ~98.5% distinct here, so a pre-distinct buys nothing yet costs a full
+    // fact shuffle; (b) there are only ~900 distinct (brand, type, size_band)
+    // groups however large part grows (attribute domains are fixed). So tag
+    // each part with a dense int gid via a broadcast of that tiny group dim,
+    // and every fact-wide stage moves 12-16 byte int rows: one shuffle to
+    // hash-join part (shuffle_hash — no 100TB-side sort, unlike SMJ), one
+    // shuffle to dedup (gid, suppkey). The count-by-gid and the final sort
+    // then run on ~900 rows. part scales with the data: never broadcast.
+    val part = tt.part.filter(col("p_brand") =!= "Brand#3")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        floor(col("p_size") / 10).cast("int").as("size_band"))
+    val dim = graft.ops.Caches.lease(
+      part.select("p_brand", "p_type", "size_band").distinct()
+        .withColumn("gid", row_number().over(
+          Window.orderBy("p_brand", "p_type", "size_band"))))
+    val partG = part.join(broadcast(dim), Seq("p_brand", "p_type", "size_band"))
+      .select("p_partkey", "gid")
+    tt.lineitem.select("l_partkey", "l_suppkey")
+      .join(partG.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+      .select("gid", "l_suppkey")
+      // pre-repartition on the dedup keys: (gid, suppkey) pairs are ~98%
+      // distinct, so the map-side partial aggregate a bare .distinct()
+      // plans cannot collapse anything — it just builds a scan-task-sized
+      // hash map (6M+ entries/task at the SF100-equivalent tier) that
+      // spills 44 GB. Shuffling raw rows first moves BOTH dedup hash maps
+      // behind the exchange onto AQE-coalesced (advisory-sized) partitions:
+      // same exchange count, same bytes, zero-spill maps. 82.9 -> 51.3 s
+      // at k=1000.
+      .repartition(col("gid"), col("l_suppkey"))
+      .distinct()
+      .groupBy("gid").agg(count(lit(1)).as("supplier_cnt"))
+      .join(broadcast(dim), Seq("gid"))
+      .select(col("p_brand"), col("p_type"), col("size_band"), col("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_type").asc,
         col("size_band").asc)
   }

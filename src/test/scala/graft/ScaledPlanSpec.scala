@@ -142,6 +142,28 @@ class ScaledPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q16 hash-joins part and never sorts or broadcasts the fact side") {
+    // the round-6 rewrite: part is a FACT (scales with the data) joined
+    // via ShuffledHashJoin — broadcasting it dies at 100 TB, and the old
+    // SMJ sorted 600M pairs (the 8 GB-heap OOM). The only broadcasts
+    // allowed are the ~900-row group dim.
+    val p = planFull("q16")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q16: part join must be a shuffled hash join:\n$p")
+    val offending = p.linesIterator
+      .filter(_.contains("BroadcastHashJoin"))
+      .filter(l => l.contains("[l_partkey#") || l.contains("[p_partkey#"))
+      .toSeq
+    assert(offending.isEmpty,
+      s"q16: part key set broadcast:\n${offending.mkString("\n")}")
+    val factSorts = p.linesIterator
+      .filter(_.contains("Sort ["))
+      .filter(l => l.contains("l_partkey#") || l.contains("l_suppkey#"))
+      .toSeq
+    assert(factSorts.isEmpty,
+      s"q16: fact-side sort reintroduced:\n${factSorts.mkString("\n")}")
+  }
+
   test("no headline query plans a cartesian product at bench scale") {
     val offenders = (1 to 10).map(i => s"q$i").filter(q =>
       plan(q).contains("CartesianProduct"))
