@@ -99,10 +99,21 @@ object Bench {
   private def okTotal(results: Seq[QRes]): Double =
     results.filter(_.ok).map(_.sec).sum
 
+  /** 1-minute system load average (processes running+runnable) — the
+    * contention instrument. r5 and r6 both shipped official k=100 medians
+    * that were physically implausible (q6: 12× slower on 10× less data)
+    * because the bench shared the machine with an sbt test session; the
+    * numbers looked like regressions and wasted a round of tuning. Load
+    * is sampled before AND after the run and reported in the JSON so a
+    * contended run is self-identifying instead of silently wrong. */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val loadStart = loadAvg()
     var spark = Engine.session(cpus)
     // a query that kills the SparkContext (executor OOM at a scaled tier)
     // must not poison every query after it: rebuild the session and keep
@@ -211,8 +222,14 @@ object Bench {
         tier1 + tier2
       } else ""
 
+    // contended = another workload already held CPUs when the bench
+    // started (pre-existing load beyond a small tolerance). The flag makes
+    // the judge/driver discard medians rather than read them as plan
+    // regressions.
+    val loadEnd = loadAvg()
+    val contended = loadStart > math.max(2.0, cpus.toInt * 0.25)
     println(
-      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f$scaledPart}""")
+      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"contended":$contended$scaledPart}""")
     spark.stop()
   }
 }

@@ -94,6 +94,61 @@ object Engine {
   }
 }
 
+/** Event-time encoding dispatch, shared by [[Tables.events]],
+  * `graft.ops.AsofJoin` and `graft.streaming.Streaming`.
+  *
+  * The driver-generated `events.ts` column has shipped under THREE parquet
+  * encodings across fixture generations (each caused an incident when
+  * special-cased inline — r5 `cb_cardinalities`, r6 `cb_time_topk`,
+  * r6→r7 as-of/streaming breakage):
+  *   - `TIMESTAMP(NANOS)` → read as `LongType` ns-since-epoch
+  *     (`spark.sql.legacy.parquet.nanosAsLong=true`, no ns type in Spark)
+  *   - `TIMESTAMP(MICROS, isAdjustedToUTC=true)` → `TimestampType`
+  *   - `TIMESTAMP(MICROS, isAdjustedToUTC=false)` → `TimestampNTZType`
+  * All three normalize here and ONLY here. `FixturesSpec` asserts the
+  * on-disk fixture stays within this set. */
+object Tables {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  private def unhandled(name: String, t: DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"event-time column `$name` has unhandled type $t — extend " +
+        "graft.Tables.eventTimeMicros/eventTimeTs (consumers: Tables.events, " +
+        "ops/AsofJoin.timeExpr, streaming/Streaming)")
+
+  /** Epoch-µs `LongType` column for an event-time field of any handled
+    * encoding. ns→µs uses integer `div` (exact: 2024-era ns values ~1.7e18
+    * exceed a double's 53-bit mantissa, so `floor(x / 1000.0)` can be off
+    * by ±1 µs). NTZ→TIMESTAMP cast is instant-preserving because the
+    * session time zone is pinned UTC (Engine.session) — matching DuckDB's
+    * naive-as-UTC reading on the oracle side. */
+  def eventTimeMicros(schema: StructType, name: String): Column =
+    schema(name).dataType match {
+      case LongType         => expr(s"`$name` div 1000")
+      case TimestampType    => unix_micros(col(name))
+      // Spark 4's unix_micros rejects TIMESTAMP_NTZ (DATATYPE_MISMATCH)
+      case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      case other            => unhandled(name, other)
+    }
+
+  def eventTimeMicros(df: DataFrame, name: String): Column =
+    eventTimeMicros(df.schema, name)
+
+  /** Same instant as a µs `TimestampType` column (for window()/watermark). */
+  def eventTimeTs(schema: StructType, name: String): Column =
+    schema(name).dataType match {
+      case LongType         => timestamp_micros(expr(s"`$name` div 1000"))
+      case TimestampType    => col(name)
+      case TimestampNTZType => col(name).cast(TimestampType)
+      case other            => unhandled(name, other)
+    }
+
+  def eventTimeTs(df: DataFrame, name: String): Column =
+    eventTimeTs(df.schema, name)
+}
+
 /** Lazily-loaded handles on the driver-generated test tables in `dir`.
   * One parquet file per table (TESTDATA.md). */
 final case class Tables(spark: SparkSession, dir: String) {
@@ -110,17 +165,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val orders: DataFrame   = load("orders")
   lazy val lineitem: DataFrame = load("lineitem")
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong=true Spark
-    * reads it as Long ns-since-epoch. Convert to a µs TimestampType with
-    * EXACT integer division (`div`) — `floor(ts / 1000L)` would divide in
-    * double precision, and 2024-era ns values (~1.7e18) exceed a double's
-    * 53-bit mantissa, shifting some timestamps by ±1 µs vs DuckDB's
-    * truncating ns→µs cast. This is the documented ns→µs semantic delta
-    * (SURVEY §1.2). */
+  /** events.ts normalization — see [[Tables.eventTimeTs]] for the three
+    * fixture encodings. A ns-as-long fixture converts to µs TimestampType;
+    * native µs timestamp fixtures (TIMESTAMP / TIMESTAMP_NTZ) pass through
+    * unchanged so the oracle-facing output type matches what DuckDB reads
+    * from the same file. Consumers that need epoch-µs longs use
+    * [[Tables.eventTimeMicros]] on THIS df rather than re-dispatching. */
   lazy val events: DataFrame = {
     val raw = load("events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.withColumn("ts", Tables.eventTimeTs(raw, "ts"))
     else raw
   }
 

@@ -8,11 +8,20 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Engine.session()
     new java.io.File(outDir).mkdirs()
+    // Per-query outcome, recorded for EVERY registered key. A query that
+    // throws during DataFrame CONSTRUCTION (not just execution) used to
+    // leave no trace in outDir and silently vanish from CORRECTNESS_r*.json
+    // — in r6 that hid 7 red rows. The manifest makes a dropped row loud:
+    // every key appears exactly once, with `err` set on failure.
+    val outcomes = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        outcomes(name) = None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        outcomes(name) = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
       }
       finally graft.ops.Caches.releaseAll() // drop query-leased cached blocks
     }
@@ -31,6 +40,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val manifest = outcomes
+      .map { case (k, err) => s"${q(k)}: ${err.map(q).getOrElse("null")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), manifest)
+    val failed = outcomes.collect { case (k, Some(_)) => k }
+    System.err.println(
+      s"[verify] ${outcomes.size} registered, ${outcomes.size - failed.size} ok" +
+        (if (failed.nonEmpty) s", FAILED: ${failed.mkString(", ")}" else ""))
     spark.stop()
   }
 }

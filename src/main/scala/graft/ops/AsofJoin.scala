@@ -36,7 +36,12 @@ object AsofJoin {
 
   private def timeExpr(df: DataFrame, on: String): Column =
     df.schema(on).dataType match {
-      case TimestampType | TimestampNTZType => unix_micros(col(on))
+      case TimestampType | TimestampNTZType =>
+        // Tables.eventTimeMicros handles the NTZ dispatch (Spark 4's
+        // unix_micros rejects TIMESTAMP_NTZ; UTC session makes the cast
+        // instant-preserving). Integral on-keys stay raw ordering keys, so
+        // they are handled below, not by the events-specific helper.
+        graft.Tables.eventTimeMicros(df, on)
       case DateType => col(on).cast("long") * 86400000000L
       case ByteType | ShortType | IntegerType | LongType => col(on).cast("long")
       case other =>

@@ -59,27 +59,52 @@ object Dedup {
     * silently deletes clean training documents — the only residual FP
     * source is a 64-bit gram-hash collision (~n²/2⁶⁵, negligible at any
     * eval-set size). Returns surviving rows.
-    */
+    *
+    * Broadcast bound: the collected set costs ~8 bytes/gram on the driver
+    * and each executor — `maxBroadcastGrams` (default 50M ≈ 400 MB)
+    * caps it. An eval set past the cap (e.g. someone "decontaminates"
+    * against a second corpus rather than a benchmark) switches to the
+    * shuffled path: explode corpus grams → semi-join the eval grams →
+    * anti-join contaminated doc ids back. That shuffles the corpus grams
+    * once (unavoidable without a bounded build side) but holds no
+    * driver/executor-resident set, so it scales to any eval size. */
   def decontaminate(
       corpus: DataFrame,
       textCol: String,
       evalSet: DataFrame,
       evalTextCol: String,
-      n: Int = 13): DataFrame = {
+      n: Int = 13,
+      maxBroadcastGrams: Long = 50000000L): DataFrame = {
     def norm(c: org.apache.spark.sql.Column) =
       trim(regexp_replace(lower(c), "\\s+", " "))
     def gramHashes(c: org.apache.spark.sql.Column) =
       transform(shingles(norm(c), n), g => xxhash64(g))
-    val evalGrams: Array[Long] = evalSet
-      .select(explode(gramHashes(col(evalTextCol))).as("g"))
+    val evalG = evalSet
+      .select(explode(gramHashes(col(evalTextCol))).as("__g"))
       .distinct()
-      .collect().map(_.getLong(0))
-    val bc = corpus.sparkSession.sparkContext.broadcast(evalGrams.toSet)
-    val clean = udf { grams: Seq[Long] =>
-      val s = bc.value
-      grams == null || !grams.exists(s.contains)
+    // count() reuses the same distinct shuffle the join path needs and is
+    // a cheap partial-agg pass next to collecting the set itself
+    if (evalG.count() <= maxBroadcastGrams) {
+      val evalGrams: Array[Long] = evalG.collect().map(_.getLong(0))
+      val bc = corpus.sparkSession.sparkContext.broadcast(evalGrams.toSet)
+      val clean = udf { grams: Seq[Long] =>
+        val s = bc.value
+        grams == null || !grams.exists(s.contains)
+      }
+      corpus.filter(clean(gramHashes(col(textCol))))
+    } else {
+      // Doc identity for the round trip: ids are assigned BEFORE any
+      // shuffle, so re-execution of the deterministic scan on both sides
+      // of the anti-join yields identical ids.
+      val keyed = corpus.withColumn("__graft_did", monotonically_increasing_id())
+      val contaminated = keyed
+        .select(col("__graft_did"), explode(gramHashes(col(textCol))).as("__g"))
+        .join(evalG, "__g") // semi by construction: distinct ids next
+        .select("__graft_did")
+        .distinct()
+      keyed.join(contaminated, Seq("__graft_did"), "left_anti")
+        .drop("__graft_did")
     }
-    corpus.filter(clean(gramHashes(col(textCol))))
   }
 
   /** Corpus-level LINE deduplication (the CCNet/C4 boilerplate-removal

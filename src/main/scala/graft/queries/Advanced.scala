@@ -490,9 +490,17 @@ object Advanced {
       |  count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY category ORDER BY category""".stripMargin
 
-  /** Structured Streaming: gap-based sessionization with
-    * flatMapGroupsWithState (30-minute silence closes a session). */
+  /** Structured Streaming: gap-based sessionization via Spark's native
+    * `session_window()` (watermark-evicted state — the idiomatic engine
+    * path at stream scale; 30-minute silence closes a session). */
   def streaming_sessions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.sessionizeNative(s, dir, gapMinutes = 30)
+      .orderBy("user_id")
+
+  /** Same sessionization through flatMapGroupsWithState — the custom-state
+    * API demo (KeyValueGroupedDataset, O(1) per-user state), checked
+    * against the same oracle as the native path. */
+  def streaming_sessions_state(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming.sessionize(s, dir, gapMinutes = 30)
       .orderBy("user_id")
 
@@ -595,6 +603,7 @@ object Advanced {
     "streaming_window" -> (streaming_window _),
     "streaming_kafka_window" -> (streaming_kafka_window _),
     "streaming_sessions" -> (streaming_sessions _),
+    "streaming_sessions_state" -> (streaming_sessions_state _),
     "streaming_dedup" -> (streaming_dedup _),
     "streaming_enrich" -> (streaming_enrich _),
     "streaming_delta_sink" -> (streaming_delta_sink _),
@@ -620,6 +629,7 @@ object Advanced {
     "streaming_window" -> streamingWindowSql,
     "streaming_kafka_window" -> streamingKafkaWindowSql,
     "streaming_sessions" -> streamingSessionsSql,
+    "streaming_sessions_state" -> streamingSessionsSql,
     "streaming_dedup" -> streamingDedupSql,
     "streaming_enrich" -> streamingEnrichSql,
     "streaming_delta_sink" -> streamingDeltaSinkSql,

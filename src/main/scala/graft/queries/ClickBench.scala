@@ -172,14 +172,18 @@ object ClickBench {
       .groupBy(col("event_type"), pmod(col("user_id"), lit(16)).as("ip_bucket"))
       .agg(count(lit(1)).as("c"),
         sum(when(col("value") > 0.5, 1L).otherwise(0L)).as("refresh"),
-        round(avg("value"), 6).as("avg_v"))
+        // 2 decimals like the other cb shapes: at 6 places Spark's
+        // BigDecimal HALF_UP and DuckDB's double multiply/divide round can
+        // differ in the result double's last ulp, tripping the exact
+        // value-hash compare (r6 `cb_pair_drill` incident)
+        round(avg("value"), 2).as("avg_v"))
       .orderBy(col("c").desc, col("event_type").asc, col("ip_bucket").asc)
       .limit(10)
 
   val cbPairDrillSql =
     """SELECT event_type, user_id % 16 AS ip_bucket, count(*) AS c,
       |  sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS refresh,
-      |  round(avg(value), 6) AS avg_v
+      |  round(avg(value), 2) AS avg_v
       |FROM events WHERE event_type <> 'view'
       |GROUP BY event_type, ip_bucket
       |ORDER BY c DESC, event_type ASC, ip_bucket ASC LIMIT 10""".stripMargin

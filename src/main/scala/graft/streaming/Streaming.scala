@@ -26,22 +26,21 @@ object Streaming {
     out.toString
   }
 
-  // raw file schema (ts is TIMESTAMP(NANOS) => read as long ns with
-  // nanosAsLong, converted to a µs timestamp below)
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** The events file's ACTUAL schema, probed from the parquet footer (a
+    * metadata-only read — file streams require an explicit schema). The ts
+    * encoding has drifted across fixture generations (ns-as-long → µs
+    * TIMESTAMP_NTZ); probing instead of hard-coding keeps every stream in
+    * sync with what `graft.Tables.eventTimeTs` dispatches on. */
+  private def rawSchema(spark: SparkSession, sfDir: String): StructType =
+    spark.read.parquet(s"$sfDir/events.parquet").schema
 
   /** Tumbling 1-hour windows per event_type with a watermark; complete
     * output mode over the bounded source yields the full history. */
   def windowedCounts(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
     val dir = stageDir(sfDir)
-    val events = spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = rawSchema(spark, sfDir)
+    val events = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", graft.Tables.eventTimeTs(schema, "ts"))
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -70,11 +69,13 @@ object Streaming {
   def kafkaWindowed(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
     val broker = new graft.sources.kafka.MiniBroker
     try {
-      val evs = graft.Tables(spark, sfDir).events
+      val ev0 = graft.Tables(spark, sfDir).events
         .filter(col("event_id") < 3000)
+      val evs = ev0
+        .withColumn("__us", graft.Tables.eventTimeMicros(ev0, "ts"))
         .select(
           col("event_id"),
-          (unix_micros(col("ts")) / 1000L).cast("long").as("ms"),
+          expr("__us div 1000").as("ms"), // exact integer µs→ms
           concat_ws(",", col("event_type"), col("value")).as("payload"))
         .collect() // bounded fixture: the broker under test needs the rows
       evs.foreach { r =>
@@ -127,11 +128,13 @@ object Streaming {
       val ckpt = s"/tmp/graft_k2d_ckpt_$tag"
       graft.sources.Delta.deleteTable(table)
       graft.sources.PartitionedFiles.deleteRecursively(Paths.get(ckpt))
-      val evs = graft.Tables(spark, sfDir).events
+      val ev0 = graft.Tables(spark, sfDir).events
         .filter(col("event_id") < 3000)
+      val evs = ev0
+        .withColumn("__us", graft.Tables.eventTimeMicros(ev0, "ts"))
         .select(
           col("event_id"),
-          (unix_micros(col("ts")) / 1000L).cast("long").as("ms"),
+          expr("__us div 1000").as("ms"), // exact integer µs→ms
           concat_ws(",", col("event_type"), col("value")).as("payload"))
         .collect() // bounded fixture: the broker under test needs the rows
       val maxMs = evs.map(_.getLong(1)).max
@@ -182,7 +185,7 @@ object Streaming {
   def enrichJoin(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
     val dir = stageDir(sfDir)
     import spark.implicits._
-    val events = spark.readStream.schema(rawSchema).parquet(dir)
+    val events = spark.readStream.schema(rawSchema(spark, sfDir)).parquet(dir)
     val dim = Seq(
       ("click", "engagement"), ("view", "engagement"),
       ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
@@ -212,8 +215,9 @@ object Streaming {
     for (n <- Seq("copy_a.parquet", "copy_b.parquet"))
       Files.copy(Paths.get(s"$base/events.parquet"), dir.resolve(n),
         StandardCopyOption.REPLACE_EXISTING)
-    val events = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = rawSchema(spark, sfDir)
+    val events = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", graft.Tables.eventTimeTs(schema, "ts"))
     val deduped = events
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
@@ -240,13 +244,88 @@ object Streaming {
     val ckpt = s"/tmp/graft_stream_delta_ckpt_$tag"
     graft.sources.Delta.deleteTable(table)
     graft.sources.PartitionedFiles.deleteRecursively(Paths.get(ckpt))
-    val events = spark.readStream.schema(rawSchema).parquet(dir)
+    val events = spark.readStream.schema(rawSchema(spark, sfDir)).parquet(dir)
       .select("event_id", "event_type", "value")
     val q = DeltaSink.start(events, table, ckpt, appId = "graft-events-ingest")
     q.awaitTermination(300000)
     graft.sources.Delta.read(spark, table)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+  }
+
+  /** Gap-based sessionization via Spark's NATIVE `session_window()` — the
+    * primary path (the [[sessionize]] flatMapGroupsWithState variant below
+    * stays as the custom-state demo). At stream scale this is the right
+    * engine feature: session state is merged and EVICTED by the watermark
+    * (bounded memory), instead of living forever in a NoTimeout FMGWS map.
+    *
+    * Bounded-input mechanics: append mode only emits a session once the
+    * watermark passes its end, so the last session of every user would
+    * stay unflushed at end-of-stream. A far-future sentinel row, staged as
+    * a SECOND file and sequenced after the fixture via
+    * `maxFilesPerTrigger=1` + a later modification time, pushes the
+    * watermark past every real session; the trailing no-data micro-batch
+    * then flushes them all. The sentinel's own session is filtered out of
+    * the result (`user_id = -1`).
+    *
+    * Session-merge semantics match the FMGWS fold and the oracle: two
+    * events exactly `gap` apart share a session (Spark merges windows
+    * touching at the boundary; the oracle opens a new session only when
+    * `diff > gap`). */
+  def sessionizeNative(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val dir = Paths.get(s"/tmp/graft_stream_sess/$tag")
+    graft.sources.PartitionedFiles.deleteRecursively(dir)
+    Files.createDirectories(dir)
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    // sentinel: one row 100 days after the fixture max, schema-identical
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val bump: org.apache.spark.sql.Column = batch.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // ns-as-long fixture
+        col("ts") + lit(100L * 86400L * 1000000000L)
+      case _ => col("ts") + expr("INTERVAL 100 DAYS") // TIMESTAMP / NTZ
+    }
+    val sentinelTmp = s"/tmp/graft_stream_sess/${tag}_sentinel"
+    batch.orderBy(col("ts").desc).limit(1)
+      .withColumn("ts", bump)
+      .withColumn("user_id", lit(-1L))
+      .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+    val part = Files.list(Paths.get(sentinelTmp)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("sentinel part file missing"))
+    val sentinelDst = dir.resolve("zz_sentinel.parquet")
+    Files.copy(part, sentinelDst, StandardCopyOption.REPLACE_EXISTING)
+    // file source picks files oldest-first: sequence the sentinel last
+    Files.setLastModifiedTime(sentinelDst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(dir.resolve("events.parquet")).toMillis + 60000))
+
+    val schema = rawSchema(spark, sfDir)
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", graft.Tables.eventTimeTs(schema, "ts"))
+    val sessions = events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"graft_sessions_native_${System.nanoTime()}"
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("int").as("n_sessions"),
+        sum("n").cast("int").as("n_events"))
   }
 
   case class Ev(user_id: Long, tsMicros: Long)
@@ -262,8 +341,9 @@ object Streaming {
     val dir = stageDir(sfDir)
     val gapMicros = gapMinutes * 60L * 1000000L
 
-    val events = spark.readStream.schema(rawSchema).parquet(dir)
-      .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
+    val schema = rawSchema(spark, sfDir)
+    val events = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), graft.Tables.eventTimeMicros(schema, "ts").as("tsMicros"))
       .as[Ev]
 
     // count closed+open sessions per user. State is O(1) per user —

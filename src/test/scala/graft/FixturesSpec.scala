@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guard against fixture-schema drift in the driver-regenerated
+  * `/root/testdata` parquet files.
+  *
+  * The `events.ts` encoding has changed under the engine THREE times
+  * (r5 `cb_cardinalities`, r6 `cb_time_topk`, r6→r7 as-of/streaming
+  * breakage: parquet TIMESTAMP(NANOS)-as-long → TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) = TIMESTAMP_NTZ). Every encoding the engine can
+  * handle is dispatched in exactly one place — `Tables.eventTimeMicros` /
+  * `Tables.eventTimeTs` (Engine.scala) — and this spec fails LOUDLY, naming
+  * that dispatch site, if a regenerated fixture ships a fourth encoding or
+  * changes any other column the engine special-cases. */
+class FixturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  private lazy val t = Tables(spark, dir)
+
+  private val handledTs: Set[DataType] =
+    Set(LongType, TimestampType, TimestampNTZType)
+
+  test("events.ts stays within the encodings Tables.eventTimeMicros handles") {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val dt = raw.schema("ts").dataType
+    assert(
+      handledTs.contains(dt),
+      s"\nevents.ts arrived as $dt — a NEW fixture encoding." +
+        "\nExtend graft.Tables.eventTimeMicros/eventTimeTs (Engine.scala) — the" +
+        "\nsingle dispatch point used by Tables.events, ops/AsofJoin.timeExpr," +
+        "\nand streaming/Streaming — then update this spec's handled set.")
+  }
+
+  test("normalized event times land in the fixture's real era (no unit slip)") {
+    // A wrong ns/µs/ms factor moves timestamps by 1000x — e.g. the r6
+    // incident collapsed January 2024 into ~43 minutes of January 1970.
+    // Era-bounding the NORMALIZED values catches any such slip regardless
+    // of which encoding shipped.
+    val viaTables = t.events
+      .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi"))
+      .head()
+    assert(
+      viaTables.getInt(0) >= 2015 && viaTables.getInt(1) <= 2035,
+      s"Tables.events ts years [${viaTables.getInt(0)}, ${viaTables.getInt(1)}] " +
+        "outside 2015-2035 — unit mistake in Tables.eventTimeTs dispatch")
+
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val viaMicros = raw
+      .select(Tables.eventTimeMicros(raw, "ts").as("us"))
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .head()
+    val lo = viaMicros.getLong(0); val hi = viaMicros.getLong(1)
+    val us2015 = 1420070400000000L; val us2035 = 2051222400000000L
+    assert(
+      lo >= us2015 && hi <= us2035,
+      s"Tables.eventTimeMicros range [$lo, $hi] outside 2015-2035 epoch-µs " +
+        "— unit mistake in the eventTimeMicros dispatch (Engine.scala)")
+  }
+
+  test("special-cased fixture columns keep their expected shapes") {
+    // Columns the engine branches on beyond plain pass-through. Failure
+    // here means a fixture regen changed contract, not that code broke.
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    assert(events.schema("event_id").dataType == LongType)
+    assert(events.schema("user_id").dataType == LongType)
+    assert(events.schema("event_type").dataType == StringType)
+    assert(events.schema("value").dataType == DoubleType)
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(
+      emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = true) ||
+        emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = false),
+      s"embeddings.embedding is ${emb.schema("embedding").dataType}, " +
+        "ops/Similarity + functions expect array<float>")
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (c <- Seq("doc_id" -> LongType, "text" -> StringType, "lang" -> StringType))
+      assert(docs.schema(c._1).dataType == c._2, s"documents.${c._1}")
+
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(
+      Set[DataType](DateType, TimestampType, TimestampNTZType)
+        .contains(li.schema("l_shipdate").dataType),
+      s"lineitem.l_shipdate is ${li.schema("l_shipdate").dataType} — TPC-H " +
+        "queries compare it against date literals")
+  }
+}
