@@ -169,4 +169,32 @@ class ScaledPlanSpec extends AnyFunSuite {
       plan(q).contains("CartesianProduct"))
     assert(offenders.isEmpty, s"CartesianProduct at bench scale in: $offenders")
   }
+
+  test("q21 hash-joins the facts and adds no exchange between join and window") {
+    // The r7 shape: lineitem SHJ orders (build side = unique-keyed orders,
+    // no skew, bounded build) replaced an SMJ whose two fact sorts spilled
+    // 29.9 GB at the SF100-equivalent tier (238 s -> 94.5 s, zero spill).
+    // Pair agg, per-order window, and rollup all reuse the join's
+    // hash(l_orderkey) partitioning: exactly 3 exchanges total — the two
+    // fact shuffles and the final ~10k-row rollup.
+    val p = plan("q21")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q21: fact join must be a shuffled hash join (SMJ sorts spill):\n$p")
+    val factSorts = p.linesIterator
+      .filter(_.contains("Sort ["))
+      .filter(l => l.contains("[l_orderkey#") || l.contains("[o_orderkey#"))
+      .toSeq
+    assert(factSorts.isEmpty,
+      s"q21: SMJ fact sort reintroduced:\n${factSorts.mkString("\n")}\n$p")
+    val factBroadcasts = p.linesIterator
+      .filter(_.contains("BroadcastHashJoin"))
+      .filter(l => l.contains("[l_orderkey#") || l.contains("[o_orderkey#"))
+      .toSeq
+    assert(factBroadcasts.isEmpty,
+      s"q21: fact-side broadcast:\n${factBroadcasts.mkString("\n")}")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(exchanges <= 3,
+      s"q21: expected <= 3 exchanges (2 fact shuffles + final rollup), got $exchanges:\n$p")
+  }
 }
