@@ -200,19 +200,68 @@ object AsofJoin {
     val strat = strategy
     val tol = toleranceMicros
 
+    // STREAMING two-pointer merge: partitions arrive already sorted by
+    // (t, side) — never materialized. A left row buffers only until the
+    // first STRICTLY-later right row arrives (equal-t rights must all be
+    // seen first: backward is an inclusive bound and forward/nearest pick
+    // the last equal-t right, matching mergeSorted's array semantics), so
+    // peak memory is the left-row count between two consecutive right
+    // rows — not the partition (the r6 `it.toArray` spike). Range
+    // partitioning puts equal t values in one partition, so carry-ins are
+    // strictly outside the local time range.
     val merged = unionDs.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val rows = it.toArray
       val sums = bcSummaries.value
-      // carry-ins: latest right row from any earlier partition, earliest
-      // right row from any later partition
       val before = sums.filter(_._1 < pid).sortBy(_._1).lastOption.map(_._3)
       val after = sums.filter(_._1 > pid).sortBy(_._1).headOption.map(_._2)
-      val localRights = rows.filter(_.getInt(1) == 1)
-      val rs = (before.toArray ++ localRights ++ after.toArray)
-        .map(r => Row.fromSeq(r.toSeq.drop(2 + nLeft) :+ "" :+ r.getLong(0)))
-      val ls = rows.filter(_.getInt(1) == 0)
-        .map(r => Row.fromSeq(r.toSeq.slice(2, 2 + nLeft) :+ "" :+ r.getLong(0)))
-      mergeSorted(ls, rs, nLeft, nRight, strat, tol)
+      val nullRight = Seq.fill(nRight)(null)
+
+      def resolve(l: Row, back: Row, fwd: Row): Row = {
+        val t = l.getLong(0)
+        val pick: Row = strat match {
+          case Backward => back
+          case Forward =>
+            // exact match counts as both back and forward; back is the
+            // LAST equal-t right, which mergeSorted also picked
+            if (back != null && back.getLong(0) == t) back else fwd
+          case Nearest =>
+            (back, fwd) match {
+              case (null, f) => f
+              case (b, null) => b
+              case (b, f) =>
+                if (t - b.getLong(0) <= f.getLong(0) - t) b else f
+            }
+        }
+        val ok = pick != null &&
+          tol.forall(m => math.abs(t - pick.getLong(0)) <= m)
+        Row.fromSeq(
+          l.toSeq.slice(2, 2 + nLeft) ++
+            (if (ok) pick.toSeq.drop(2 + nLeft) else nullRight))
+      }
+
+      val pending = new scala.collection.mutable.ArrayDeque[Row]()
+      var lastRight: Row = before.orNull
+      val body = it.flatMap { row =>
+        if (row.getInt(1) == 1) {
+          val tR = row.getLong(0)
+          // lefts strictly older than this right are final (pending is in
+          // ascending t order — resolve the prefix); equal-t lefts wait
+          // for possible later equal-t rights
+          val back = lastRight
+          lastRight = row
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (pending.nonEmpty && pending.head.getLong(0) < tR)
+            out += resolve(pending.removeHead(), back, row)
+          out.iterator
+        } else {
+          pending += row
+          Iterator.empty
+        }
+      }
+      val tail = Iterator.single(()).flatMap { _ =>
+        val fwd = after.orNull
+        pending.iterator.map(l => resolve(l, lastRight, fwd))
+      }
+      body ++ tail
     }
     spark.createDataFrame(merged, outSchema)
   }
