@@ -504,6 +504,39 @@ object Advanced {
     graft.streaming.Streaming.sessionize(s, dir, gapMinutes = 30)
       .orderBy("user_id")
 
+  /** Same sessionization a THIRD way — Spark 4's `transformWithState`
+    * (StatefulProcessor + typed RocksDB-backed ValueState, the successor
+    * API to flatMapGroupsWithState), checked against the same oracle. */
+  def streaming_sessions_tws(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.sessionizeTws(s, dir, gapMinutes = 30)
+      .orderBy("user_id")
+
+  /** Structured Streaming: stream-STREAM interval join — views joined to
+    * purchases of the same user within a 1-hour attribution window; both
+    * sides watermarked so the join state is evicted, not hoarded. */
+  def streaming_join(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming
+      .streamJoin(s, dir, s"graft_ssj_${math.abs(dir.hashCode)}")
+      .orderBy("user_id")
+
+  val streamingJoinSql =
+    """SELECT v.user_id AS user_id, count(*) AS n_pairs,
+      |  round(sum(p.value), 2) AS purchase_value
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Streaming dedup with watermark-BOUNDED state
+    * (`dropDuplicatesWithinWatermark`) — the firehose-safe variant of
+    * [[streaming_dedup]]; same single-copy-counts oracle. */
+  def streaming_dedup_watermark(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming
+      .dedupWithinWatermark(s, dir, s"graft_dedupw_${math.abs(dir.hashCode)}")
+      .withColumn("total_value", round(col("total_value"), 2))
+      .orderBy("event_type")
+
   val streamingSessionsSql =
     """WITH g AS (
       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
@@ -604,7 +637,10 @@ object Advanced {
     "streaming_kafka_window" -> (streaming_kafka_window _),
     "streaming_sessions" -> (streaming_sessions _),
     "streaming_sessions_state" -> (streaming_sessions_state _),
+    "streaming_sessions_tws" -> (streaming_sessions_tws _),
+    "streaming_join" -> (streaming_join _),
     "streaming_dedup" -> (streaming_dedup _),
+    "streaming_dedup_watermark" -> (streaming_dedup_watermark _),
     "streaming_enrich" -> (streaming_enrich _),
     "streaming_delta_sink" -> (streaming_delta_sink _),
     "streaming_kafka_to_delta" -> (streaming_kafka_to_delta _))
@@ -630,7 +666,10 @@ object Advanced {
     "streaming_kafka_window" -> streamingKafkaWindowSql,
     "streaming_sessions" -> streamingSessionsSql,
     "streaming_sessions_state" -> streamingSessionsSql,
+    "streaming_sessions_tws" -> streamingSessionsSql,
+    "streaming_join" -> streamingJoinSql,
     "streaming_dedup" -> streamingDedupSql,
+    "streaming_dedup_watermark" -> streamingDedupSql,
     "streaming_enrich" -> streamingEnrichSql,
     "streaming_delta_sink" -> streamingDeltaSinkSql,
     "streaming_kafka_to_delta" -> streamingKafkaToDeltaSql)

@@ -233,6 +233,77 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Stream-STREAM interval join: the view firehose joins the purchase
+    * firehose on user within a one-hour attribution window. Both sides are
+    * watermarked and the join predicate carries an event-time range, so
+    * Spark can bound the join state — each side's buffered rows are
+    * evicted once the other side's watermark passes the range (without the
+    * time bound the state grows forever; this is THE difference between a
+    * toy and a 100 TB stream-stream join). Inner-join matches emit as soon
+    * as both rows are present (append mode); the memory-sink capture is
+    * then aggregated per user in batch for the oracle compare. */
+  def streamJoin(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    val dir = stageDir(sfDir)
+    val schema = rawSchema(spark, sfDir)
+    def side(tpe: String, a: String) =
+      spark.readStream.schema(schema).parquet(dir)
+        .withColumn("ts", graft.Tables.eventTimeTs(schema, "ts"))
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${a}_user"), col("ts").as(s"${a}_ts"),
+          col("value").as(s"${a}_value"))
+        .withWatermark(s"${a}_ts", "1 hour")
+    val views = side("view", "v")
+    val buys = side("purchase", "p")
+    val pairs = views.join(buys,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+    val q = pairs.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum("p_value"), 2).as("purchase_value"))
+  }
+
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * keeps a key in the dedup map only until the watermark passes its
+    * event time, instead of forever ([[dedupStream]]'s `dropDuplicates`
+    * state never shrinks — fine for a keyed snapshot, fatal for an
+    * unbounded firehose). The duplicated source arrives in a single
+    * micro-batch here (both copies inside every key's watermark window,
+    * trivially), so the output equals single-copy counts; at stream scale
+    * the same query runs in O(events-per-watermark-window) state. */
+  def dedupWithinWatermark(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    val base = stageDir(sfDir)
+    val dir = Paths.get(s"/tmp/graft_stream_dupw/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Files.createDirectories(dir)
+    for (n <- Seq("copy_a.parquet", "copy_b.parquet"))
+      Files.copy(Paths.get(s"$base/events.parquet"), dir.resolve(n),
+        StandardCopyOption.REPLACE_EXISTING)
+    val schema = rawSchema(spark, sfDir)
+    val events = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", graft.Tables.eventTimeTs(schema, "ts"))
+    val deduped = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+  }
+
   /** Streaming ingestion into a Delta table ([[DeltaSink]]): the events
     * stream drains through exactly-once txn-stamped micro-batch commits,
     * then the table is read back through the log-replay reader — the
@@ -376,5 +447,73 @@ object Streaming {
     q.processAllAvailable()
     q.stop()
     spark.table(name)
+  }
+
+  /** Per-user sessionization state for [[sessionizeTws]] — same O(1) shape
+    * as [[SessState]] but owned by the transformWithState processor. */
+  case class TwsSessState(lastTs: Long, sessions: Int, events: Int)
+
+  /** The same gap-session fold as [[sessionize]], expressed through Spark
+    * 4's `transformWithState` (StatefulProcessor + typed ValueState) — the
+    * successor API to flatMapGroupsWithState: state is schema'd and
+    * individually addressable (ValueState/ListState/MapState per key),
+    * TTL-capable, and backed by the RocksDB state store provider, which
+    * spills keyed state to local disk instead of holding every key on the
+    * JVM heap — at stream scale that is the difference between state
+    * bounded by disk and an OOM. Checked against the same sessions oracle
+    * as both other paths. */
+  class SessProcessor(gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Int, Int)] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[TwsSessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TwsSessState]("sess",
+        org.apache.spark.sql.Encoders.product[TwsSessState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[(Long, Int, Int)] = {
+      val sorted = rows.map(_.tsMicros).toArray.sorted
+      val st0 = if (st.exists()) st.get() else TwsSessState(Long.MinValue, 0, 0)
+      val res = sorted.foldLeft(st0) { (s, ts) =>
+        val newSession = s.events == 0 || ts - s.lastTs > gapMicros
+        TwsSessState(ts, s.sessions + (if (newSession) 1 else 0), s.events + 1)
+      }
+      st.update(res)
+      Iterator.single((uid, res.sessions, res.events))
+    }
+  }
+
+  def sessionizeTws(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val dir = stageDir(sfDir)
+    val schema = rawSchema(spark, sfDir)
+    // transformWithState requires the RocksDB provider; scope it to this
+    // query and restore whatever the session had.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = spark.readStream.schema(schema).parquet(dir)
+        .select(col("user_id"), graft.Tables.eventTimeMicros(schema, "ts").as("tsMicros"))
+        .as[Ev]
+      val counts = events
+        .groupByKey(_.user_id)
+        .transformWithState(new SessProcessor(gapMinutes * 60L * 1000000L),
+          TimeMode.None(), OutputMode.Update)
+        .toDF("user_id", "n_sessions", "n_events")
+      val name = s"graft_sessions_tws_${System.nanoTime()}"
+      val q = counts.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }

@@ -19,4 +19,15 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(native.nonEmpty)
     assert(native == fmgws)
   }
+
+  test("transformWithState sessionization agrees with the native path") {
+    val native = streaming.Streaming
+      .sessionizeNative(spark, TestSpark.sfDir, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val tws = streaming.Streaming
+      .sessionizeTws(spark, TestSpark.sfDir, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(tws.nonEmpty)
+    assert(native == tws)
+  }
 }
