@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query-name filter for local
+    // iteration (builder-only; the driver always passes two args, so the
+    // official manifest still covers every registered key)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val spark = Engine.session()
     new java.io.File(outDir).mkdirs()
     // Per-query outcome, recorded for EVERY registered key. A query that
@@ -14,7 +19,9 @@ object Verify {
     // — in r6 that hid 7 red rows. The manifest makes a dropped row loud:
     // every key appears exactly once, with `err` set on failure.
     val outcomes = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -38,6 +45,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val manifest = outcomes

@@ -37,6 +37,27 @@ object Curate {
   private def lmTokens(text: Column): Column =
     split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
 
+  /** Deterministic, content-stable train/val/test assignment: bucket each
+    * row by the first byte of `md5(id)` and cut the 256-bucket space at
+    * `floor(256*trainFrac)` / `floor(256*(trainFrac+valFrac))`.
+    *
+    * Hash-based rather than random-based on purpose: a document keeps its
+    * split across reruns, repartitions, and cluster resizes — the property
+    * that prevents train/eval leakage when a 100 TB corpus is incrementally
+    * re-processed (a `rand()`-based split reshuffles membership every run;
+    * a `monotonically_increasing_id`-based one changes with partitioning).
+    * Pure map-side: no shuffle, no state, embarrassingly parallel. */
+  def hashSplit(docs: DataFrame, idCol: String,
+      trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      "fractions must leave room for a test split")
+    val cut1 = f"${math.floor(256 * trainFrac).toInt}%02x"
+    val cut2 = f"${math.floor(256 * (trainFrac + valFrac)).toInt}%02x"
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 2)
+    docs.withColumn("split",
+      when(bucket < cut1, "train").when(bucket < cut2, "val").otherwise("test"))
+  }
+
   /** Domain mixing: deterministically downsample each domain to its
     * target share of a token/document budget (the Pile / Llama "data
     * mixture" step). For each domain d with weight w_d, keeps the FIRST

@@ -140,6 +140,41 @@ object TextAnalysis {
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
   }
 
+  /** Okapi BM25 relevance of every document against a fixed query-term
+    * set (Robertson & Walker SIGIR'94 — the standard retrieval scorer a
+    * curation pipeline uses for query-targeted corpus filtering).
+    *
+    * Scale shape: the per-token explode is map-side and immediately
+    * filtered to the query terms, so the ONLY shuffled data is
+    * O(docs-containing-a-query-term) (doc, term, tf) triples — never the
+    * full token stream. Document frequency and the corpus stats
+    * (N, avgdl) are tiny aggregates broadcast back; nothing driver-side
+    * scales with the corpus. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val tf = toks
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(queryTerms)) // before any shuffle
+      .groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy("term")
+      .agg(countDistinct(col(idCol)).cast("double").as("df_t"))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))
+      .withColumn("s",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")) * k1))
+      .groupBy(idCol)
+      .agg(round(sum("s"), 2).as("bm25"))
+  }
+
   /** Full per-document stats projection. */
   def stats(docs: DataFrame, textCol: String): DataFrame =
     docs.select(

@@ -482,6 +482,49 @@ object Pipeline {
       |       ELSE 'en' END AS lang_pred
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // ---- BM25 relevance against a fixed query-term set ----
+  def text_bm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(t(s, dir).documents, "doc_id", "text",
+        queryTerms = Seq("data", "value", "model"))
+      .orderBy("doc_id")
+
+  val textBm25Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents),
+      |dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM d),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dd),
+      |tf AS (
+      |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+      |  WHERE term IN ('data', 'value', 'model')
+      |  GROUP BY doc_id, dl, term),
+      |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df_t
+      |        FROM tf GROUP BY term)
+      |SELECT doc_id,
+      |  round(sum(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+      |    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 2) AS bm25
+      |FROM tf JOIN dft USING (term) CROSS JOIN st
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- deterministic content-stable train/val/test split ----
+  def curate_split(s: SparkSession, dir: String): DataFrame =
+    Curate.hashSplit(t(s, dir).documents, "doc_id",
+        trainFrac = 0.9, valFrac = 0.05)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      .orderBy("split")
+
+  val curateSplitSql =
+    """WITH s AS (
+      |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+      |              ELSE 'test' END AS split,
+      |         len(string_split(trim(text), ' ')) AS n_tok
+      |  FROM documents)
+      |SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   // ---- text fingerprinting: dup-collision + injectivity invariants ----
   def text_fingerprint(s: SparkSession, dir: String): DataFrame = {
     val d = docsWithDups(s, dir)
@@ -630,6 +673,8 @@ object Pipeline {
     "similarity_ivf_recall" -> (similarity_ivf_recall _),
     "similarity_ivfpq_recall" -> (similarity_ivfpq_recall _),
     "text_stats" -> (text_stats _),
+    "text_bm25" -> (text_bm25 _),
+    "curate_split" -> (curate_split _),
     "text_fingerprint" -> (text_fingerprint _),
     "shard" -> (shard _),
     "checkpoint_resume" -> (checkpoint_resume _))
@@ -660,6 +705,8 @@ object Pipeline {
     "similarity_ivf_recall" -> similarityIvfRecallSql,
     "similarity_ivfpq_recall" -> similarityIvfpqRecallSql,
     "text_stats" -> textStatsSql,
+    "text_bm25" -> textBm25Sql,
+    "curate_split" -> curateSplitSql,
     "text_fingerprint" -> textFingerprintSql,
     "shard" -> shardSql,
     "checkpoint_resume" -> checkpointResumeSql)
