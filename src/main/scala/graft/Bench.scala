@@ -156,7 +156,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED on $dir: ${e.getMessage}")
             false
         }
-        finally graft.ops.Caches.releaseAll()
+        finally graft.ops.Caches.releaseAll(blocking = true)
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 

@@ -51,8 +51,18 @@ object Profile {
       catch { case _: Throwable => () }
     }
 
+    // SPARK_GRAFT_PROFILE_EXPLAIN=1: print the executed plan before the
+    // timed drain — lets a shape question (reused exchange? broadcast?)
+    // be answered in the same pass as the numbers
+    val explain = sys.env.getOrElse("SPARK_GRAFT_PROFILE_EXPLAIN", "0") == "1"
     names.foreach { name =>
       metrics.reset()
+      if (explain) {
+        val df = SparkEntry.queries(name)(spark, dir)
+        println(s"==== $name plan ====")
+        df.explain("formatted")
+        graft.ops.Caches.releaseAll()
+      }
       val t0 = System.nanoTime()
       try drain(SparkEntry.queries(name)(spark, dir))
       finally graft.ops.Caches.releaseAll() // drop query-leased cached blocks

@@ -32,9 +32,14 @@ object Caches {
     p
   }
 
-  /** Unpersist every leased frame (non-blocking). Safe at any time. */
-  def releaseAll(): Unit = {
+  /** Unpersist every leased frame. Safe at any time. Non-blocking by
+    * default; the bench loop passes `blocking = true` so a query's cache
+    * blocks are actually gone before the NEXT query's timer starts —
+    * lazily-evicted blocks from query N otherwise inflate query N+1's
+    * memory pressure and read as spread (the q16/q18 in-suite vs solo
+    * gap). */
+  def releaseAll(blocking: Boolean = false): Unit = {
     var df = leased.poll()
-    while (df != null) { df.unpersist(blocking = false); df = leased.poll() }
+    while (df != null) { df.unpersist(blocking); df = leased.poll() }
   }
 }

@@ -139,6 +139,68 @@ object Dedup {
           x => x.getField("__ln")), "\n").as(textCol))
   }
 
+  /** Corpus-level EXACT SUBSTRING deduplication (the suffix-array dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally; ref surface: the reference's
+    * text-dedup family, `daft/functions` text ops): any token run of
+    * `windowTokens` length whose verbatim text occurs at least `minCount`
+    * times across the corpus (including twice in one document) is removed
+    * from every document containing it. Overlapping duplicated windows
+    * merge naturally (their covered-position sets union), so a long
+    * duplicated passage is excised in one piece, matching the
+    * suffix-array semantics for runs ≥ windowTokens. Documents reduced to
+    * nothing disappear (the paper drops them); untouched documents keep
+    * their text verbatim.
+    *
+    * Scale shape (the suffix array is inherently single-node; this is the
+    * distributed equivalent): window hashes are 8-byte xxhash64 keys —
+    * the duplicate-window count is one shuffled agg with map-side combine
+    * that never carries window text; token-level rework is then confined
+    * to AFFECTED documents only (everything else passes through with no
+    * token shuffle), and the covered-position expansion is proportional
+    * to DUPLICATED content, not corpus size. No driver-side state; a
+    * 64-bit collision (~n²/2⁶⁵) could at worst remove one innocent
+    * window. Returns (idCol, textCol). */
+  def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minCount: Long = 2): DataFrame = {
+    val W = windowTokens
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__t"))
+    // all W-token windows, hashed: (doc, start-pos, hash). Docs shorter
+    // than W contribute none (sequence guard — its bounds must not run
+    // backwards).
+    val wins = toks
+      .select(col(idCol), posexplode(
+        when(size(col("__t")) >= W,
+          transform(sequence(lit(0), size(col("__t")) - W),
+            i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(W))))))
+          .otherwise(array())).as(Seq("__p", "__h")))
+    // duplicated window hashes: plain count (NOT distinct docs — a window
+    // repeated twice inside one document is a duplicate too, per the
+    // paper). Near-distinct keys: map-side combine collapses the hot
+    // tail, the unique majority passes through once.
+    val dup = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__h")
+    val dupWins = wins.join(dup, Seq("__h")).select(col(idCol), col("__p"))
+    val affected = lease(dupWins.select(col(idCol)).distinct())
+    // token positions covered by some duplicated window — expansion is
+    // W rows per duplicated window, bounded by duplicated content size
+    val covered = dupWins
+      .select(col(idCol), explode(sequence(col("__p"), col("__p") + W - 1)).as("__j"))
+      .distinct()
+    // token-level rebuild only for affected docs; untouched docs keep
+    // their bytes verbatim (no token shuffle, no whitespace rewrite)
+    val rebuilt = toks.join(affected, Seq(idCol))
+      .select(col(idCol), posexplode(col("__t")).as(Seq("__j", "__tok")))
+      .join(covered, Seq(idCol, "__j"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__j"), col("__tok")))),
+          x => x.getField("__tok")), " ").as(textCol))
+    docs.select(col(idCol), col(textCol))
+      .join(affected, Seq(idCol), "left_anti")
+      .unionByName(rebuilt)
+  }
+
   /** Exact dedup: keep the first row (min of `keepBy`) per duplicate group
     * — plain hash groupBy, fully distributed. */
   def exact(df: DataFrame, dupCols: Seq[String], keepBy: String): DataFrame = {

@@ -95,6 +95,50 @@ object Pipeline {
       |FROM e WHERE line NOT IN (SELECT line FROM f)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- dedup: exact substring removal (Lee et al. 2022 suffix-array
+  // dedup, relational form) ----
+  // The fixture plants a 12-token passage on every fifth doc: its internal
+  // 8-token windows occur across all planted docs (count >= 2), so the
+  // whole passage is excised from each while the original text (and every
+  // untouched doc) survives verbatim. Naturally-repeated 8-grams in the
+  // base corpus dedup identically in both engines.
+  def dedup_substring(s: SparkSession, dir: String): DataFrame = {
+    val passage = " the quick brown fox jumps over the lazy dog again and again"
+    val synth = t(s, dir).documents.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(passage)))
+        .otherwise(col("text")).as("text"))
+    Dedup.dedupSubstrings(synth, "doc_id", "text", windowTokens = 8)
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringSql =
+    """WITH synth AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN text || ' the quick brown fox jumps over the lazy dog again and again'
+      |      ELSE text END AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM synth),
+      |wins AS (
+      |  SELECT doc_id, i, array_to_string(list_slice(w, i, i + 7), ' ') AS win
+      |  FROM (SELECT doc_id, unnest(range(1, len(w) - 6)) AS i, w
+      |        FROM t WHERE len(w) >= 8)),
+      |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+      |dw AS (SELECT doc_id, i FROM wins WHERE win IN (SELECT win FROM dup)),
+      |aff AS (SELECT DISTINCT doc_id FROM dw),
+      |cov AS (SELECT DISTINCT dw.doc_id, dw.i + ds.d AS j
+      |        FROM dw CROSS JOIN (SELECT unnest(range(0, 8)) AS d) ds),
+      |toks AS (SELECT doc_id, generate_subscripts(w, 1) AS j, unnest(w) AS tok
+      |         FROM t WHERE doc_id IN (SELECT doc_id FROM aff)),
+      |rebuilt AS (
+      |  SELECT toks.doc_id, string_agg(toks.tok, ' ' ORDER BY toks.j) AS text
+      |  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.j = cov.j
+      |  WHERE cov.doc_id IS NULL
+      |  GROUP BY toks.doc_id)
+      |SELECT doc_id, text FROM synth WHERE doc_id NOT IN (SELECT doc_id FROM aff)
+      |UNION ALL SELECT doc_id, text FROM rebuilt
+      |ORDER BY doc_id""".stripMargin
+
   // ---- dedup: n-gram jaccard (exact inverted-index pipeline) ----
   def dedup_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir).documents, "doc_id", "text", n = 3, threshold = 0.2)
@@ -654,6 +698,7 @@ object Pipeline {
     "curate_pack_sequences" -> (curate_pack_sequences _),
     "dedup_exact" -> (dedup_exact _),
     "dedup_lines" -> (dedup_lines _),
+    "dedup_substring" -> (dedup_substring _),
     "dedup_decontaminate" -> (dedup_decontaminate _),
     "dedup_ngram_jaccard" -> (dedup_ngram_jaccard _),
     "dedup_ngram_jaccard_dfcap" -> (dedup_ngram_jaccard_dfcap _),
@@ -686,6 +731,7 @@ object Pipeline {
     "curate_pack_sequences" -> curatePackSequencesSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_lines" -> dedupLinesSql,
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_ngram_jaccard_dfcap" -> dedupNgramJaccardDfcapSql,

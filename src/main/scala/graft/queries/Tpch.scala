@@ -104,7 +104,10 @@ object Tpch {
       oF.select("o_orderkey"), "o_orderkey")
     // customer scales with the data — even reduced to keys it must not
     // be broadcast (the bloom above already did the cheap reduction);
-    // pin the exact join to shuffle-merge like q5/q8/q9
+    // pin the exact join to shuffle-merge like q5/q8/q9. (A SHUFFLE_HASH
+    // variant was A/B'd at the SF100-equivalent tier in r7: with zero
+    // SMJ spill the hash builds cost MORE than the sorts — SHJ only wins
+    // where the SMJ sort spills, q16/q21.)
     cF.hint("shuffle_merge")
       .join(oF, col("c_custkey") === col("o_custkey"))
       .join(lF, col("o_orderkey") === col("l_orderkey"))
@@ -142,7 +145,8 @@ object Tpch {
     // a count-sized broadcast bloom (Spark's auto runtime filter caps the
     // creation side too low to fire at fact scale)
     val late = graft.ops.Prune.bloomSemiPrefilter(
-      tt.lineitem, "l_orderkey", o.select("o_orderkey"), "o_orderkey")
+      tt.lineitem.select("l_orderkey", "l_shipdate"), "l_orderkey",
+      o.select("o_orderkey"), "o_orderkey")
     o.join(late,
         o("o_orderkey") === late("l_orderkey") && late("l_shipdate") > o("o_orderdate"),
         "left_semi")
@@ -310,10 +314,13 @@ object Tpch {
     // part/orders/customer are FACTS (they scale with the data): pin their
     // joins to shuffle-merge — the compressed scaled fixture slips each
     // under the broadcast threshold, and broadcasting a fact is the plan
-    // that dies at 100 TB. Selective dims (nation/region) broadcast into
-    // customer first so the customer⋈orders shuffle carries only 1/5 of
-    // customers; lineitem is bloom-pruned to promo parts before its first
-    // shuffle (p_type=PROMO keeps ~1/5 of parts).
+    // that dies at 100 TB. (SHUFFLE_HASH on these builds was A/B'd in r7
+    // and lost ~2-4x: with zero SMJ spill the multi-M-row hash builds
+    // cost more than the sorts — SHJ only wins where the sort spills,
+    // q16/q21.) Selective dims (nation/region) broadcast into customer
+    // first so the customer⋈orders shuffle carries only 1/5 of
+    // customers; lineitem is bloom-pruned to promo parts before its
+    // first shuffle (p_type=PROMO keeps ~1/5 of parts).
     // partPromo and custEur each feed a bloom build plus the final join —
     // leased (one part/customer scan; released by the harness loop) and
     // projected to keys: nothing downstream reads another part column
@@ -327,14 +334,18 @@ object Tpch {
     val li = graft.ops.Prune.bloomSemiPrefilter(
       tt.lineitem, "l_partkey", partPromo.select("p_partkey"), "p_partkey")
     // orders join only EUROPE customers (1/5): bloom-prune the orders
-    // side of the big lineitem⋈orders shuffle too (customer-scale build)
+    // side of the big lineitem⋈orders shuffle too (customer-scale build);
+    // projected to the three columns q8 reads so the SHJ build rows stay
+    // narrow
     val oF = graft.ops.Prune.bloomSemiPrefilter(
-      tt.orders, "o_custkey", custEur, "c_custkey")
+      tt.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+      "o_custkey", custEur, "c_custkey")
     li
       .join(partPromo.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
       .join(oF.hint("shuffle_merge"), col("l_orderkey") === col("o_orderkey"))
       .join(custEur.hint("shuffle_merge"), col("o_custkey") === col("c_custkey"))
-      .join(tt.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(tt.supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(supNation), col("s_nationkey") === col("s_nk"))
       .withColumn("o_year", year(col("o_orderdate")).cast("long"))
       .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -368,7 +379,8 @@ object Tpch {
     val tt = t(s, dir)
     // same fact-join discipline as q8: part and orders scale with the
     // data — shuffle-merge, never broadcast; lineitem bloom-pruned to
-    // the 'red' parts before its first shuffle.
+    // the 'red' parts before its first shuffle. (SHUFFLE_HASH builds
+    // were A/B'd in r7 and lost — see q8.)
     // leased: partRed feeds the bloom count/build and the fact join;
     // projected to the key + the one measure column q9 reads
     val partRed = graft.ops.Caches.lease(
@@ -378,9 +390,11 @@ object Tpch {
       tt.lineitem, "l_partkey", partRed.select("p_partkey"), "p_partkey")
     li
       .join(partRed.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
-      .join(tt.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(tt.supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(tt.nation), col("s_nationkey") === col("n_nationkey"))
-      .join(tt.orders.hint("shuffle_merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(tt.orders.select("o_orderkey", "o_orderdate").hint("shuffle_merge"),
+        col("l_orderkey") === col("o_orderkey"))
       .withColumn("o_year", year(col("o_orderdate")).cast("long"))
       .withColumn("amount",
         col("l_extendedprice") * (lit(1) - col("l_discount")) -

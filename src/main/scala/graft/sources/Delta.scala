@@ -523,7 +523,8 @@ object Delta {
       val tmp = logDir(tablePath).resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
       try {
-        Files.move(tmp, commitFile(tablePath, attempt)) // fails if version taken
+        // hard-link claim: atomic EEXIST, never a silent rename-overwrite
+        AtomicClaim.publish(tmp, commitFile(tablePath, attempt))
         committed = attempt
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -651,7 +652,7 @@ object Delta {
     while (committed < 0) {
       val tmp = logDir(tablePath).resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-      try { Files.move(tmp, commitFile(tablePath, attempt)); committed = attempt }
+      try { AtomicClaim.publish(tmp, commitFile(tablePath, attempt)); committed = attempt }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         Files.delete(tmp)
         val latest = snapshot(spark, tablePath)
@@ -1040,7 +1041,7 @@ object Delta {
     while (committed < 0) {
       val tmp = logDir(tablePath).resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-      try { Files.move(tmp, commitFile(tablePath, attempt)); committed = attempt }
+      try { AtomicClaim.publish(tmp, commitFile(tablePath, attempt)); committed = attempt }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         Files.delete(tmp)
         val latest = snapshot(spark, tablePath)

@@ -219,13 +219,15 @@ object Hudi {
   }
 
   /** Make the instant visible atomically: stage the commit json then
-    * RENAME it in (concurrent timeline() listings either see the complete
-    * file or no file — never a partial json), then drop the markers. */
+    * hard-link-claim it in (concurrent timeline() listings either see the
+    * complete file or no file — never a partial json; a racing claimant
+    * for the same instant fails with EEXIST instead of silently
+    * replacing the winner), then drop the markers. */
   private def publishCommit(dir: Path, instant: String, action: String,
       json: Array[Byte]): Unit = {
     val tmp = dir.resolve(s".tmp-$instant-${UUID.randomUUID()}")
     Files.write(tmp, json)
-    Files.move(tmp, dir.resolve(s"$instant.$action"))
+    AtomicClaim.publish(tmp, dir.resolve(s"$instant.$action"))
     Files.deleteIfExists(dir.resolve(s"$instant.$action.requested"))
     Files.deleteIfExists(dir.resolve(s"$instant.requested"))
     Files.deleteIfExists(dir.resolve(s"$instant.$action.inflight"))

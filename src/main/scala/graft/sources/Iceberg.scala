@@ -871,14 +871,15 @@ object Iceberg {
       if (Files.exists(hint))
         new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt + 1
       else 1
-    // optimistic concurrency (the HadoopTables rename-commit contract):
-    // stage the json then RENAME it in as vN — rename is atomic (readers
-    // never see a partial metadata file) and fails if a concurrent writer
-    // already produced vN. That writer's commit was built against the
-    // same base as ours, so ours is stale: refuse, never overwrite.
+    // optimistic concurrency (the HadoopTables exclusive-commit
+    // contract): stage the json then hard-link-claim it as vN — readers
+    // never see a partial metadata file, and the claim fails atomically
+    // (EEXIST) if a concurrent writer already produced vN. That writer's
+    // commit was built against the same base as ours, so ours is stale:
+    // refuse, never overwrite.
     val tmp = metadataDir(tablePath).resolve(s".tmp-v$next-${UUID.randomUUID()}.json")
     Files.write(tmp, om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    try Files.move(tmp, metadataDir(tablePath).resolve(s"v$next.metadata.json"))
+    try AtomicClaim.publish(tmp, metadataDir(tablePath).resolve(s"v$next.metadata.json"))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
@@ -921,7 +922,7 @@ object Iceberg {
     val next = new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt + 1
     val tmp = metadataDir(tablePath).resolve(s".tmp-v$next-${UUID.randomUUID()}.json")
     Files.write(tmp, om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    try Files.move(tmp, metadataDir(tablePath).resolve(s"v$next.metadata.json"))
+    try AtomicClaim.publish(tmp, metadataDir(tablePath).resolve(s"v$next.metadata.json"))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)

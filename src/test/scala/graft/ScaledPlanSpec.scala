@@ -79,7 +79,9 @@ class ScaledPlanSpec extends AnyFunSuite {
   test("q5 never broadcasts the customer fact (forced shuffle merge join)") {
     // the compressed fixture makes customer's FILE size slip under the
     // broadcast threshold while holding 100×+ more rows than any sane
-    // broadcast — the hint pins the scale-correct SMJ plan
+    // broadcast — the hint pins the scale-correct SMJ plan (SHUFFLE_HASH
+    // was A/B'd in r7 and lost: zero SMJ spill here, so the hash builds
+    // cost more than the sorts)
     val p = plan("q5")
     assert(p.contains("SortMergeJoin"), s"customer⋈orders must shuffle:\n$p")
   }

@@ -41,6 +41,29 @@ class SkewClusterSpec extends AnyFunSuite {
       (3L, "body three")))
   }
 
+  test("dedupSubstrings excises shared >=W-token runs, keeps untouched docs verbatim") {
+    // docs 0 and 1 share an 8-token passage (planted mid-doc and at the
+    // end); doc 2 is untouched and must keep its text byte-identical
+    // (including the double space — no whitespace rewrite on the
+    // pass-through path); doc 3 repeats a window WITHIN itself (counts
+    // toward minCount); doc 4 IS the passage alone → fully covered →
+    // disappears, per Lee et al.
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val docs = Seq(
+      (0L, s"alpha beta $passage gamma"),
+      (1L, s"delta $passage"),
+      (2L, "unique text with  a double space"),
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 mid r1 r2 r3 r4 r5 r6 r7 r8"),
+      (4L, passage)).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, "doc_id", "text", windowTokens = 8)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "delta"),
+      (2L, "unique text with  a double space"),
+      (3L, "mid")))
+  }
+
   test("ngram jaccard df-cap bounds the candidate blowup from a hot shingle") {
     // 60 docs all share one boilerplate trigram ("aa bb cc"); each also has
     // a unique tail. Without a cap the hot shingle alone self-joins into
