@@ -234,7 +234,66 @@ object Windows {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Batch gaps-and-islands sessionization — the batch counterpart of the
+    * three streaming sessionization paths (native session_window / FMGWS /
+    * transformWithState): a >30-minute silence splits a user's events
+    * into sessions; one output row per session with its event count,
+    * bounds and duration.
+    *
+    * Scale shape: ONE hash shuffle on user_id feeds everything — the lag
+    * pass, the running-sum session numbering (same window partitioning,
+    * no second exchange) and the per-(user, session) aggregate (a prefix
+    * of the window partitioning). Ordering ties at equal ts are harmless:
+    * a tied row's gap is 0, so flags and session assignment are
+    * order-invariant. */
+  def window_sessionize(s: SparkSession, dir: String): DataFrame = {
+    // ts arrives in whatever encoding the fixture generation chose
+    // (long-ns | TIMESTAMP | TIMESTAMP_NTZ) — normalize through the one
+    // shared dispatch helper, never inline (three fixture incidents)
+    val raw = t(s, dir).events
+    val ev = raw.select(col("user_id"), graft.Tables.eventTimeTs(raw, "ts").as("ts"))
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    ev
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .withColumn("duration_sec",
+        expr("(unix_micros(end_ts) - unix_micros(start_ts)) div 1000000"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val windowSessionizeSql =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN prev IS NULL OR
+      |      epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev AS TIMESTAMP)) > 30*60*1000000
+      |      THEN 1 ELSE 0 END AS newf
+      |  FROM g),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM f)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  min(ts) AS start_ts, max(ts) AS end_ts,
+      |  (epoch_us(CAST(max(ts) AS TIMESTAMP)) - epoch_us(CAST(min(ts) AS TIMESTAMP))) // 1000000
+      |    AS duration_sec
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "window_sessionize" -> (window_sessionize _),
     "window_partition_only" -> (window_partition_only _),
     "window_ranks" -> (window_ranks _),
     "window_lag_lead" -> (window_lag_lead _),
@@ -246,6 +305,7 @@ object Windows {
     "window_misc" -> (window_misc _))
 
   val oracle: Map[String, String] = Map(
+    "window_sessionize" -> windowSessionizeSql,
     "window_partition_only" -> windowPartitionOnlySql,
     "window_ranks" -> windowRanksSql,
     "window_lag_lead" -> windowLagLeadSql,

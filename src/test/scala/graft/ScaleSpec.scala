@@ -114,6 +114,17 @@ class ScaleSpec extends AnyFunSuite {
       s"vocab ranking must not funnel tokens through one Window task:\n$vocabPlan")
   }
 
+  test("batch sessionization pays one data shuffle for both windows and the agg") {
+    // lag, the running-sum session numbering and the per-(user, session)
+    // aggregate must all ride the same hash(user_id) partitioning — a
+    // second data exchange means the window specs diverged. Only the
+    // final presentation orderBy may add a range exchange.
+    val plan = executedPlan(queries.Windows.window_sessionize(spark, dir))
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"sessionize: expected exactly 1 hash exchange (user_id), got $hashEx:\n$plan")
+  }
+
   test("as-of join shuffles each side once on the by-keys") {
     val plan = executedPlan(queries.AsofQueries.asof_backward(spark, dir))
     assert(!plan.contains("CartesianProduct"))
