@@ -142,6 +142,18 @@ object Bench {
       tpchTables.foreach(n => try t(n).count() catch { case _: Throwable => () })
     }
 
+    /** Fresh session + full GC before a tier: a 30-minute-old executor
+      * JVM carries fragmented heap, stale broadcast/codegen caches and
+      * lazily-evicted blocks from every earlier tier — measured as late
+      * k=1000 single-rep queries running 1.5-2x their isolated numbers
+      * (q18 101->177 s) and giant spreads. The tier should measure the
+      * PLAN, not JVM archaeology. */
+    def freshTier(): Unit = {
+      if (!spark.sparkContext.isStopped) spark.stop()
+      System.gc()
+      spark = Engine.session(cpus)
+    }
+
     /** One timed execution; leased caches are dropped afterwards so every
       * rep (and every query) measures the full computation, not a warm
       * cache from the previous run. */
@@ -157,7 +169,13 @@ object Bench {
             false
         }
         finally graft.ops.Caches.releaseAll(blocking = true)
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // outside the timer: a full GC makes ContextCleaner release the
+      // rep's now-unreferenced shuffle files immediately (its own
+      // periodic GC is 30 min apart — far too slow to keep RAM-backed
+      // local dirs bounded across a 40-execution tier)
+      System.gc()
+      (sec, ok)
     }
 
     def run(dir: String, names: Seq[String] = headline, nReps: Int = reps): Seq[QRes] =
@@ -202,9 +220,13 @@ object Bench {
         val extOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0"
         ensureAlive() // the last base-tier query may have killed the context
         val sdir = ensureScaled(spark, sfDir, k)
+        freshTier()
         warm(sdir)
-        val tier1 = tierJson("scaled", k, sdir, run(sdir),
-          if (extOn) run(sdir, extended, nReps = 1) else Nil)
+        val t1Head = run(sdir)
+        val t1Ext =
+          if (extOn) { freshTier(); warm(sdir); run(sdir, extended, nReps = 1) }
+          else Nil
+        val tier1 = tierJson("scaled", k, sdir, t1Head, t1Ext)
 
         // one decade further (default k=1000 ≈ SF100-equivalent, ~13 GB):
         // the FULL headline set — direct per-query comparison against the
@@ -216,8 +238,13 @@ object Bench {
             val k2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_K2", "1000").toInt
             ensureAlive() // tier-1's last query may have killed the context
             val sdir2 = ensureScaled(spark, sfDir, k2)
-            tierJson("scaled2", k2, sdir2, run(sdir2),
-              if (extOn) run(sdir2, extended, nReps = 1) else Nil)
+            freshTier()
+            warm(sdir2)
+            val t2Head = run(sdir2)
+            val t2Ext =
+              if (extOn) { freshTier(); warm(sdir2); run(sdir2, extended, nReps = 1) }
+              else Nil
+            tierJson("scaled2", k2, sdir2, t2Head, t2Ext)
           } else ""
         tier1 + tier2
       } else ""

@@ -43,6 +43,19 @@ object Engine {
           }))
       }
       .config("spark.sql.shuffle.partitions", cores)
+      // shuffle + spill local dirs: the default /tmp on this box rides a
+      // shared virtual disk whose throughput varies run-to-run — measured
+      // as 2-4x swings on shuffle-heavy queries (8 GB shuffles) between
+      // identical executions. RAM-backed local dirs make shuffle IO
+      // deterministic; the cluster equivalent is SPARK_LOCAL_DIRS on
+      // local NVMe. SPARK_GRAFT_LOCAL_DIR overrides ("default" keeps
+      // Spark's own choice). Spark creates a per-app subdir and removes
+      // it at shutdown, so sessions never collide or leak.
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "default") match {
+          case "default" => System.getProperty("java.io.tmpdir", "/tmp")
+          case d => d
+        })
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // start wide, coalesce down: big shuffles (10+ GB locally, TBs on a
