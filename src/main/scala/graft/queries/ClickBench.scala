@@ -280,6 +280,105 @@ object ClickBench {
     """SELECT event_id, user_id, ts AS t FROM events
       |WHERE event_type = 'error' ORDER BY t ASC, event_id ASC LIMIT 10""".stripMargin
 
+  /** windowFunnel shape (ClickHouse `windowFunnel(86400)(ts, cond1..3)`):
+    * per user, the deepest view→click→purchase chain reached in order
+    * with the purchase within 24 h of its chain's view. No self-join —
+    * two cascaded running-max passes over ONE user-partitioned sort:
+    * `last_view` = latest view at-or-before each row; a click qualifies
+    * against it; `best_v` = the best qualifying view carried through any
+    * preceding click — a purchase closes level 3 iff `t − best_v ≤ 24 h`.
+    * An exists-chain without materializing pairs: one shuffle, O(n log n)
+    * per user, the shape that survives a billion-event day. */
+  def cb_funnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DAY = 86400000000L // 24 h in µs
+    val raw = t(s, dir).events
+    val e = raw
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        Tables.eventTimeMicros(raw, "ts").as("t"))
+    val byUser = Window.partitionBy("user_id").orderBy("t", "event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lv = e
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("t"))).over(byUser))
+      .withColumn("best_v",
+        max(when(col("event_type") === "click" && col("last_view").isNotNull,
+          col("last_view"))).over(byUser))
+      .groupBy("user_id")
+      .agg(max(
+        when(col("event_type") === "purchase" && col("best_v").isNotNull &&
+          col("t") - col("best_v") <= DAY, 3)
+        .when(col("event_type") === "click" && col("last_view").isNotNull &&
+          col("t") - col("last_view") <= DAY, 2)
+        .when(col("event_type") === "view", 1)
+        .otherwise(0)).as("funnel_level"))
+    lv.groupBy("funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("funnel_level")
+  }
+
+  val cbFunnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events WHERE event_type IN ('view','click','purchase')),
+      |w1 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'view' THEN t END) OVER
+      |    (PARTITION BY user_id ORDER BY t, event_type
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+      |  FROM e),
+      |w2 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+      |                     THEN last_view END) OVER
+      |    (PARTITION BY user_id ORDER BY t, event_type
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best_v
+      |  FROM w1),
+      |lv AS (
+      |  SELECT user_id, max(CASE
+      |      WHEN event_type = 'purchase' AND best_v IS NOT NULL
+      |           AND t - best_v <= 86400000000 THEN 3
+      |      WHEN event_type = 'click' AND last_view IS NOT NULL
+      |           AND t - last_view <= 86400000000 THEN 2
+      |      WHEN event_type = 'view' THEN 1 ELSE 0 END) AS funnel_level
+      |  FROM w2 GROUP BY user_id)
+      |SELECT funnel_level, count(*) AS n_users
+      |FROM lv GROUP BY funnel_level ORDER BY funnel_level""".stripMargin
+
+  /** Retention shape (ClickHouse `retention(day0, day7, day14)`): of the
+    * users active on the cohort day, how many returned exactly 7 and 14
+    * days later. One conditional-aggregation pass per user then one
+    * global rollup — two slim shuffles, no joins. */
+  def cb_retention(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir).events
+    // floor-div via double is exact here: 2024-era epoch-µs ≈ 1.7e15,
+    // well inside a double's 53-bit mantissa
+    val day = floor(Tables.eventTimeMicros(raw, "ts") / lit(86400000000L)).cast("long")
+    val d0 = lit(19723L) // 2024-01-01 in epoch-days
+    val per = raw
+      .select(col("user_id"), day.as("d"))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("d") === d0, 1).otherwise(0)).as("a0"),
+        max(when(col("d") === d0 + 7, 1).otherwise(0)).as("a7"),
+        max(when(col("d") === d0 + 14, 1).otherwise(0)).as("a14"))
+    per.agg(
+      sum(col("a0")).as("day0_users"),
+      sum(col("a0") * col("a7")).as("retained_7d"),
+      sum(col("a0") * col("a14")).as("retained_14d"))
+  }
+
+  val cbRetentionSql =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = 19723 THEN 1 ELSE 0 END) AS a0,
+      |    max(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = 19730 THEN 1 ELSE 0 END) AS a7,
+      |    max(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = 19737 THEN 1 ELSE 0 END) AS a14
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(sum(a0) AS BIGINT) AS day0_users,
+      |  CAST(sum(a0 * a7) AS BIGINT) AS retained_7d,
+      |  CAST(sum(a0 * a14) AS BIGINT) AS retained_14d
+      |FROM per""".stripMargin
+
   /** URL-hierarchy shape: build a path string, split it, group by its
     * segments (hits' URL-prefix rollups). */
   def cb_url_hierarchy(s: SparkSession, dir: String): DataFrame =
@@ -396,7 +495,9 @@ object ClickBench {
     "cb_like_minmax" -> (cb_like_minmax _),
     "cb_time_topk" -> (cb_time_topk _),
     "cb_url_hierarchy" -> (cb_url_hierarchy _),
-    "cb_ua_cardinality" -> (cb_ua_cardinality _))
+    "cb_ua_cardinality" -> (cb_ua_cardinality _),
+    "cb_funnel" -> (cb_funnel _),
+    "cb_retention" -> (cb_retention _))
 
   val oracle: Map[String, String] = Map(
     "cb_case_group_key" -> cbCaseGroupKeySql,
@@ -421,5 +522,7 @@ object ClickBench {
     "cb_like_minmax" -> cbLikeMinmaxSql,
     "cb_time_topk" -> cbTimeTopkSql,
     "cb_url_hierarchy" -> cbUrlHierarchySql,
-    "cb_ua_cardinality" -> cbUaCardinalitySql)
+    "cb_ua_cardinality" -> cbUaCardinalitySql,
+    "cb_funnel" -> cbFunnelSql,
+    "cb_retention" -> cbRetentionSql)
 }

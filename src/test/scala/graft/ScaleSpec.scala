@@ -125,6 +125,18 @@ class ScaleSpec extends AnyFunSuite {
       s"sessionize: expected exactly 1 hash exchange (user_id), got $hashEx:\n$plan")
   }
 
+  test("funnel pays one user shuffle; both window passes and the agg ride it") {
+    // the two running-max passes and the per-user rollup share
+    // hash(user_id); only the tiny funnel_level rollup may add a second
+    // hash exchange. A third means the cascade broke into a self-join
+    // or re-partitioned between windows.
+    val plan = executedPlan(queries.ClickBench.cb_funnel(spark, dir))
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"cb_funnel: expected <= 2 hash exchanges, got $hashEx:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"cb_funnel must not materialize event pairs:\n$plan")
+  }
+
   test("as-of join shuffles each side once on the by-keys") {
     val plan = executedPlan(queries.AsofQueries.asof_backward(spark, dir))
     assert(!plan.contains("CartesianProduct"))
