@@ -47,6 +47,43 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSubstrings equals the naive suffix-scan reference on random corpora") {
+    // tiny alphabet forces natural cross- and within-doc duplicate
+    // windows; the relational pipeline must match a direct in-memory
+    // implementation of the Lee et al. semantics exactly
+    val W = 3
+    val docGen: Gen[List[String]] = Gen.listOfN(24,
+      Gen.choose(0, 9).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("x", "y", "z")).map(_.mkString(" "))))
+    for (texts <- samples(docGen, 6)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      import spark.implicits._
+      val got = graft.ops.Dedup
+        .dedupSubstrings(docs.toDF("doc_id", "text"), "doc_id", "text", windowTokens = W)
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+
+      // naive reference: count every W-token window string globally,
+      // mark covered positions, rebuild; empty docs disappear
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val counts = toks.flatMap { case (_, w) =>
+        if (w.length >= W) w.sliding(W).map(_.mkString(" ")).toSeq else Nil
+      }.groupBy(identity).map { case (k, v) => k -> v.length }
+      val expected = toks.flatMap { case (id, w) =>
+        val dupStarts = if (w.length >= W)
+          (0 to w.length - W).filter(i => counts(w.slice(i, i + W).mkString(" ")) >= 2)
+        else Nil
+        if (dupStarts.isEmpty) Some(id -> w.mkString(" "))
+        else {
+          val covered = dupStarts.flatMap(p => p until p + W).toSet
+          val kept = w.zipWithIndex.collect { case (t, j) if !covered(j) => t }
+          if (kept.isEmpty) None else Some(id -> kept.mkString(" "))
+        }
+      }
+      assert(got == expected.sortBy(_._1),
+        s"mismatch on corpus: ${docs.take(5)}...")
+    }
+  }
+
   test("groupBy sum equals per-key scala sum") {
     for (rows <- samples(rowsGen, 8); if rows.nonEmpty) {
       val got = mkDf(rows)
