@@ -75,8 +75,17 @@ object Bench {
   /** Per-query result over `reps` repetitions: `sec` is the MEDIAN (robust
     * to a contended machine — single runs misled tuning in r5: quiet-machine
     * 162 s vs driver-run 247 s on the same tier), `spread` is max−min over
-    * the successful reps. */
-  private case class QRes(name: String, sec: Double, spread: Double, ok: Boolean)
+    * the reps the stability gate selected. `unstable` = the spread still
+    * exceeds the gate after bounded retries, so the median is suspect. */
+  private case class QRes(name: String, sec: Double, spread: Double, ok: Boolean,
+      unstable: Boolean = false)
+
+  /** Stability gate (r5/r6/r7 all shipped contention-garbage medians with
+    * `contended:false` — the load-average heuristic alone misses a load
+    * that ARRIVES mid-run): a query's selected reps must agree within
+    * max(50% of median, 2 s) or the result is marked unstable and the
+    * whole artifact `contended`. */
+  private def spreadBound(med: Double): Double = math.max(0.5 * med, 2.0)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -93,6 +102,37 @@ object Bench {
 
   private def jsonFailed(results: Seq[QRes]): String =
     results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+
+  private def jsonUnstable(results: Seq[QRes]): String =
+    results.filter(_.unstable).map("\"" + _.name + "\"").mkString("[", ",", "]")
+
+  /** Per-stage task-metric aggregation for the stage dump (r7 #6: q16's
+    * 51→155 s quiet swings carried no evidence of WHERE the time went).
+    * Queries in SPARK_GRAFT_BENCH_STAGE_DUMP get one JSONL line per rep
+    * with their top stages by executor run time. */
+  private final class StageAgg extends org.apache.spark.scheduler.SparkListener {
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        val a = stages.computeIfAbsent(t.stageId, _ => new Array[Long](6))
+        a.synchronized {
+          a(0) += m.executorRunTime
+          a(1) += m.shuffleReadMetrics.totalBytesRead
+          a(2) += m.shuffleWriteMetrics.bytesWritten
+          a(3) += m.memoryBytesSpilled
+          a(4) += m.diskBytesSpilled
+          a(5) += m.inputMetrics.bytesRead
+        }
+      }
+    }
+    def jsonTopStages(n: Int): String = {
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._2(0)).take(n).map { case (id, a) =>
+        f"""{"stage":$id,"run_ms":${a(0)},"shuf_read_mb":${a(1) / 1e6}%.1f,"shuf_write_mb":${a(2) / 1e6}%.1f,"spill_mem_mb":${a(3) / 1e6}%.1f,"spill_disk_mb":${a(4) / 1e6}%.1f,"input_mb":${a(5) / 1e6}%.1f}"""
+      }.mkString("[", ",", "]")
+    }
+  }
 
   /** Total over SUCCEEDED queries only — a query that dies (e.g. OOM at a
     * scaled tier) must not report its time-to-failure as a result. */
@@ -114,6 +154,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val loadStart = loadAvg()
+    // measurement harness: RAM-backed shuffle dirs for run-to-run
+    // determinism — opt-in HERE, not in Engine.session, so library
+    // sessions keep the disk-backed spill posture (ADVICE r7). The
+    // free-space check falls back to disk when /dev/shm can't hold the
+    // expected shuffle volume.
+    Engine.preferShmLocalDir()
     var spark = Engine.session(cpus)
     // a query that kills the SparkContext (executor OOM at a scaled tier)
     // must not poison every query after it: rebuild the session and keep
@@ -157,8 +203,16 @@ object Bench {
     /** One timed execution; leased caches are dropped afterwards so every
       * rep (and every query) measures the full computation, not a warm
       * cache from the previous run. */
+    val stageDumpSet: Set[String] = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_STAGE_DUMP", "q16,q18,q21")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val stageDumpFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGE_FILE",
+      "bench_stages.jsonl")
+
     def runOnce(dir: String, name: String): (Double, Boolean) = {
       ensureAlive()
+      val agg = if (stageDumpSet(name)) Some(new StageAgg) else None
+      agg.foreach(spark.sparkContext.addSparkListener)
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
@@ -170,6 +224,13 @@ object Bench {
         }
         finally graft.ops.Caches.releaseAll(blocking = true)
       val sec = (System.nanoTime() - t0) / 1e9
+      agg.foreach { a =>
+        Thread.sleep(500) // let the listener bus drain task-end events
+        if (!spark.sparkContext.isStopped) spark.sparkContext.removeSparkListener(a)
+        val line = f"""{"q":"$name","dir":"$dir","sec":$sec%.2f,"ok":$ok,"top_stages":${a.jsonTopStages(8)}}"""
+        val w = new java.io.FileWriter(stageDumpFile, true)
+        try w.write(line + "\n") finally w.close()
+      }
       // outside the timer: a full GC makes ContextCleaner release the
       // rep's now-unreferenced shuffle files immediately (its own
       // periodic GC is 30 min apart — far too slow to keep RAM-backed
@@ -178,12 +239,41 @@ object Bench {
       (sec, ok)
     }
 
+    /** Reps closest to the pool median — retries ADD reps, selection drops
+      * the outlier rather than letting one contended rep poison max−min
+      * forever. */
+    def selectReps(pool: Seq[Double], n: Int): Seq[Double] = {
+      val m = median(pool)
+      pool.sortBy(x => math.abs(x - m)).take(n)
+    }
+
+    // every QRes from every tier, for the artifact-level contended flag
+    val allRes = scala.collection.mutable.Buffer[QRes]()
+
     def run(dir: String, names: Seq[String] = headline, nReps: Int = reps): Seq[QRes] =
       names.map { name =>
-        val runs = (1 to nReps).map(_ => runOnce(dir, name))
-        val okSecs = runs.collect { case (s, true) => s }
-        if (okSecs.isEmpty) QRes(name, runs.map(_._1).min, 0.0, ok = false)
-        else QRes(name, median(okSecs), okSecs.max - okSecs.min, ok = true)
+        var runs = (1 to nReps).map(_ => runOnce(dir, name)).toVector
+        def okSecs = runs.collect { case (s, true) => s }
+        def chosen = selectReps(okSecs, nReps)
+        def unstable = {
+          val c = chosen
+          c.nonEmpty && c.max - c.min > spreadBound(median(c))
+        }
+        // bounded retries: an invalid (outlier) rep gets re-run up to twice;
+        // only meaningful at nReps >= 2 (a single rep has spread 0)
+        var extra = 0
+        while (nReps >= 2 && okSecs.nonEmpty && unstable && extra < 2) {
+          runs :+= runOnce(dir, name)
+          extra += 1
+        }
+        val res =
+          if (okSecs.isEmpty) QRes(name, runs.map(_._1).min, 0.0, ok = false)
+          else {
+            val c = chosen
+            QRes(name, median(c), c.max - c.min, ok = true, unstable = unstable)
+          }
+        allRes += res
+        res
       }
 
     def tierJson(label: String, k: Int, dir: String, res: Seq[QRes],
@@ -193,7 +283,7 @@ object Bench {
       val extPart =
         if (ext.isEmpty) ""
         else f""","extended_total_sec":${okTotal(ext)}%.3f,"extended":${jsonQueries(ext)},"extended_failed":${jsonFailed(ext)}"""
-      f""","$label":{"k":$k,"input_gb":$gb%.3f,"total_sec":$tot%.3f,"sec_per_gb":${tot / math.max(gb, 1e-9)}%.2f,"reps":$reps,"queries":${jsonQueries(res)},"spread":${jsonSpread(res)},"failed":${jsonFailed(res)}$extPart}"""
+      f""","$label":{"k":$k,"input_gb":$gb%.3f,"total_sec":$tot%.3f,"sec_per_gb":${tot / math.max(gb, 1e-9)}%.2f,"reps":$reps,"queries":${jsonQueries(res)},"spread":${jsonSpread(res)},"unstable":${jsonUnstable(res)},"failed":${jsonFailed(res)}$extPart}"""
     }
 
     // JVM/codegen warmup on the smallest SF so measured numbers reflect
@@ -249,14 +339,17 @@ object Bench {
         tier1 + tier2
       } else ""
 
-    // contended = another workload already held CPUs when the bench
-    // started (pre-existing load beyond a small tolerance). The flag makes
-    // the judge/driver discard medians rather than read them as plan
-    // regressions.
+    // contended = another workload held CPUs when the bench started
+    // (pre-existing load), OR any query's reps failed the stability gate
+    // after retries (load that ARRIVED mid-run — the r7 artifact shipped
+    // 107 s spreads with contended:false because only start load was
+    // checked). The flag makes the judge/driver discard medians rather
+    // than read them as plan regressions.
     val loadEnd = loadAvg()
-    val contended = loadStart > math.max(2.0, cpus.toInt * 0.25)
+    val contended = loadStart > math.max(2.0, cpus.toInt * 0.25) ||
+      allRes.exists(_.unstable)
     println(
-      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"contended":$contended$scaledPart}""")
+      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"spread":${jsonSpread(results)},"unstable":${jsonUnstable(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"contended":$contended$scaledPart}""")
     spark.stop()
   }
 }

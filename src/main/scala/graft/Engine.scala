@@ -16,6 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Engine {
 
+  /** Opt THIS process into RAM-backed shuffle/spill dirs for the next
+    * [[session]] — measurement harnesses only (Bench/Profile), never the
+    * library default. Only takes effect when /dev/shm exists with at
+    * least `minFreeBytes` usable (a spilling workload on a half-full
+    * tmpfs fails with ENOSPC) and no explicit SPARK_GRAFT_LOCAL_DIR
+    * override is present. */
+  def preferShmLocalDir(minFreeBytes: Long = 64L << 30): Unit = {
+    val shm = new java.io.File("/dev/shm")
+    if (!sys.env.contains("SPARK_GRAFT_LOCAL_DIR") &&
+        shm.isDirectory && shm.getUsableSpace >= minFreeBytes)
+      System.setProperty("graft.local.dir", "/dev/shm")
+  }
+
   /** Build a tuned local session. On a cluster the same config block applies
     * minus `master`. */
   def session(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
@@ -43,19 +56,23 @@ object Engine {
           }))
       }
       .config("spark.sql.shuffle.partitions", cores)
-      // shuffle + spill local dirs: the default /tmp on this box rides a
-      // shared virtual disk whose throughput varies run-to-run — measured
-      // as 2-4x swings on shuffle-heavy queries (8 GB shuffles) between
-      // identical executions. RAM-backed local dirs make shuffle IO
-      // deterministic; the cluster equivalent is SPARK_LOCAL_DIRS on
-      // local NVMe. SPARK_GRAFT_LOCAL_DIR overrides ("default" keeps
-      // Spark's own choice). Spark creates a per-app subdir and removes
-      // it at shutdown, so sessions never collide or leak.
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "default") match {
-          case "default" => System.getProperty("java.io.tmpdir", "/tmp")
-          case d => d
-        })
+      // shuffle + spill local dirs: disk-backed by DEFAULT (Spark's own
+      // java.io.tmpdir choice) — a library session must keep the "spill
+      // is disk-backed" safety posture, because tmpfs is capped at ~50%
+      // of RAM and a 30+ GB spill would fail the job with ENOSPC and a
+      // hard-killed JVM leaks tmpfs files that consume RAM until reboot.
+      // The BENCH opts into RAM-backed dirs ([[preferShmLocalDir]], with
+      // a free-space check) because the shared virtual /tmp disk on this
+      // box swings 2-4x run-to-run on 8 GB shuffles; the cluster
+      // equivalent is SPARK_LOCAL_DIRS on local NVMe. Resolution:
+      // SPARK_GRAFT_LOCAL_DIR env > graft.local.dir sysprop (bench
+      // opt-in) > tmpdir default. Spark creates a per-app subdir and
+      // removes it at shutdown, so sessions never collide or leak.
+      .config("spark.local.dir",
+        sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+          .orElse(sys.props.get("graft.local.dir"))
+          .filter(_ != "default")
+          .getOrElse(System.getProperty("java.io.tmpdir", "/tmp")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // start wide, coalesce down: big shuffles (10+ GB locally, TBs on a

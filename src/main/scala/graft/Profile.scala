@@ -38,6 +38,9 @@ object Profile {
     val names: Seq[String] =
       if (args.length > 1) args.drop(1).toSeq
       else (1 to 10).map(i => s"q$i")
+    // measurement harness: RAM-backed shuffle dirs for run-to-run
+    // determinism (library sessions stay disk-backed — ADVICE r7)
+    Engine.preferShmLocalDir()
     val spark = Engine.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val metrics = new Metrics
     spark.sparkContext.addSparkListener(metrics)

@@ -46,6 +46,67 @@ object Ai {
     }
   }
 
+  /** Real HTTP text-embedding provider speaking the OpenAI-compatible
+    * `/v1/embeddings` wire shape (ref `daft/ai/openai/` routes its
+    * TextEmbedder protocol through this endpoint; the identical JSON works
+    * against vLLM and LM Studio embedding servers):
+    *
+    *   POST {"model":…, "input":[texts…], "encoding_format":"float"
+    *         (, "dimensions":d)}
+    *   →    {"data":[{"index":i,"embedding":[floats…]},…]}
+    *
+    * Responses are ordered by `index` (servers may return data out of
+    * order); a count or index anomaly is an error, never a silent
+    * row/vector shift. Lazily built per partition like
+    * [[LlmInference.HttpCompletionClient]]; one POST per micro-batch is
+    * the pipelining unit. Conformance-tested against an in-process server
+    * (AiHttpEmbedderSpec) — only the model server itself is external. */
+  final class HttpTextEmbedder(
+      endpoint: String,
+      val dimensions: Int,
+      model: String = "default",
+      timeoutSec: Long = 60) extends TextEmbedder {
+    @transient private lazy val http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+      val root = mapper.createObjectNode()
+      root.put("model", model)
+      root.put("encoding_format", "float")
+      if (dimensions > 0) root.put("dimensions", dimensions)
+      val arr = root.putArray("input")
+      texts.foreach(t => arr.add(Option(t).getOrElse("")))
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofSeconds(timeoutSec))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(root)))
+        .build()
+      val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 400)
+        throw new java.io.IOException(s"embeddings endpoint HTTP ${resp.statusCode()}")
+      val data = mapper.readTree(resp.body()).path("data")
+      require(data.isArray && data.size() == texts.length,
+        s"endpoint returned ${data.size()} embeddings for ${texts.length} inputs")
+      val out = new Array[Array[Float]](texts.length)
+      data.forEach { d =>
+        val i = if (d.has("index")) d.get("index").asInt() else -1
+        require(i >= 0 && i < out.length && out(i) == null,
+          s"bad/duplicate embedding index $i")
+        val e = d.path("embedding")
+        require(e.isArray && (dimensions <= 0 || e.size() == dimensions),
+          s"embedding $i has ${e.size()} dims, expected $dimensions")
+        val v = new Array[Float](e.size())
+        var j = 0
+        while (j < v.length) { v(j) = e.get(j).floatValue(); j += 1 }
+        out(i) = v
+      }
+      out.toSeq
+    }
+  }
+
   /** ImageEmbedder protocol (ref protocols.py ImageEmbedder): encoded
     * image bytes → embedding vector. */
   trait ImageEmbedder extends Serializable {

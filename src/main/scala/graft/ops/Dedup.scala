@@ -160,7 +160,14 @@ object Dedup {
     * token shuffle), and the covered-position expansion is proportional
     * to DUPLICATED content, not corpus size. No driver-side state; a
     * 64-bit collision (~n²/2⁶⁵) could at worst remove one innocent
-    * window. Returns (idCol, textCol). */
+    * window. Returns (idCol, textCol).
+    *
+    * Caching contract: the affected-doc-id subtree is [[Caches.lease]]d
+    * (it feeds two branches of the returned plan). Library callers must
+    * call [[releaseCaches]] (or `Caches.releaseAll()`) after
+    * materializing the result, or the cached frame stays persisted for
+    * the life of the session — the Verify/Bench/Profile harness loops
+    * already do. A missed release costs memory, never correctness. */
   def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int, minCount: Long = 2): DataFrame = {
     val W = windowTokens

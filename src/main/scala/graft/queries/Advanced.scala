@@ -194,6 +194,66 @@ object Advanced {
       |  CAST(1.0 AS DOUBLE) AS norm
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** embed_text over the OPENAI-COMPATIBLE HTTP PROTOCOL (ref
+    * `daft/ai/openai/`, provider.py:104): an in-process `/v1/embeddings`
+    * server hosts the hashing embedder as its "model", and the distributed
+    * job embeds through [[graft.ops.Ai.HttpTextEmbedder]] — real JSON wire
+    * shape, index re-ordering, micro-batched POSTs. `identical` proves the
+    * HTTP round trip returns bit-identical float32 vectors to the local
+    * provider (Jackson writes shortest-roundtrip decimals). Eagerly
+    * materialized (localCheckpoint) so the fixture server's lifetime is
+    * confined to this call — the endpoint is necessarily in-process in an
+    * offline environment; a real deployment just changes the URL. */
+  def ai_embed_http(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ai
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val local = new Ai.HashingEmbedder(64)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/embeddings", new com.sun.net.httpserver.HttpHandler {
+      def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val root = mapper.readTree(ex.getRequestBody.readAllBytes())
+        val in = root.get("input")
+        val texts = (0 until in.size()).map(i => in.get(i).asText())
+        val resp = mapper.createObjectNode()
+        val data = resp.putArray("data")
+        // deliberately reversed: the client must re-order by `index`
+        local.embedBatch(texts).zipWithIndex.reverse.foreach { case (v, i) =>
+          val d = data.addObject()
+          d.put("index", i)
+          val e = d.putArray("embedding")
+          v.foreach(e.add)
+        }
+        val bytes = mapper.writeValueAsString(resp).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val endpoint =
+        s"http://127.0.0.1:${server.getAddress.getPort}/v1/embeddings"
+      val docs = t(s, dir).documents.filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val viaHttp = Ai.embedText(docs, "text", "e_http",
+        new Ai.HttpTextEmbedder(endpoint, 64), batchSize = 32)
+      val both = Ai.embedText(viaHttp, "text", "e_local", local)
+      both.select(
+          col("doc_id"),
+          size(col("e_http")).as("dim"),
+          (col("e_http") === col("e_local")).as("identical"),
+          round(sqrt(aggregate(col("e_http"), lit(0.0d), (a, x) => a + x * x)), 4)
+            .as("norm"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally server.stop(0)
+  }
+
+  val aiEmbedHttpSql =
+    """SELECT doc_id, 64 AS dim, true AS identical, CAST(1.0 AS DOUBLE) AS norm
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   /** embed_image (ref ai ImageEmbedder protocol): grid-pooled color
     * embeddings over real decoded pixels. Pure-channel solid images embed
     * to unit vectors confined to one channel's coordinates, so norms are
@@ -627,6 +687,7 @@ object Advanced {
     "multimodal_video_frames" -> (multimodal_video_frames _),
     "fn_file" -> (fn_file _),
     "ai_embed_text" -> (ai_embed_text _),
+    "ai_embed_http" -> (ai_embed_http _),
     "ai_embed_image" -> (ai_embed_image _),
     "ai_classify_text" -> (ai_classify_text _),
     "ai_classify_image" -> (ai_classify_image _),
@@ -656,6 +717,7 @@ object Advanced {
     "multimodal_video_frames" -> multimodalVideoFramesSql,
     "fn_file" -> fnFileSql,
     "ai_embed_text" -> aiEmbedTextSql,
+    "ai_embed_http" -> aiEmbedHttpSql,
     "ai_embed_image" -> aiEmbedImageSql,
     "ai_classify_text" -> aiClassifyTextSql,
     "ai_classify_image" -> aiClassifyImageSql,

@@ -172,18 +172,19 @@ object ClickBench {
       .groupBy(col("event_type"), pmod(col("user_id"), lit(16)).as("ip_bucket"))
       .agg(count(lit(1)).as("c"),
         sum(when(col("value") > 0.5, 1L).otherwise(0L)).as("refresh"),
-        // 2 decimals like the other cb shapes: at 6 places Spark's
-        // BigDecimal HALF_UP and DuckDB's double multiply/divide round can
-        // differ in the result double's last ulp, tripping the exact
-        // value-hash compare (r6 `cb_pair_drill` incident)
-        round(avg("value"), 2).as("avg_v"))
+        // hash-stable by construction (red in r6 AND r7 as a rounded
+        // double): per-row floor(value*1000) is the same IEEE op in both
+        // engines → exact longs, long sum is order-independent, integer
+        // div is exact. No floating-point value ever reaches the output.
+        expr("sum(CAST(floor(value * 1000) AS BIGINT)) div count(*)")
+          .as("avg_milli"))
       .orderBy(col("c").desc, col("event_type").asc, col("ip_bucket").asc)
       .limit(10)
 
   val cbPairDrillSql =
     """SELECT event_type, user_id % 16 AS ip_bucket, count(*) AS c,
-      |  sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS refresh,
-      |  round(avg(value), 2) AS avg_v
+      |  CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS refresh,
+      |  sum(CAST(floor(value * 1000) AS BIGINT)) // count(*) AS avg_milli
       |FROM events WHERE event_type <> 'view'
       |GROUP BY event_type, ip_bucket
       |ORDER BY c DESC, event_type ASC, ip_bucket ASC LIMIT 10""".stripMargin
@@ -289,17 +290,16 @@ object ClickBench {
     * preceding click — a purchase closes level 3 iff `t − best_v ≤ 24 h`.
     * An exists-chain without materializing pairs: one shuffle, O(n log n)
     * per user, the shape that survives a billion-event day. */
-  def cb_funnel(s: SparkSession, dir: String): DataFrame = {
+  /** Per-user funnel depth over (user_id, event_type, t[µs]) rows — the
+    * core of [[cb_funnel]], exposed so the property suite can drive it
+    * with adversarial event permutations against a brute-force reference
+    * (FunnelPropertySpec). Tie-break at equal t follows the window's
+    * (t, event_type) lexicographic order. */
+  def funnelLevels(e: DataFrame, day: Long = 86400000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val DAY = 86400000000L // 24 h in µs
-    val raw = t(s, dir).events
-    val e = raw
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), col("event_type"),
-        Tables.eventTimeMicros(raw, "ts").as("t"))
     val byUser = Window.partitionBy("user_id").orderBy("t", "event_type")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lv = e
+    e
       .withColumn("last_view",
         max(when(col("event_type") === "view", col("t"))).over(byUser))
       .withColumn("best_v",
@@ -308,12 +308,21 @@ object ClickBench {
       .groupBy("user_id")
       .agg(max(
         when(col("event_type") === "purchase" && col("best_v").isNotNull &&
-          col("t") - col("best_v") <= DAY, 3)
+          col("t") - col("best_v") <= day, 3)
         .when(col("event_type") === "click" && col("last_view").isNotNull &&
-          col("t") - col("last_view") <= DAY, 2)
+          col("t") - col("last_view") <= day, 2)
         .when(col("event_type") === "view", 1)
         .otherwise(0)).as("funnel_level"))
-    lv.groupBy("funnel_level")
+  }
+
+  def cb_funnel(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir).events
+    val e = raw
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        Tables.eventTimeMicros(raw, "ts").as("t"))
+    funnelLevels(e)
+      .groupBy("funnel_level")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("funnel_level")
   }
@@ -348,14 +357,10 @@ object ClickBench {
     * users active on the cohort day, how many returned exactly 7 and 14
     * days later. One conditional-aggregation pass per user then one
     * global rollup — two slim shuffles, no joins. */
-  def cb_retention(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir).events
-    // floor-div via double is exact here: 2024-era epoch-µs ≈ 1.7e15,
-    // well inside a double's 53-bit mantissa
-    val day = floor(Tables.eventTimeMicros(raw, "ts") / lit(86400000000L)).cast("long")
-    val d0 = lit(19723L) // 2024-01-01 in epoch-days
-    val per = raw
-      .select(col("user_id"), day.as("d"))
+  /** Cohort retention counts over (user_id, d[epoch-days]) rows — the
+    * core of [[cb_retention]], exposed for the property suite. */
+  def retentionCounts(activity: DataFrame, d0: Long): DataFrame = {
+    val per = activity
       .groupBy("user_id")
       .agg(
         max(when(col("d") === d0, 1).otherwise(0)).as("a0"),
@@ -365,6 +370,15 @@ object ClickBench {
       sum(col("a0")).as("day0_users"),
       sum(col("a0") * col("a7")).as("retained_7d"),
       sum(col("a0") * col("a14")).as("retained_14d"))
+  }
+
+  def cb_retention(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir).events
+    // floor-div via double is exact here: 2024-era epoch-µs ≈ 1.7e15,
+    // well inside a double's 53-bit mantissa
+    val day = floor(Tables.eventTimeMicros(raw, "ts") / lit(86400000000L)).cast("long")
+    retentionCounts(raw.select(col("user_id"), day.as("d")),
+      d0 = 19723L) // 2024-01-01 in epoch-days
   }
 
   val cbRetentionSql =

@@ -247,25 +247,30 @@ object Windows {
     * a tied row's gap is 0, so flags and session assignment are
     * order-invariant. */
   def window_sessionize(s: SparkSession, dir: String): DataFrame = {
-    // ts arrives in whatever encoding the fixture generation chose
-    // (long-ns | TIMESTAMP | TIMESTAMP_NTZ) — normalize through the one
-    // shared dispatch helper, never inline (three fixture incidents)
+    // Output keeps ts in its fixture-native encoding — Tables.events
+    // deliberately passes TIMESTAMP_NTZ through unchanged so start_ts/
+    // end_ts types match what DuckDB reads from the same file (re-casting
+    // via eventTimeTs tz-adjusted the outputs and broke schema_match in
+    // r7). Gap arithmetic runs on an epoch-µs long from the one shared
+    // dispatch helper, which handles all three fixture encodings.
     val raw = t(s, dir).events
-    val ev = raw.select(col("user_id"), graft.Tables.eventTimeTs(raw, "ts").as("ts"))
-    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val ev = raw.select(col("user_id"), col("ts"),
+      graft.Tables.eventTimeMicros(raw, "ts").as("__us"))
+    val byUser = Window.partitionBy("user_id").orderBy("__us")
     ev
-      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__prev_us", lag(col("__us"), 1).over(byUser))
       .withColumn("__new",
-        when(col("__prev").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("__prev")) > 30L * 60 * 1000000, 1L)
+        when(col("__prev_us").isNull ||
+          col("__us") - col("__prev_us") > 30L * 60 * 1000000, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("__new")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
-      .withColumn("duration_sec",
-        expr("(unix_micros(end_ts) - unix_micros(start_ts)) div 1000000"))
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        min(col("__us")).as("__min_us"), max(col("__us")).as("__max_us"))
+      .withColumn("duration_sec", expr("(__max_us - __min_us) div 1000000"))
+      .drop("__min_us", "__max_us")
       .orderBy("user_id", "session_seq")
   }
 

@@ -28,7 +28,14 @@ object AtomicClaim {
   def publish(tmp: Path, target: Path): Unit = {
     try Files.createLink(target, tmp)
     catch {
-      case _: UnsupportedOperationException =>
+      // FileAlreadyExistsException IS the lost-race signal — propagate.
+      // Everything else that means "this filesystem can't hard-link"
+      // degrades to the exclusive move: the JDK throws UOE on providers
+      // without link support, but Linux filesystems that reject link(2)
+      // at runtime (vfat EPERM, some network mounts EACCES) surface as
+      // FileSystemException instead.
+      case e: java.nio.file.FileAlreadyExistsException => throw e
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
         Files.move(tmp, target) // consumed tmp on success; EEXIST propagates
         return
     }
