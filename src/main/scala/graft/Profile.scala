@@ -18,6 +18,8 @@ object Profile {
     val input = new LongAdder; val shuffleRead = new LongAdder
     val shuffleWrite = new LongAdder; val memSpill = new LongAdder
     val diskSpill = new LongAdder
+    // per-stage [execRunMs, cpuMs, shufRead, shufWrite, spill, input, tasks]
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -26,10 +28,26 @@ object Profile {
         shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
         memSpill.add(m.memoryBytesSpilled)
         diskSpill.add(m.diskBytesSpilled)
+        val a = stages.computeIfAbsent(t.stageId, _ => new Array[Long](7))
+        a.synchronized {
+          a(0) += m.executorRunTime; a(1) += m.executorCpuTime / 1000000
+          a(2) += m.shuffleReadMetrics.totalBytesRead
+          a(3) += m.shuffleWriteMetrics.bytesWritten
+          a(4) += m.memoryBytesSpilled + m.diskBytesSpilled
+          a(5) += m.inputMetrics.bytesRead; a(6) += 1
+        }
       }
     }
-    def reset(): Unit =
+    def printTopStages(n: Int): Unit = {
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._2(0)).take(n).foreach { case (id, a) =>
+        println(f"  stage $id%4d run=${a(0) / 1000.0}%8.1fs cpu=${a(1) / 1000.0}%8.1fs tasks=${a(6)}%4d shufR=${a(2) / 1e9}%6.2fG shufW=${a(3) / 1e9}%6.2fG spill=${a(4) / 1e9}%6.2fG input=${a(5) / 1e9}%6.2fG")
+      }
+    }
+    def reset(): Unit = {
       Seq(input, shuffleRead, shuffleWrite, memSpill, diskSpill).foreach(_.reset())
+      stages.clear()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -73,6 +91,12 @@ object Profile {
       Thread.sleep(800) // let the listener bus drain task-end events
       def gb(a: LongAdder) = a.sum / 1e9
       println(f"""{"q":"$name","sec":$sec%.2f,"input_gb":${gb(metrics.input)}%.2f,"shuffle_read_gb":${gb(metrics.shuffleRead)}%.2f,"shuffle_write_gb":${gb(metrics.shuffleWrite)}%.2f,"spill_mem_gb":${gb(metrics.memSpill)}%.2f,"spill_disk_gb":${gb(metrics.diskSpill)}%.2f}""")
+      // SPARK_GRAFT_PROFILE_STAGES=N: print the N heaviest stages by
+      // executor run time — the WHERE for a regression the totals only
+      // date (run≫cpu = IO/scheduling; spill>0 = memory; big shufR on a
+      // small stage = exchange placement)
+      sys.env.get("SPARK_GRAFT_PROFILE_STAGES").map(_.toInt).filter(_ > 0)
+        .foreach(metrics.printTopStages)
     }
     spark.stop()
   }

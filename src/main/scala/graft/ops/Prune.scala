@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.BloomMightContainExpr
+import graft.expressions.BlockBloomMightContainExpr
 
 /** Pre-shuffle row pruning (builder brief) — the cheapest 100 TB win there
   * is: rows that cannot join are dropped at the SCAN side, before they pay
@@ -13,39 +13,45 @@ import graft.expressions.BloomMightContainExpr
   * this opportunistically for some plan shapes; this operator is the
   * explicit form for when the build side is known-selective a priori
   * (e.g. "only orders placed this week" joined against the full history).
+  *
+  * The filter is a [[SplitBlockBloom]] (parquet-format split-block
+  * layout): the probe runs on every fact row, so its cost is cache
+  * misses, and the blocked layout does ONE 32-byte load per row where
+  * the classic word-per-hash filter did ~7 scattered reads (r8 profile:
+  * that probe was the largest CPU line in q3's scan stage).
   */
 object Prune {
 
+  /** ~0.9% fpp; false positives only add rows the downstream join drops. */
+  private val BitsPerKey = 12
+
   /** Inner equi-join `big ⋈ small` with a broadcast Bloom-filter prefilter
     * on the big side. The filter is built in one distributed aggregation
-    * over `small` (driver holds only the merged ~MB-sized bitmap) and
+    * over `small` (driver holds only merged ~n*1.5-byte filters) and
     * broadcast; false positives only ever ADD non-matching rows that the
-    * join itself then drops, so the result is exactly the plain join.
-    * `expectedItems`/`fpp` size the bitmap (1% fpp ≈ 9.6 bits/key). */
+    * join itself then drops, so the result is exactly the plain join. */
   def bloomPrefilteredJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val spark = big.sparkSession
-    // empty small side: the join is empty; Spark's bloomFilter NPEs on
-    // zero rows, so short-circuit the big-side scan away entirely
+    // empty small side: the join is empty; short-circuit the big-side
+    // scan away entirely
     if (small.isEmpty)
       return big.filter(lit(false)).join(small, big(bigKey) === small(smallKey))
     // key-type agnostic, same as bloomSemiPrefilter: hash both sides —
     // inserting raw values while probing a cast-to-long would silently
     // drop every string/decimal-keyed row
-    val bf = small.select(xxhash64(col(smallKey)).as("__k"))
-      .stat.bloomFilter("__k", expectedItems, fpp)
-    val bc = spark.sparkContext.broadcast(bf)
+    val bf = SplitBlockBloom.build(small, smallKey, expectedItems, BitsPerKey)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
     // codegen probe: stays inside whole-stage codegen, no per-row boxing
     big.filter(col(bigKey).isNotNull &&
-        BloomMightContainExpr.mightContain(bc, xxhash64(col(bigKey))))
+        BlockBloomMightContainExpr.mightContain(bc, xxhash64(col(bigKey))))
       .join(small, big(bigKey) === small(smallKey))
   }
 
   /** Semi-join reduction: filter `big` to rows whose key might appear in
     * `build` — used when the join itself stays downstream (semi/theta
     * joins). The filter is sized from an exact count of the build side
-    * (~9.6 bits/key at 1% fpp: a 20M-key build is a ~23 MB broadcast —
+    * (12 bits/key ≈ 1.5 bytes: a 20M-key build is a ~30 MB broadcast —
     * far cheaper than shuffling the non-matching majority of a fact
     * table). Spark's own runtime bloom injection caps the creation side
     * at ~10 MB and 1M expected keys, so at fact⋈fact scale it never
@@ -54,16 +60,15 @@ object Prune {
   def bloomSemiPrefilter(big: DataFrame, bigKey: String,
       build: DataFrame, buildKey: String, fpp: Double = 0.01): DataFrame = {
     val n = build.count()
-    // empty build side: no key can match, and Spark's bloomFilter NPEs on
-    // zero rows — the exact answer is the empty prefilter result
+    // empty build side: no key can match — the exact answer is the empty
+    // prefilter result
     if (n == 0) return big.filter(lit(false))
     // key-type agnostic: the filter holds xxhash64 of the key, so string/
     // decimal/struct keys work identically (a long cast would null out
     // non-numeric keys and silently drop their rows)
-    val bf = build.select(xxhash64(col(buildKey)).as("__k"))
-      .stat.bloomFilter("__k", n, fpp)
+    val bf = SplitBlockBloom.build(build, buildKey, n, BitsPerKey)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     big.filter(col(bigKey).isNotNull &&
-        BloomMightContainExpr.mightContain(bc, xxhash64(col(bigKey))))
+        BlockBloomMightContainExpr.mightContain(bc, xxhash64(col(bigKey))))
   }
 }

@@ -102,18 +102,29 @@ object Tpch {
     val lF = graft.ops.Prune.bloomSemiPrefilter(
       tt.lineitem.filter(col("l_shipdate") > cutoff), "l_orderkey",
       oF.select("o_orderkey"), "o_orderkey")
-    // customer scales with the data — even reduced to keys it must not
-    // be broadcast (the bloom above already did the cheap reduction);
-    // pin the exact join to shuffle-merge like q5/q8/q9. (A SHUFFLE_HASH
-    // variant was A/B'd at the SF100-equivalent tier in r7: with zero
-    // SMJ spill the hash builds cost MORE than the sorts — SHJ only wins
-    // where the SMJ sort spills, q16/q21.)
-    cF.hint("shuffle_merge")
-      .join(oF, col("c_custkey") === col("o_custkey"))
-      .join(lF, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    // EAGER AGGREGATION below the join (r8, profiled: the SMJ-consume
+    // stage carried ~60% of q3's steady-state CPU): the group key
+    // (l_orderkey, o_orderdate, o_orderpriority) is functionally
+    // dependent on l_orderkey alone, so revenue aggregates entirely from
+    // lineitem BEFORE any join — the orderkey shuffle then moves partial
+    // sums with map-side combine (~4 lineitems/order collapse) instead
+    // of raw rows, and the join's probe stream shrinks ~4x with NO
+    // post-join aggregation left. Bloom false positives drop in the join.
+    val liAgg = lF
+      .groupBy(col("l_orderkey"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    // customer scales with the data — even reduced to keys it must not
+    // be broadcast (the bloom above already did the cheap reduction).
+    // The exact custkey check is a SEMI join applied AFTER the orderkey
+    // join: it then shuffles the ~order-count aggregate, not the full
+    // pruned orders table. Both joins pinned shuffle-merge (SHUFFLE_HASH
+    // A/B'd in r7: with zero SMJ spill the hash builds cost more).
+    oF.hint("shuffle_merge")
+      .join(liAgg, col("o_orderkey") === col("l_orderkey"))
+      .join(cF.hint("shuffle_merge"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -331,27 +342,44 @@ object Tpch {
       .join(broadcast(tt.region), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "EUROPE")
       .select("c_custkey"))
+    // narrow the fact rows before their shuffles (same as q9): volume is
+    // computed at the scan so the partkey/orderkey exchanges move one
+    // folded 8-byte column instead of extendedprice + discount
     val li = graft.ops.Prune.bloomSemiPrefilter(
-      tt.lineitem, "l_partkey", partPromo.select("p_partkey"), "p_partkey")
+        tt.lineitem, "l_partkey", partPromo.select("p_partkey"), "p_partkey")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
     // orders join only EUROPE customers (1/5): bloom-prune the orders
-    // side of the big lineitem⋈orders shuffle too (customer-scale build);
-    // projected to the three columns q8 reads so the SHJ build rows stay
-    // narrow
+    // side of the big lineitem⋈orders shuffle too (customer-scale build).
+    // r8: the EXACT custkey semi is applied HERE, on orders, before the
+    // fact join — the r7 shape carried o_custkey through the lineitem
+    // join and re-shuffled the full joined stream by custkey; orders
+    // alone is ~4x narrower and the downstream stream drops a column.
     val oF = graft.ops.Prune.bloomSemiPrefilter(
-      tt.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-      "o_custkey", custEur, "c_custkey")
-    li
+        tt.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        "o_custkey", custEur, "c_custkey")
+      .join(custEur.hint("shuffle_merge"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_orderdate")
+    // EAGER AGGREGATION below the supplier join (r8, q3-profiled insight):
+    // the final group is (o_year) and the supplier join only maps
+    // l_suppkey → nation, so volume pre-aggregates by (l_suppkey, o_year)
+    // BEFORE touching supplier — the suppkey shuffle then moves
+    // |suppliers|×|years| partial sums instead of the full joined fact
+    // stream (at the SF100-equivalent tier: ~7M rows instead of ~120M).
+    val perSupp = li
       .join(partPromo.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
       .join(oF.hint("shuffle_merge"), col("l_orderkey") === col("o_orderkey"))
-      .join(custEur.hint("shuffle_merge"), col("o_custkey") === col("c_custkey"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .groupBy("l_suppkey", "o_year")
+      .agg(sum(col("volume")).as("vol"))
+    perSupp
       .join(tt.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(supNation), col("s_nationkey") === col("s_nk"))
-      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
-      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
       .groupBy("o_year")
-      .agg((sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(lit(0.0))) /
-            sum(col("volume"))).as("mkt_share"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", col("vol")).otherwise(lit(0.0))) /
+            sum(col("vol"))).as("mkt_share"))
       .orderBy("o_year")
   }
 
@@ -386,21 +414,49 @@ object Tpch {
     val partRed = graft.ops.Caches.lease(
       tt.part.filter(col("p_name").contains("red"))
         .select("p_partkey", "p_retailprice"))
+    // narrow the fact rows BEFORE their shuffles: disc_price folds
+    // l_extendedprice and l_discount into one column at the scan, so the
+    // partkey and orderkey exchanges each move one 8-byte column less
     val li = graft.ops.Prune.bloomSemiPrefilter(
-      tt.lineitem, "l_partkey", partRed.select("p_partkey"), "p_partkey")
-    li
-      .join(partRed.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
+        tt.lineitem, "l_partkey", partRed.select("p_partkey"), "p_partkey")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"),
+        col("l_quantity"))
+    // EAGER AGGREGATION below the supplier join (r8, same insight as q8):
+    // the final group is (nation, o_year) and nation is a function of
+    // l_suppkey, so amount pre-aggregates by (l_suppkey, o_year) before
+    // the supplier join — eliminating the suppkey shuffle of the full
+    // part⋈orders-joined fact stream (~120M rows at the SF100-equivalent
+    // tier) in favour of ~|suppliers|×|years| partial sums.
+    //
+    // Join strategy (r8 A/B at the 13 GB tier, AFTER the block bloom cut
+    // the streams ~5x): SHUFFLE_HASH with the joined-lineitem stream as
+    // the BUILD side beat SMJ ~10% — neither side sorts at all, the
+    // per-task build is ~20 MB (scales with AQE partition sizing, and
+    // Spark's SHJ spills since 3.1), and the 150M-row orders side just
+    // streams. The r7 "SHJ only where SMJ spills" rule was measured on
+    // the classic bloom's 5x-inflated streams; with slim streams the
+    // sort CPU dominates instead.
+    val liPart = li
+      .join(partRed.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+      // fold amount IMMEDIATELY after the part join: the orderkey
+      // exchange then moves (orderkey, suppkey, amount) — 3 columns
+      // instead of 5
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("disc_price") - col("p_retailprice") * lit(0.1) * col("l_quantity"))
+          .as("amount"))
+    val perSupp = liPart.hint("shuffle_hash")
+      .join(tt.orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("l_suppkey"), col("o_year"))
+      .agg(sum("amount").as("amt"))
+    perSupp
       .join(tt.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(tt.nation), col("s_nationkey") === col("n_nationkey"))
-      .join(tt.orders.select("o_orderkey", "o_orderdate").hint("shuffle_merge"),
-        col("l_orderkey") === col("o_orderkey"))
-      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
-      .withColumn("amount",
-        col("l_extendedprice") * (lit(1) - col("l_discount")) -
-        col("p_retailprice") * lit(0.1) * col("l_quantity"))
       .groupBy(col("n_name").as("nation"), col("o_year"))
-      .agg(sum("amount").as("sum_profit"))
+      .agg(sum("amt").as("sum_profit"))
       .orderBy(col("nation").asc, col("o_year").desc)
   }
 

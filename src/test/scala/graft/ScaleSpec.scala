@@ -25,9 +25,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("l_orderkey"), "q6 must not read l_orderkey")
   }
 
-  test("q3: dimension join is broadcast, not shuffled") {
+  test("q3: eager aggregation below the join; customer applied as a semi filter") {
+    // r8 shape: revenue aggregates from lineitem BEFORE any join (the
+    // group key is functionally dependent on l_orderkey), the custkey
+    // check is a LeftSemi on the aggregated stream, no fact side is
+    // broadcast, and the top-10 is a TakeOrdered — no global sort.
     val plan = executedPlan(queries.Tpch.q3(spark, dir))
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected shuffle-merge joins:\n$plan")
+    assert(plan.contains("LeftSemi"), s"expected the customer semi filter:\n$plan")
+    assert(plan.contains("partial_sum"), s"expected pre-join partial aggregation:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"no fact side may broadcast:\n$plan")
   }
 
   test("q1: two-phase hash aggregation with map-side partial combine") {
