@@ -58,11 +58,17 @@ object Prune {
     * fires; this is the explicit, correctly-sized form. False positives
     * only pass extra rows that the downstream join drops. */
   def bloomSemiPrefilter(big: DataFrame, bigKey: String,
-      build: DataFrame, buildKey: String, fpp: Double = 0.01): DataFrame = {
+      build: DataFrame, buildKey: String, fpp: Double = 0.01,
+      maxBuildKeys: Long = 200000000L): DataFrame = {
     val n = build.count()
     // empty build side: no key can match — the exact answer is the empty
     // prefilter result
     if (n == 0) return big.filter(lit(false))
+    // 100 TB guard: the filter is ~1.5 bytes/key of BROADCAST — fine to
+    // ~300 MB, absurd at a billion keys. Past the cap the prefilter is a
+    // no-op (a valid superset — the downstream exact join still runs);
+    // the null filter is kept so both branches have identical semantics.
+    if (n > maxBuildKeys) return big.filter(col(bigKey).isNotNull)
     // key-type agnostic: the filter holds xxhash64 of the key, so string/
     // decimal/struct keys work identically (a long cast would null out
     // non-numeric keys and silently drop their rows)

@@ -346,9 +346,18 @@ object Tpch2 {
     // spill; SHJ shape removes the sorts and their spill. Everything
     // downstream still rides the join's hash(l_orderkey) partitioning:
     // pair agg, per-order window, and final rollup add NO exchanges.
-    val li = tt.lineitem.join(
-      tt.orders.filter(col("o_orderstatus") === "F").hint("shuffle_hash"),
-      col("l_orderkey") === col("o_orderkey"))
+    // status F keeps ~half of orders: bloom-prune lineitem on the F
+    // orderkeys BEFORE its shuffle (r8; the split-block filter makes the
+    // probe one cache line per row), halving the join's stream side.
+    // oF leased: bloom count + bloom build + join = one orders scan.
+    val oF = graft.ops.Caches.lease(
+      tt.orders.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"))
+    val li = graft.ops.Prune.bloomSemiPrefilter(
+        tt.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate"),
+        "l_orderkey", oF.select("o_orderkey"), "o_orderkey")
+      .join(oF.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
     // ONE pass folds each (order, supplier) pair to late/on-time flags —
     // the old shape consumed li twice (two filtered DISTINCTs) and then
     // paid a pair⋈pair semi join; this is a single pair-key shuffle plus

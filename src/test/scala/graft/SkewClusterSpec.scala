@@ -128,6 +128,17 @@ class SkewClusterSpec extends AnyFunSuite {
       "k", "bk", expectedItems = 1).count() == 0)
   }
 
+  test("bloomSemiPrefilter past the build-key cap degrades to a no-op superset") {
+    import spark.implicits._
+    // 100 TB guard: a build too big to broadcast must NOT be filtered on
+    // (the downstream exact join still runs) — only null keys drop
+    val big = (1L to 100L).map(Some(_)).:+(None.asInstanceOf[Option[Long]]).toDF("k")
+    val build = (1L to 50L).toDF("bk")
+    val out = graft.ops.Prune.bloomSemiPrefilter(big, "k", build, "bk",
+      maxBuildKeys = 10)
+    assert(out.count() == 100)
+  }
+
   test("bloomSemiPrefilter works on string keys (no silent long-cast drop)") {
     val big = Seq(("alpha", 1), ("beta", 2), ("gamma", 3), (null, 4)).toDF("k", "v")
     val build = Seq("alpha", "gamma").toDF("bk")
