@@ -251,4 +251,36 @@ object Curate {
       }
       .toDF(idCol, "shard", "bin", "n_tokens")
   }
+
+  /** RAG-style document chunking: fixed token windows with overlap, one
+    * output row per chunk — (idCol, chunk_id, chunk, n_tokens).
+    *
+    * Windows start every `chunkTokens − overlapTokens` tokens; the tail
+    * is always covered (the last window may be shorter). Pure columnar —
+    * split/sequence/slice/posexplode stay inside whole-stage codegen, no
+    * UDF and NO SHUFFLE: chunking is a map-side transform whatever the
+    * corpus size, and the row multiplication (~n/step per doc) is the
+    * output's intrinsic size, not an intermediate blow-up. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got chunk=$chunkTokens overlap=$overlapTokens")
+    val step = chunkTokens - overlapTokens
+    val toks = split(trim(col(textCol)), "\\s+")
+    // chunk count: 1 + ceil(max(0, n − chunk) / step) — the unique k
+    // such that the last start k·step still adds ≥1 uncovered token
+    val nChunks = (lit(1) +
+      ceil(greatest(lit(0), size(toks) - chunkTokens).cast("double") / step)
+        .cast("int"))
+    docs
+      .select(col(idCol), toks.as("__toks"), size(toks).as("__n"),
+        nChunks.as("__nc"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1), k => k * step))
+          .as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk"),
+        least(lit(chunkTokens), col("__n") - col("__start")).as("n_tokens"))
+  }
 }

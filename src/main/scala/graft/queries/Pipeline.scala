@@ -569,6 +569,28 @@ object Pipeline {
       |SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |FROM s GROUP BY split ORDER BY split""".stripMargin
 
+  // ---- RAG chunking: 64-token windows, 16-token overlap ----
+  def curate_chunk(s: SparkSession, dir: String): DataFrame =
+    Curate.chunkDocuments(t(s, dir).documents.filter(col("doc_id") < 100),
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk"), col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
+  val curateChunkSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents WHERE doc_id < 100),
+      |s AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    1 + CAST(ceil(greatest(0, len(toks) - 64) / 48.0) AS INT) AS nc
+      |  FROM t),
+      |e AS (SELECT doc_id, toks, n, unnest(generate_series(0, nc - 1)) AS k FROM s)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      |  array_to_string(toks[k*48 + 1 : k*48 + 64], ' ') AS chunk,
+      |  CAST(least(64, n - k*48) AS BIGINT) AS n_tokens
+      |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---- text fingerprinting: dup-collision + injectivity invariants ----
   def text_fingerprint(s: SparkSession, dir: String): DataFrame = {
     val d = docsWithDups(s, dir)
@@ -720,6 +742,7 @@ object Pipeline {
     "text_stats" -> (text_stats _),
     "text_bm25" -> (text_bm25 _),
     "curate_split" -> (curate_split _),
+    "curate_chunk" -> (curate_chunk _),
     "text_fingerprint" -> (text_fingerprint _),
     "shard" -> (shard _),
     "checkpoint_resume" -> (checkpoint_resume _))
@@ -753,6 +776,7 @@ object Pipeline {
     "text_stats" -> textStatsSql,
     "text_bm25" -> textBm25Sql,
     "curate_split" -> curateSplitSql,
+    "curate_chunk" -> curateChunkSql,
     "text_fingerprint" -> textFingerprintSql,
     "shard" -> shardSql,
     "checkpoint_resume" -> checkpointResumeSql)

@@ -322,16 +322,17 @@ object Tpch {
   def q8(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
     val supNation = tt.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    // part/orders/customer are FACTS (they scale with the data): pin their
-    // joins to shuffle-merge — the compressed scaled fixture slips each
+    // part/orders/customer are FACTS (they scale with the data): their
+    // joins must SHUFFLE — the compressed scaled fixture slips each
     // under the broadcast threshold, and broadcasting a fact is the plan
-    // that dies at 100 TB. (SHUFFLE_HASH on these builds was A/B'd in r7
-    // and lost ~2-4x: with zero SMJ spill the multi-M-row hash builds
-    // cost more than the sorts — SHJ only wins where the sort spills,
-    // q16/q21.) Selective dims (nation/region) broadcast into customer
-    // first so the customer⋈orders shuffle carries only 1/5 of
-    // customers; lineitem is bloom-pruned to promo parts before its
-    // first shuffle (p_type=PROMO keeps ~1/5 of parts).
+    // that dies at 100 TB. Strategy within "shuffle": SHUFFLE_HASH with
+    // the slim build sides (r8 A/B — the r7 "SHJ loses without spill"
+    // result was measured on the classic bloom's 5x-inflated streams;
+    // post-block-bloom the builds are ~4 MB/task and skipping the fact
+    // sorts wins, 26-34s -> ~21s at the SF100-equivalent tier).
+    // Selective dims (nation/region) broadcast into customer first so
+    // the custkey semi keeps only 1/5 of orders; lineitem is
+    // bloom-pruned to promo parts before its first shuffle.
     // partPromo and custEur each feed a bloom build plus the final join —
     // leased (one part/customer scan; released by the harness loop) and
     // projected to keys: nothing downstream reads another part column
@@ -367,9 +368,12 @@ object Tpch {
     // BEFORE touching supplier — the suppkey shuffle then moves
     // |suppliers|×|years| partial sums instead of the full joined fact
     // stream (at the SF100-equivalent tier: ~7M rows instead of ~120M).
+    // Join strategy (r8 A/B, same rationale as q9): SHUFFLE_HASH with the
+    // slim side as build — partPromo is a key column, oF is two columns
+    // post-semi (~4 MB/task builds) — skips every fact sort.
     val perSupp = li
-      .join(partPromo.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
-      .join(oF.hint("shuffle_merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(partPromo.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+      .join(oF.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .withColumn("o_year", year(col("o_orderdate")).cast("long"))
       .groupBy("l_suppkey", "o_year")
       .agg(sum(col("volume")).as("vol"))

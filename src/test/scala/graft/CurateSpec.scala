@@ -173,4 +173,43 @@ class CurateSpec extends AnyFunSuite {
     assert(fills.forall { case (_, _, fill, n) => fill <= 16 || n == 1 })
     assert(packed.count() == 300)
   }
+
+  test("chunkDocuments: coverage, overlap, tail, and lossless reassembly") {
+    val C = 8; val O = 3; val step = C - O
+    val docs = Seq(
+      (0L, (1 to 30).map(i => s"t$i").mkString(" ")), // multi-chunk
+      (1L, (1 to 8).map(i => s"u$i").mkString(" ")),  // exactly one chunk
+      (2L, "a b c"),                                  // shorter than chunk
+      (3L, (1 to 9).map(i => s"v$i").mkString(" "))   // chunk + 1 → 2 chunks
+    ).toDF("doc_id", "text")
+    val out = Curate.chunkDocuments(docs, "doc_id", "text", C, O)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, String, Int)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // chunk counts: 1 + ceil(max(0, n-C)/step)
+    assert(byDoc(0L).length == 1 + math.ceil((30 - C).toDouble / step).toInt)
+    assert(byDoc(1L).length == 1 && byDoc(2L).length == 1 && byDoc(3L).length == 2)
+    for ((id, chunks) <- byDoc) {
+      val orig = docs.filter(col("doc_id") === id)
+        .select("text").as[String].head().split("\\s+").toSeq
+      // window k holds tokens [k*step, k*step+C)
+      chunks.foreach { case (_, k, text, nTok) =>
+        val want = orig.slice(k * step, k * step + C)
+        assert(text.split(" ").toSeq == want, s"doc $id chunk $k")
+        assert(nTok == want.length)
+      }
+      // every token index covered; consecutive chunks overlap by O (full
+      // windows); tail chunk reaches the last token
+      val covered = chunks.flatMap { case (_, k, _, nTok) =>
+        k * step until (k * step + nTok) }.toSet
+      assert(covered == orig.indices.toSet, s"doc $id coverage")
+    }
+  }
+
+  test("chunkDocuments with zero overlap reassembles the exact document") {
+    val docs = Seq((7L, (1 to 23).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val parts = Curate.chunkDocuments(docs, "doc_id", "text", 5, 0)
+      .orderBy("chunk_id").select("chunk").as[String].collect()
+    assert(parts.mkString(" ") == (1 to 23).map(i => s"w$i").mkString(" "))
+  }
 }
