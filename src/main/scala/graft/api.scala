@@ -38,6 +38,10 @@ object Graft {
   def fromGlobPath(spark: SparkSession, glob: String): DataFrame =
     spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("length"), col("modificationTime"))
+  def readArrow(spark: SparkSession, path: String): DataFrame =
+    sources.ArrowIpc.read(spark, path)
+  def writeArrow(df: DataFrame, path: String, batchSize: Int = 4096): Long =
+    sources.ArrowIpc.write(df, path, batchSize)
   def readWarc(spark: SparkSession, path: String): DataFrame =
     sources.Warc.read(spark, path)
   def readMcap(spark: SparkSession, path: String,

@@ -343,6 +343,27 @@ object Io {
     * write one lz4-chunked file per partition, stream them back through
     * the record parser. Exercises the full container path: magic, channel
     * registry, chunk decompression, message framing. */
+  /** Arrow IPC (Feather V2) export/import — the training-loader handoff
+    * (ref to_arrow/to_arrow_iter; torch/ray ingest IPC files). Mixed
+    * types incl. a computed double and a timestamp-µs long exercise the
+    * schema mapping both ways. */
+  def io_arrow_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ArrowIpc
+    val arrowDir = s"$ioDir/arrow_${math.abs(dir.hashCode)}"
+    val docs = t(s, dir).documents
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars"), (col("n_chars") * lit(0.5)).as("half_chars"),
+        encode(col("lang"), "UTF-8").as("lang_bytes"))
+    ArrowIpc.write(docs.repartition(4), arrowDir, batchSize = 128)
+    ArrowIpc.read(s, arrowDir).orderBy("doc_id")
+  }
+
+  val ioArrowRoundtripSql =
+    """SELECT doc_id, text, lang, n_chars, CAST(n_chars * 0.5 AS DOUBLE) AS half_chars,
+      |  encode(lang) AS lang_bytes
+      |FROM documents WHERE doc_id < 1000 ORDER BY doc_id""".stripMargin
+
   def io_mcap_roundtrip(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Mcap
     val mcapDir = s"$ioDir/mcap_${math.abs(dir.hashCode)}"
@@ -988,6 +1009,7 @@ object Io {
     "io_text_roundtrip" -> (io_text_roundtrip _),
     "io_warc_roundtrip" -> (io_warc_roundtrip _),
     "io_mcap_roundtrip" -> (io_mcap_roundtrip _),
+    "io_arrow_roundtrip" -> (io_arrow_roundtrip _),
     "io_delta_roundtrip" -> (io_delta_roundtrip _),
     "io_delta_time_travel" -> (io_delta_time_travel _),
     "io_delta_stats_skip" -> (io_delta_stats_skip _),
@@ -1026,6 +1048,7 @@ object Io {
     "io_text_roundtrip" -> ioTextRoundtripSql,
     "io_warc_roundtrip" -> ioWarcRoundtripSql,
     "io_mcap_roundtrip" -> ioMcapRoundtripSql,
+    "io_arrow_roundtrip" -> ioArrowRoundtripSql,
     "io_delta_roundtrip" -> ioDeltaRoundtripSql,
     "io_delta_time_travel" -> ioDeltaTimeTravelSql,
     "io_delta_stats_skip" -> ioDeltaStatsSkipSql,
