@@ -244,7 +244,16 @@ object Tpch2 {
   /** Q18: large-volume customers (order qty > 300). */
   def q18(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
+    // pre-repartition before the ~order-count-group aggregate — the q16
+    // trick, rediscovered via the r8 stage dump: lines of an order are
+    // scattered across scan partitions, so the partial-agg hash maps on
+    // scan-sized tasks held ~3.6M entries each and spilled 7.0 GB at the
+    // SF100-equivalent tier. Shuffling raw (orderkey, qty) rows first
+    // moves the same bytes but lands BOTH agg phases on AQE-coalesced
+    // (advisory-sized) partitions: zero-spill maps.
     val bigOrders = tt.lineitem
+      .select("l_orderkey", "l_quantity")
+      .repartition(col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(sum("l_quantity").as("total_qty"))
       .filter(col("total_qty") > 300)
