@@ -109,12 +109,18 @@ object Tpch2 {
   def q14(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
     // both sides projected before the fact⋈fact shuffle: part carries
-    // only (key, type), lineitem only the month sliver's three columns
-    tt.part.select("p_partkey", "p_type")
-      .join(tt.lineitem
-        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
-                col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
-        .select("l_partkey", "l_extendedprice", "l_discount"),
+    // only (key, type), lineitem only the month sliver's three columns.
+    // The sliver is a FACT (it scales with the data): left to AQE it was
+    // broadcast at the 13 GB tier — scale-wrong, and the driver-side
+    // broadcast build was ~90% of q14's wall (17 s wall on 1.5 s of task
+    // time, r8 stage profile). SHUFFLE_HASH with the sliver as build:
+    // both sides shuffle, no sort, bounded per-task builds.
+    tt.lineitem
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .hint("shuffle_hash")
+      .join(tt.part.select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) *
         sum(when(col("p_type") === "PROMO",
@@ -260,10 +266,13 @@ object Tpch2 {
     // join the SELECTIVE reduction first: qty > 300 keeps a sliver of
     // orders, so orders⋈bigOrders shrinks the customer join input by
     // orders of magnitude (the old customer⋈orders-first shape shuffled
-    // the full fact pair before any reduction — the classic q18 killer);
-    // AQE broadcasts the post-join sliver into customer at runtime
+    // the full fact pair before any reduction — the classic q18 killer).
+    // The customer join pins SHUFFLE_HASH with the sliver as build: left
+    // to AQE it broadcast CUSTOMER (a fact — the compressed tier slips
+    // it under the threshold; caught by the r8 fact-broadcast sweep).
     tt.orders
       .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .hint("shuffle_hash")
       .join(tt.customer, col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_orderdate"),

@@ -115,7 +115,11 @@ class ScaledPlanSpec extends AnyFunSuite {
     // printed cache-fill subtrees and true-dim joins, which are fine.
     val factKeys = Seq(
       "o_custkey", "c_custkey", "l_orderkey", "o_orderkey", "l_partkey", "p_partkey")
-    for (q <- Seq("q3", "q8", "q9", "q10")) {
+    // q14 joined the list in r8: AQE was broadcasting its month sliver (a
+    // fact) and the driver-side broadcast build was ~90% of its wall.
+    // The rest of the extended set is swept too — a fact-key broadcast
+    // anywhere is the plan that dies at 100 TB.
+    for (q <- Seq("q3", "q8", "q9", "q10", "q12", "q14", "q18", "q21")) {
       val p = plan(q)
       // q9's fact joins are SHUFFLE_HASH since r8 (post-block-bloom A/B:
       // neither side sorts, build = the slim joined-lineitem stream);
