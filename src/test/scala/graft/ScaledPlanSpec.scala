@@ -174,6 +174,17 @@ class ScaledPlanSpec extends AnyFunSuite {
       s"q16: fact-side sort reintroduced:\n${factSorts.mkString("\n")}")
   }
 
+  test("q18 shuffles raw rows before its order-count-group aggregate") {
+    // r8: without the explicit pre-agg repartition the partial-agg hash
+    // maps build on scan-sized tasks (~3.6M entries each) and spilled
+    // 7.0 GB at the SF100-equivalent tier — the q16 disease. The
+    // REPARTITION_BY_COL exchange is the shape that keeps both agg
+    // phases on AQE-advisory-sized partitions.
+    val p = plan("q18")
+    assert(p.contains("REPARTITION_BY_COL"),
+      s"q18: pre-aggregate repartition dropped:\n$p")
+  }
+
   test("no headline query plans a cartesian product at bench scale") {
     val offenders = (1 to 10).map(i => s"q$i").filter(q =>
       plan(q).contains("CartesianProduct"))
