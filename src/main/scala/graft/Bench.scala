@@ -287,13 +287,21 @@ object Bench {
     }
 
     // JVM/codegen warmup on the smallest SF so measured numbers reflect
-    // steady-state execution, not first-query classloading.
+    // steady-state execution, not first-query classloading. Extended
+    // queries warm too (r8): they are measured with ONE rep, so a cold
+    // first-and-only execution silently inflated every extended number
+    // (q18 measured 94 s cold vs 44-46 s steady at the same tier).
+    // Codegen classes + JIT state are JVM-global and survive freshTier().
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      headline.foreach { n =>
+    if (new java.io.File(warmDir).isDirectory) {
+      (headline ++ extended).foreach { n =>
         try drain(SparkEntry.queries(n)(spark, warmDir))
         catch { case _: Throwable => () }
       }
+      // warmup queries lease caches too — drop them in THIS session
+      // (a later releaseAll across a freshTier boundary cannot)
+      graft.ops.Caches.releaseAll()
+    }
     warm(sfDir) // page-cache touch: measure execution, not first read
 
     val results = run(sfDir)

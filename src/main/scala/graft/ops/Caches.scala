@@ -40,6 +40,13 @@ object Caches {
     * gap). */
   def releaseAll(blocking: Boolean = false): Unit = {
     var df = leased.poll()
-    while (df != null) { df.unpersist(blocking); df = leased.poll() }
+    while (df != null) {
+      // a frame leased in a since-stopped session has nothing left to
+      // release and unpersist throws — releasing must never kill the
+      // harness loop that is doing the cleanup (r8: BENCH_ONLY with an
+      // all-extended set hit exactly this across a freshTier boundary)
+      try df.unpersist(blocking) catch { case _: Throwable => () }
+      df = leased.poll()
+    }
   }
 }
