@@ -251,7 +251,7 @@ object implicits {
       ops.Skew.saltedJoin(df, small, bigKey, smallKey, salts)
 
     def bloomPrefilteredJoin(small: DataFrame, bigKey: String, smallKey: String,
-        expectedItems: Long, fpp: Double = 0.01): DataFrame =
+        expectedItems: Long, fpp: Double = 0.003): DataFrame =
       ops.Prune.bloomPrefilteredJoin(df, small, bigKey, smallKey, expectedItems, fpp)
 
     def repetitionStats(idCol: String, textCol: String): DataFrame =

@@ -44,8 +44,14 @@ object Caches {
       // a frame leased in a since-stopped session has nothing left to
       // release and unpersist throws — releasing must never kill the
       // harness loop that is doing the cleanup (r8: BENCH_ONLY with an
-      // all-extended set hit exactly this across a freshTier boundary)
-      try df.unpersist(blocking) catch { case _: Throwable => () }
+      // all-extended set hit exactly this across a freshTier boundary).
+      // Only non-fatal failures are swallowed; an interrupt re-flags the
+      // thread so the caller's cancellation still lands.
+      try df.unpersist(blocking)
+      catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
       df = leased.poll()
     }
   }

@@ -22,8 +22,20 @@ import graft.expressions.BlockBloomMightContainExpr
   */
 object Prune {
 
-  /** ~0.9% fpp; false positives only add rows the downstream join drops. */
-  private val BitsPerKey = 12
+  /** Default target fpp — derives to the long-standing 12 bits/key
+    * (~0.9% measured pass-rate; false positives only add rows the
+    * downstream join drops). */
+  private val DefaultFpp = 0.003
+
+  /** bits/key for a split-block filter at `fpp`, from the parquet-format
+    * BloomFilter.md sizing formula `num_bits = -8n / ln(1 − fpp^(1/8))`,
+    * rounded and clamped to [8, 24] (≈4% … ≈0.01% nominal). Measured
+    * pass-rates run slightly above nominal (block-load imbalance). */
+  private[ops] def bitsPerKey(fpp: Double): Int = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val bits = math.round(-8.0 / math.log1p(-math.pow(fpp, 1.0 / 8))).toInt
+    math.max(8, math.min(24, bits))
+  }
 
   /** Inner equi-join `big ⋈ small` with a broadcast Bloom-filter prefilter
     * on the big side. The filter is built in one distributed aggregation
@@ -32,7 +44,7 @@ object Prune {
     * join itself then drops, so the result is exactly the plain join. */
   def bloomPrefilteredJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = DefaultFpp): DataFrame = {
     // empty small side: the join is empty; short-circuit the big-side
     // scan away entirely
     if (small.isEmpty)
@@ -40,7 +52,7 @@ object Prune {
     // key-type agnostic, same as bloomSemiPrefilter: hash both sides —
     // inserting raw values while probing a cast-to-long would silently
     // drop every string/decimal-keyed row
-    val bf = SplitBlockBloom.build(small, smallKey, expectedItems, BitsPerKey)
+    val bf = SplitBlockBloom.build(small, smallKey, expectedItems, bitsPerKey(fpp))
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     // codegen probe: stays inside whole-stage codegen, no per-row boxing
     big.filter(col(bigKey).isNotNull &&
@@ -58,7 +70,7 @@ object Prune {
     * fires; this is the explicit, correctly-sized form. False positives
     * only pass extra rows that the downstream join drops. */
   def bloomSemiPrefilter(big: DataFrame, bigKey: String,
-      build: DataFrame, buildKey: String, fpp: Double = 0.01,
+      build: DataFrame, buildKey: String, fpp: Double = DefaultFpp,
       maxBuildKeys: Long = 200000000L): DataFrame = {
     val n = build.count()
     // empty build side: no key can match — the exact answer is the empty
@@ -72,7 +84,7 @@ object Prune {
     // key-type agnostic: the filter holds xxhash64 of the key, so string/
     // decimal/struct keys work identically (a long cast would null out
     // non-numeric keys and silently drop their rows)
-    val bf = SplitBlockBloom.build(build, buildKey, n, BitsPerKey)
+    val bf = SplitBlockBloom.build(build, buildKey, n, bitsPerKey(fpp))
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     big.filter(col(bigKey).isNotNull &&
         BlockBloomMightContainExpr.mightContain(bc, xxhash64(col(bigKey))))

@@ -82,25 +82,48 @@ object SplitBlockBloom {
   def blocksFor(n: Long, bitsPerKey: Int): Int =
     math.max(1, math.min(Int.MaxValue / 8L, (n * bitsPerKey + 255) / 256)).toInt
 
-  /** Distributed build over `df`'s `key` column: xxhash64 each key (the
-    * probe side hashes identically, so string/decimal/struct keys work),
-    * insert per partition, OR-merge via treeAggregate. The driver holds
-    * only merged filters (~`n*bitsPerKey/8` bytes). Runs on the unsafe
-    * row iterator — no per-row boxing on a build that can be 10s of
-    * millions of keys. */
+  /** Distributed build over `df`'s `key` column: xxhash64 each non-null
+    * key (the probe side hashes identically, so string/decimal/struct
+    * keys work; null keys are dropped BEFORE hashing — they never match
+    * an equi-join, and xxhash64(null) is just the seed so the old
+    * post-hash null check was dead), insert into a PARTITION-LOCAL
+    * filter allocated inside the task, OR-merge on the driver as task
+    * results stream in.
+    *
+    * The filter must NOT appear in the task closure: a treeAggregate
+    * zero value is serialized with the closure, so at 150-200M keys
+    * every build task received a fresh 200-300 MB array of zeros over
+    * the wire (r8 driver logs: "Broadcasting large task binary with
+    * size 213.4 MiB"). With mapPartitions + fold the task binary is
+    * back to bytes; merge traffic is `tasks × filter` result shipping,
+    * bounded by the 8-task coalesce, and the driver holds at most two
+    * filters at a time (fold merges incrementally per task completion).
+    * Runs on the unsafe row iterator — no per-row boxing on a build
+    * that can be 10s of millions of keys. */
   def build(df: DataFrame, key: String, n: Long, bitsPerKey: Int = 12): SplitBlockBloom = {
     val nb = blocksFor(n, bitsPerKey)
-    val hashed = df.select(xxhash64(col(key)).as("__k"))
-    // few wide tasks, not many narrow ones: every task deserializes its
-    // own zero-value filter and ships a full filter to the merge, so at
-    // 30M keys × 12 bits (~45 MB) the aggregation cost is dominated by
-    // filter clones/merges, not inserts (~20 ns each). 8 tasks bound the
-    // merge traffic at ~8 filters while keeping inserts trivially cheap.
+    val hashed = df.filter(col(key).isNotNull).select(xxhash64(col(key)).as("__k"))
+    // few wide tasks, not many narrow ones: every task ships a full
+    // filter to the merge, so at 30M keys × 12 bits (~45 MB) the
+    // aggregation cost is dominated by result shipping/merges, not
+    // inserts (~20 ns each). 8 tasks bound the merge traffic at ~8
+    // filters while keeping inserts trivially cheap.
     val rdd = hashed.queryExecution.toRdd // InternalRow: primitive getLong
     val narrowed = if (rdd.getNumPartitions > 8) rdd.coalesce(8) else rdd
-    narrowed.treeAggregate(new SplitBlockBloom(nb))(
-      seqOp = (bf, row) => { if (!row.isNullAt(0)) bf.insertHash(row.getLong(0)); bf },
-      combOp = (a, b) => a.merge(b),
-      depth = 2)
+    val partials = narrowed.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val bf = new SplitBlockBloom(nb)
+        while (rows.hasNext) bf.insertHash(rows.next().getLong(0))
+        Iterator.single(bf)
+      }
+    }
+    // fold, not reduce: the zero is a null sentinel (bytes in the
+    // closure, never a filter), and an all-empty build still returns a
+    // valid empty filter
+    val merged = partials.fold(null) { (a, b) =>
+      if (a == null) b else if (b == null) a else a.merge(b)
+    }
+    if (merged == null) new SplitBlockBloom(nb) else merged
   }
 }

@@ -174,17 +174,22 @@ object ClickBench {
         sum(when(col("value") > 0.5, 1L).otherwise(0L)).as("refresh"),
         // hash-stable by construction (red in r6 AND r7 as a rounded
         // double): per-row floor(value*1000) is the same IEEE op in both
-        // engines → exact longs, long sum is order-independent, integer
-        // div is exact. No floating-point value ever reaches the output.
-        expr("sum(CAST(floor(value * 1000) AS BIGINT)) div count(*)")
-          .as("avg_milli"))
+        // engines → exact longs, long sum is order-independent. The
+        // division is FLOOR division on both sides — Spark's `div`
+        // truncates toward zero, DuckDB's `//` floors, so a negative
+        // milli-sum would diverge; subtracting pmod (always in
+        // [0, count)) first makes the dividend an exact multiple, where
+        // truncation and floor agree for any sign.
+        expr("""(sum(CAST(floor(value * 1000) AS BIGINT))
+                - pmod(sum(CAST(floor(value * 1000) AS BIGINT)), count(*)))
+               div count(*)""").as("avg_milli"))
       .orderBy(col("c").desc, col("event_type").asc, col("ip_bucket").asc)
       .limit(10)
 
   val cbPairDrillSql =
     """SELECT event_type, user_id % 16 AS ip_bucket, count(*) AS c,
       |  CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS refresh,
-      |  sum(CAST(floor(value * 1000) AS BIGINT)) // count(*) AS avg_milli
+      |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*) AS BIGINT) AS avg_milli
       |FROM events WHERE event_type <> 'view'
       |GROUP BY event_type, ip_bucket
       |ORDER BY c DESC, event_type ASC, ip_bucket ASC LIMIT 10""".stripMargin

@@ -356,12 +356,18 @@ object Io {
         col("n_chars"), (col("n_chars") * lit(0.5)).as("half_chars"),
         encode(col("lang"), "UTF-8").as("lang_bytes"))
     ArrowIpc.write(docs.repartition(4), arrowDir, batchSize = 128)
-    ArrowIpc.read(s, arrowDir).orderBy("doc_id")
+    // the raw binary column round-trips through the IPC file; the COMPARED
+    // projection surfaces it as hex because the driver's pandas
+    // canonicalizer cannot sort/hash bytearray values (r8 red row)
+    ArrowIpc.read(s, arrowDir)
+      .withColumn("lang_hex", upper(hex(col("lang_bytes"))))
+      .drop("lang_bytes")
+      .orderBy("doc_id")
   }
 
   val ioArrowRoundtripSql =
     """SELECT doc_id, text, lang, n_chars, CAST(n_chars * 0.5 AS DOUBLE) AS half_chars,
-      |  encode(lang) AS lang_bytes
+      |  upper(hex(encode(lang))) AS lang_hex
       |FROM documents WHERE doc_id < 1000 ORDER BY doc_id""".stripMargin
 
   def io_mcap_roundtrip(s: SparkSession, dir: String): DataFrame = {

@@ -145,28 +145,58 @@ object ArrowIpc {
         throw new UnsupportedOperationException(s"arrow read: list<$other> not implemented")
     }
 
+  /** Lazy batch-at-a-time iterator over one .arrow file: only the current
+    * record batch is resident (the documented loader contract — a file can
+    * be far larger than executor memory). Values are copied out of the
+    * arrow buffers as each row is produced, so rows outlive
+    * `loadNextBatch`. Resources close at exhaustion, and a
+    * task-completion listener covers early termination (limit, failure). */
   private def readFile(path: String, schema: StructType): Iterator[InternalRow] = {
     val ch = new java.io.FileInputStream(path).getChannel
     val allocator = new RootAllocator(Long.MaxValue)
     val reader = new ArrowFileReader(ch, allocator)
     val root = reader.getVectorSchemaRoot
     val dts = schema.fields.map(_.dataType)
-    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    try {
-      while (reader.loadNextBatch()) {
-        val cols = root.getFieldVectors.toArray.map(v =>
-          new ArrowColumnVector(v.asInstanceOf[org.apache.arrow.vector.ValueVector]))
-        var i = 0
-        val n = root.getRowCount
-        while (i < n) {
-          val vals = new Array[Any](dts.length)
-          var c = 0
-          while (c < dts.length) { vals(c) = catalystValue(cols(c), i, dts(c)); c += 1 }
-          out += new GenericInternalRow(vals)
-          i += 1
+
+    var closed = false
+    def closeAll(): Unit = if (!closed) {
+      closed = true
+      reader.close(); ch.close(); allocator.close()
+    }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+
+    new Iterator[InternalRow] {
+      private var cols: Array[ArrowColumnVector] = _
+      private var rowsInBatch = 0
+      private var i = 0
+
+      private def advance(): Boolean = {
+        if (closed) return false
+        var loaded = false
+        while (!loaded && reader.loadNextBatch()) {
+          rowsInBatch = root.getRowCount
+          if (rowsInBatch > 0) {
+            cols = root.getFieldVectors.toArray.map(v =>
+              new ArrowColumnVector(v.asInstanceOf[org.apache.arrow.vector.ValueVector]))
+            i = 0
+            loaded = true
+          }
         }
+        if (!loaded) closeAll()
+        loaded
       }
-    } finally { reader.close(); ch.close(); allocator.close() }
-    out.iterator
+
+      override def hasNext: Boolean = i < rowsInBatch || advance()
+
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException("exhausted arrow file")
+        val vals = new Array[Any](dts.length)
+        var c = 0
+        while (c < dts.length) { vals(c) = catalystValue(cols(c), i, dts(c)); c += 1 }
+        i += 1
+        new GenericInternalRow(vals)
+      }
+    }
   }
 }

@@ -152,6 +152,26 @@ class ScaledPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q19 pushes derived bounds to both scans and bloom-prunes lineitem") {
+    // r8 regression (3.6×): unfiltered lineitem⋈part with the disjunction
+    // applied after the join, and q19 was absent from every pin list.
+    // The scale shape: derived bounds (p_brand IN, p_size ≤ 35,
+    // l_quantity BETWEEN 1 AND 30) reach the parquet scans, lineitem
+    // carries the bloom probe on candidate partkeys, and the exact join
+    // shuffles (part's brand sliver scales with the data).
+    val p = planFull("q19")
+    assert(p.contains("bloommightcontainexpr"),
+      s"q19: expected the native bloom probe on lineitem:\n$p")
+    assert(p.contains("l_quantity"), "quantity bound should reach the lineitem side")
+    assert(p.contains("PushedFilters: ["), s"q19: no pushed filters:\n$p")
+    val offending = p.linesIterator
+      .filter(_.contains("BroadcastHashJoin"))
+      .filter(l => l.contains("[l_partkey#") || l.contains("[p_partkey#"))
+      .toSeq
+    assert(offending.isEmpty,
+      s"q19: part key set broadcast:\n${offending.mkString("\n")}")
+  }
+
   test("q16 hash-joins part and never sorts or broadcasts the fact side") {
     // the round-6 rewrite: part is a FACT (scales with the data) joined
     // via ShuffledHashJoin — broadcasting it dies at 100 TB, and the old
