@@ -41,6 +41,11 @@ object Engine {
       // their exchanges/sorts (brief tier (c): LogicalPlan+Strategy+Exec)
       .withExtensions { ext =>
         ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+        // 100 TB plan intelligence for USER-written (un-hinted) queries:
+        // never broadcast a fact-scaled side, and bloom-prefilter the
+        // probe side of selective equi-joins (plans/GraftOptimizerRules)
+        ext.injectOptimizerRule(_ => graft.plans.FactBroadcastGuard)
+        ext.injectPreCBORule(_ => graft.plans.BloomPrefilterRule)
         // SQL surface parity (ref daft-sql exposes every function to
         // `daft.sql(...)`): the native codegen kernels register as SQL
         // functions, so `spark.sql("SELECT graft_cosine_similarity(a,b)")`

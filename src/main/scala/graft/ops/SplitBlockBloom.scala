@@ -52,6 +52,16 @@ final class SplitBlockBloom(val numBlocks: Int) extends Serializable {
   }
 
   def sizeBytes: Long = blocks.length.toLong * 4
+
+  /** Compact wire form (little-endian int32 block words; numBlocks is
+    * implied by length) — the payload the optimizer-injected bloom
+    * aggregate ships through its scalar subquery. */
+  def toBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(blocks.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asIntBuffer().put(blocks)
+    bb.array()
+  }
 }
 
 object SplitBlockBloom {
@@ -76,6 +86,16 @@ object SplitBlockBloom {
       i += 1
     }
     true
+  }
+
+  /** Inverse of [[SplitBlockBloom.toBytes]]. */
+  def fromBytes(bytes: Array[Byte]): SplitBlockBloom = {
+    require(bytes.length % 32 == 0 && bytes.length > 0,
+      s"split-block bloom payload must be a positive multiple of 32 bytes, got ${bytes.length}")
+    val bf = new SplitBlockBloom(bytes.length / 32)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asIntBuffer().get(bf.blocks)
+    bf
   }
 
   /** Blocks for `n` keys at `bitsPerKey` (256 bits per block). */

@@ -860,6 +860,40 @@ object Io {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Optimizer-rule surface (round 9): an UN-HINTED fact⋈fact⋈fact SQL
+    * query, exactly what a user would type. The session's injected rules
+    * (`plans/GraftOptimizerRules`, ref `optimization/rules/` which does
+    * this generically) supply the 100 TB posture — no fact-side
+    * broadcast, bloom prefilter at scale — that the curated corpus
+    * otherwise hand-applies. `GraftOptimizerRulesSpec` pins the plan
+    * shape; this row pins the rewrite's result fidelity against the
+    * oracle. */
+  def sql_optimizer_rules(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.customer.createOrReplaceTempView("v_customer")
+    tt.orders.createOrReplaceTempView("v_orders")
+    tt.lineitem.createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin)
+  }
+
+  val sqlOptimizerRulesSql =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin
+
   /** Graft-native functions on the SQL surface (ref daft-sql binds every
     * function for `daft.sql`): `graft_cosine_similarity` is the SAME
     * codegen CosineSimilarityExpr the Column API plans, injected via
@@ -1033,6 +1067,7 @@ object Io {
     "io_read_sql" -> (io_read_sql _),
     "io_write_sink" -> (io_write_sink _),
     "sql_entry" -> (sql_entry _),
+    "sql_optimizer_rules" -> (sql_optimizer_rules _),
     "sql_graft_functions" -> (sql_graft_functions _),
     "subquery_scalar_corr" -> (subquery_scalar_corr _),
     "subquery_in_sql" -> (subquery_in_sql _),
@@ -1072,6 +1107,7 @@ object Io {
     "io_read_sql" -> ioReadSqlSql,
     "io_write_sink" -> ioWriteSinkSql,
     "sql_entry" -> sqlEntrySql,
+    "sql_optimizer_rules" -> sqlOptimizerRulesSql,
     "sql_graft_functions" -> sqlGraftFunctionsSql,
     "subquery_scalar_corr" -> subqueryScalarCorrSql,
     "subquery_in_sql" -> subqueryInSqlSql,
