@@ -78,6 +78,12 @@ object Engine {
           .orElse(sys.props.get("graft.local.dir"))
           .filter(_ != "default")
           .getOrElse(System.getProperty("java.io.tmpdir", "/tmp")))
+      // A/B knob for the injected rules (bench experiments; the rules
+      // read these as runtime confs so per-session override also works)
+      .config("spark.graft.optimizer.bloomPrefilter.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_DISABLE_RULES", "0") != "1").toString)
+      .config("spark.graft.optimizer.factBroadcastGuard.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_DISABLE_RULES", "0") != "1").toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // start wide, coalesce down: big shuffles (10+ GB locally, TBs on a

@@ -101,13 +101,24 @@ object FactBroadcastGuard extends Rule[LogicalPlan] {
   * fact⋈fact scale never fires (creation side capped at ~10 MB / 1M keys)
   * and whose `util.sketch` filter passes ~5× its nominal fpp past ~30M
   * keys (r8 measurement). Fires when:
-  *   - the probe side is big (`minProbeBytes`, default 128 MB) and at
+  *   - the probe side is a SCAN CHAIN (Project/Filter over a leaf — see
+  *     [[isScanChain]]), big (`minProbeBytes`, default 128 MB), and at
   *     least `probeRatio`× (default 2) the creation side's estimate;
-  *   - the creation side is either small outright (`maxCreationBytes`,
-  *     default 64 MB) or a likely-selective Filter over a scan of at most
-  *     `maxCreationScanBytes` (default 8 GB) — the q3 "BUILDING customers
-  *     against all lineitem" shape where plain size stats can't see the
-  *     reduction;
+  *   - the creation side is a LIKELY-SELECTIVE Filter over a scan of at
+  *     most `maxCreationBytes` (default 256 MB) — the q3 "BUILDING
+  *     customers against all lineitem" shape where plain size stats
+  *     can't see the reduction. The selectivity requirement is
+  *     unconditional (as in Spark's InjectRuntimeFilter): a bloom over
+  *     an unfiltered FK dimension contains every probe key and prunes
+  *     nothing (r9 measured q14 paying +60% for exactly that). The byte
+  *     cap sits where the `bytes/16` key estimate still fits the
+  *     16M-key filter ceiling: past it the rule would build a knowingly
+  *     overfull filter;
+  *   - the creation side will NOT be broadcast (explicit hint, or under
+  *     the broadcast threshold without being fact-scaled): a broadcast
+  *     hash join never shuffles the probe side, so rows die at the join
+  *     for the same per-row cost as the probe — the prefilter pays
+  *     exactly when the probe side faces an exchange;
   *   - neither side already carries a graft bloom probe (explicit Prune
   *     calls keep precedence), nothing is streaming, and the join type
   *     preserves no probe-side nulls (Inner / LeftSemi).
@@ -131,10 +142,7 @@ object BloomPrefilterRule extends Rule[LogicalPlan] with PredicateHelper {
     conf.getConfString("spark.graft.optimizer.bloomPrefilter.probeRatio", "2").toLong
   private def maxCreationBytes: Long =
     conf.getConfString("spark.graft.optimizer.bloomPrefilter.maxCreationBytes",
-      (64L << 20).toString).toLong
-  private def maxCreationScanBytes: Long =
-    conf.getConfString("spark.graft.optimizer.bloomPrefilter.maxCreationScanBytes",
-      (8L << 30).toString).toLong
+      (256L << 20).toString).toLong
 
   /** Equi-key pairs (probe-side expr, creation-side expr) from the join
     * condition, conjunct by conjunct. */
@@ -185,6 +193,20 @@ object BloomPrefilterRule extends Rule[LogicalPlan] with PredicateHelper {
     walk(p, sawSelective = false)
   }
 
+  /** Probe sides are SCAN CHAINS only (Project/Filter over a leaf). The
+    * prefilter's entire value is dropping rows BEFORE their first
+    * shuffle; above an aggregate or join the reduction already happened,
+    * and injecting mid-plan can split a subtree shared with another
+    * consumer — r9 measured q15's revenue CTE losing its runtime
+    * exchange reuse to exactly such an injection (the lineitem sliver
+    * was scanned and aggregated twice, 5× the quiet wall time). */
+  private def isScanChain(p: LogicalPlan): Boolean = p match {
+    case Project(_, child) => isScanChain(child)
+    case Filter(_, child) => isScanChain(child)
+    case _: LeafNode => true
+    case _ => false
+  }
+
   private def injectFilter(probe: LogicalPlan, probeKeys: Seq[Expression],
       creation: LogicalPlan, creationKeys: Seq[Expression]): LogicalPlan = {
     // size from the creation-side byte estimate: ≥16 compressed bytes/row
@@ -215,18 +237,40 @@ object BloomPrefilterRule extends Rule[LogicalPlan] with PredicateHelper {
           val rs = right.stats.sizeInBytes
           def broadcastHinted(h: Option[HintInfo]): Boolean =
             h.exists(_.strategy.contains(BROADCAST))
-          def creationOk(p: LogicalPlan, bytes: BigInt): Boolean =
-            !hasBloomProbe(p) &&
-              (bytes <= maxCreationBytes ||
-                (selectiveFilterOverScan(p) && bytes <= maxCreationScanBytes))
+          // the selective filter is required in EVERY case (same as
+          // Spark's InjectRuntimeFilter): a bloom over an UNFILTERED
+          // creation side of an FK join contains every probe key, so it
+          // prunes nothing and the build is pure overhead — r9 measured
+          // q14 paying +60% for a full-part-keyset bloom probed by
+          // lineitem rows that all matched.
+          // A creation side that will BROADCAST makes the probe useless
+          // too: with a broadcast hash join the probe side never
+          // shuffles, so non-matching rows already die at the join for
+          // the same per-row cost as the bloom probe (r9 interleaved
+          // A/B: q11's supplier-sliver injection was a consistent
+          // 5-10% LOSS). The prefilter pays exactly when the join must
+          // shuffle the probe side — i.e. the creation side is over the
+          // broadcast threshold or is fact-scaled (the guard rule blocks
+          // its broadcast).
+          def creationOk(p: LogicalPlan, bytes: BigInt,
+              h: Option[HintInfo]): Boolean = {
+            val willBroadcast =
+              h.exists(_.strategy.contains(BROADCAST)) ||
+                (bytes <= conf.autoBroadcastJoinThreshold &&
+                  !FactBroadcastGuard.scalesWithFact(p, FactBroadcastGuard.factNames))
+            !hasBloomProbe(p) && selectiveFilterOverScan(p) &&
+              bytes <= maxCreationBytes && !willBroadcast
+          }
           def probeOk(p: LogicalPlan, bytes: BigInt, other: BigInt,
               h: Option[HintInfo]): Boolean =
-            !hasBloomProbe(p) && !hasUnknownLeafSize(p) && !broadcastHinted(h) &&
-              bytes >= minProbeBytes && bytes >= other * probeRatio
-          if (probeOk(left, ls, rs, hint.leftHint) && creationOk(right, rs))
+            isScanChain(p) && !hasBloomProbe(p) && !hasUnknownLeafSize(p) &&
+              !broadcastHinted(h) && bytes >= minProbeBytes && bytes >= other * probeRatio
+          if (probeOk(left, ls, rs, hint.leftHint) &&
+              creationOk(right, rs, hint.rightHint))
             j.copy(left = injectFilter(left, lk, right, rk))
           else if (joinType == Inner &&
-              probeOk(right, rs, ls, hint.rightHint) && creationOk(left, ls))
+              probeOk(right, rs, ls, hint.rightHint) &&
+              creationOk(left, ls, hint.leftHint))
             j.copy(right = injectFilter(right, rk, left, lk))
           else j
         }

@@ -48,8 +48,7 @@ class GraftOptimizerRulesSpec extends AnyFunSuite {
     // decision logic (not the fixture size) the thing under test
     withConfs(
       "spark.graft.optimizer.bloomPrefilter.minProbeBytes" -> "1",
-      "spark.graft.optimizer.bloomPrefilter.probeRatio" -> "1",
-      "spark.graft.optimizer.bloomPrefilter.maxCreationBytes" -> "1") {
+      "spark.graft.optimizer.bloomPrefilter.probeRatio" -> "1") {
       val df = spark.sql(q3Sql)
       val plan = executed(df)
       assert(plan.contains("graft_bloom_might_contain"),

@@ -205,6 +205,19 @@ class ScaledPlanSpec extends AnyFunSuite {
       s"q18: pre-aggregate repartition dropped:\n$p")
   }
 
+  test("injected optimizer rules stay plan-neutral on the curated corpus") {
+    // The r9 rules (plans/GraftOptimizerRules) exist for UN-HINTED user
+    // SQL; the curated queries carry explicit Prune calls and hints, and
+    // every r9 injection into them measured as a loss (q15 lost exchange
+    // reuse 5×, q14 +60% for an FK bloom, q11 5-10% for a pre-broadcast
+    // probe). The gates must keep the tuned corpus untouched — a rule
+    // change that re-injects here is a regression even if correct.
+    val offenders = (1 to 22).map(i => s"q$i")
+      .filter(q => plan(q).contains("graft_bloom_might_contain"))
+    assert(offenders.isEmpty,
+      s"rule-injected bloom probes in curated queries: $offenders")
+  }
+
   test("no headline query plans a cartesian product at bench scale") {
     val offenders = (1 to 10).map(i => s"q$i").filter(q =>
       plan(q).contains("CartesianProduct"))

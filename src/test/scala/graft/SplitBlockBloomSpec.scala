@@ -67,5 +67,42 @@ class SplitBlockBloomSpec extends AnyFunSuite {
         graft.expressions.BlockBloomMightContainExpr.mightContain(bc, xxhash64(col("k"))))
       .as[Long].collect().toSet
     assert(kept.contains(1L) && kept.contains(2L) && !kept.contains(0L))
+    // r9: nulls are dropped BEFORE hashing (the old post-hash isNullAt
+    // check was dead — xxhash64(null) is just the seed). Detectable now:
+    // the seed hash must not have been inserted by the null build row.
+    val hashOfNull = build.filter(col("k").isNull)
+      .select(xxhash64(col("k"))).as[Long].head()
+    assert(!bf.mightContainHash(hashOfNull),
+      "null build key leaked into the filter (pre-hash null drop regressed)")
+  }
+
+  test("wire form round-trips: fromBytes(toBytes) probes identically") {
+    val nb = SplitBlockBloom.blocksFor(5000, 12)
+    val bf = new SplitBlockBloom(nb)
+    val rnd = new scala.util.Random(11)
+    val keys = Array.fill(5000)(rnd.nextLong())
+    keys.foreach(bf.insertHash)
+    val back = SplitBlockBloom.fromBytes(bf.toBytes)
+    assert(back.numBlocks == nb)
+    assert(java.util.Arrays.equals(back.blocks, bf.blocks))
+    assert(keys.forall(back.mightContainHash))
+    intercept[IllegalArgumentException](SplitBlockBloom.fromBytes(new Array[Byte](33)))
+    intercept[IllegalArgumentException](SplitBlockBloom.fromBytes(Array.emptyByteArray))
+  }
+
+  test("subquery aggregate (partial+merge over partitions) equals the RDD build") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val df = (1 to 30000).map(_.toLong).toDF("k").repartition(9)
+    val nb = SplitBlockBloom.blocksFor(30000, 12)
+    val aggCol = Bridge.column(AggregateExpression(
+      graft.expressions.BlockBloomAggregate(
+        Bridge.expression(xxhash64(col("k"))), nb),
+      Complete, isDistinct = false))
+    val bytes = df.agg(aggCol.as("bf")).head().getAs[Array[Byte]]("bf")
+    val viaAgg = SplitBlockBloom.fromBytes(bytes)
+    val viaBuild = SplitBlockBloom.build(df, "k", 30000, 12)
+    assert(java.util.Arrays.equals(viaAgg.blocks, viaBuild.blocks),
+      "two-phase aggregate build must be byte-identical to the RDD build")
   }
 }
