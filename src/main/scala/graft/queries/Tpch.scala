@@ -449,6 +449,9 @@ object Tpch {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("disc_price") - col("p_retailprice") * lit(0.1) * col("l_quantity"))
           .as("amount"))
+    // (r9 note: packing (suppkey, year) into one BIGINT — the q16 trick —
+    // was A/B'd here and measured a wash: q9's cost is the SHJ probe and
+    // the eager agg's per-task group cardinality, not key-tuple hashing)
     val perSupp = liPart.hint("shuffle_hash")
       .join(tt.orders.select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
