@@ -218,6 +218,41 @@ class ScaledPlanSpec extends AnyFunSuite {
       s"rule-injected bloom probes in curated queries: $offenders")
   }
 
+  test("un-hinted user SQL gets the bloom prefilter at SF100 scale with DEFAULT gates") {
+    // the GraftOptimizerRulesSpec proves the rewrite with forced-down
+    // thresholds on the tiny fixture; this is the real story — a user's
+    // plain q3-shaped SQL over the SF100-equivalent files crosses the
+    // DEFAULT gates (probe orders ≈ 600 MB column-pruned scan chain,
+    // creation = selective filter over the customer fact whose broadcast
+    // the guard blocks) and plans the probe with zero configuration. At
+    // k=100 the pruned orders estimate (~60 MB) sits correctly UNDER the
+    // 128 MB probe gate — a prefilter there wouldn't pay — so this runs
+    // against the k=1000 fixture when a prior bench has built it.
+    val bigDir = s"/tmp/graft_scaled_1000x_${math.abs("/root/testdata/sf0.1".hashCode)}"
+    assume(new java.io.File(s"$bigDir/_DONE").exists,
+      "k=1000 fixture not built in this environment (run Bench first)")
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      spark.read.parquet(s"$bigDir/$t.parquet").createOrReplaceTempView(s"u_$t")
+    }
+    val p = spark.sql(
+      """SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM u_customer JOIN u_orders ON c_custkey = o_custkey
+        |JOIN u_lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey ORDER BY revenue DESC LIMIT 10""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_bloom_might_contain"),
+      s"default-gate injection missing from un-hinted SQL at bench scale:\n$p")
+    val factKeys = Seq("c_custkey", "o_custkey", "o_orderkey", "l_orderkey")
+    val offending = p.linesIterator
+      .filter(_.contains("BroadcastHashJoin"))
+      .filter(l => factKeys.exists(k => l.contains(s"[$k#")))
+      .toSeq
+    assert(offending.isEmpty,
+      s"fact broadcast in un-hinted SQL:\n${offending.mkString("\n")}")
+  }
+
   test("no headline query plans a cartesian product at bench scale") {
     val offenders = (1 to 10).map(i => s"q$i").filter(q =>
       plan(q).contains("CartesianProduct"))
