@@ -261,6 +261,49 @@ object Curate {
     * UDF and NO SHUFFLE: chunking is a map-side transform whatever the
     * corpus size, and the row multiplication (~n/step per doc) is the
     * output's intrinsic size, not an intermediate blow-up. */
+  /** Quality-weighted corpus subsampling WITHOUT replacement — priority
+    * sampling (Duffield, Lund & Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007; the same
+    * weighted-without-replacement family as Efraimidis–Spirakis A-ES,
+    * which the Pile/Dolma-style "keep the best N docs weighted by
+    * quality score" curation step needs): each row draws a deterministic
+    * uniform u from md5(id:seed), gets priority w/u, and the k highest
+    * priorities are kept — selection probability rises with weight, and
+    * reruns/backfills pick bit-identical rows.
+    *
+    * Cross-engine exactness (the reason for the slightly baroque u): u
+    * is the exact dyadic rational `(iv+1)/2^32` where iv is integer
+    * arithmetic over the first 8 hex digits of md5 — md5, substring and
+    * instr agree everywhere, and the single IEEE division w/u is
+    * exactly rounded, so a plain SQL oracle reproduces the exact sample
+    * including the order, no RNG-compatibility caveats.
+    *
+    * Scale shape: one map pass plus [[Global.withGlobalRank]]'s two-pass
+    * range-partitioned rank — no single-task window, no driver top-k
+    * heap, so k can be hundreds of millions. Rows with non-positive
+    * weight are excluded (they cannot be sampled). */
+  def prioritySample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Long, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val iv = (1 to 8).map { i =>
+      expr(s"(instr('0123456789abcdef', substring(__h, $i, 1)) - 1) * " +
+        s"${1L << (4 * (8 - i))}L")
+    }.reduce(_ + _)
+    val withP = docs
+      .filter(col(weightCol) > 0)
+      .withColumn("__h",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("__iv", iv)
+      .withColumn("sample_priority",
+        col(weightCol).cast("double") /
+          ((col("__iv") + 1).cast("double") / 4294967296.0))
+      .drop("__h", "__iv")
+    Global.withGlobalRank(withP,
+        Seq(col("sample_priority").desc, col(idCol).asc), "__rank")
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
     require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,

@@ -569,6 +569,37 @@ object Pipeline {
       |SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |FROM s GROUP BY split ORDER BY split""".stripMargin
 
+  // ---- quality-weighted subsample: priority sampling, exact SQL oracle ----
+  def curate_priority_sample(s: SparkSession, dir: String): DataFrame =
+    Curate.prioritySample(
+        t(s, dir).documents
+          .select(col("doc_id"),
+            (pmod(col("n_chars"), lit(97)) + 1).cast("double").as("wt")),
+        "doc_id", "wt", k = 200, seed = 42L)
+      .select(col("doc_id"), col("wt"), col("sample_priority"))
+      .orderBy(col("sample_priority").desc, col("doc_id").asc)
+
+  val curatePrioritySampleSql =
+    """WITH w AS (
+      |  SELECT doc_id, CAST(n_chars % 97 + 1 AS DOUBLE) AS wt,
+      |    md5(CAST(doc_id AS VARCHAR) || ':42') AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, wt,
+      |    wt / ((
+      |      (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 268435456
+      |    + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 16777216
+      |    + (instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 1048576
+      |    + (instr('0123456789abcdef', substring(h, 4, 1)) - 1) * 65536
+      |    + (instr('0123456789abcdef', substring(h, 5, 1)) - 1) * 4096
+      |    + (instr('0123456789abcdef', substring(h, 6, 1)) - 1) * 256
+      |    + (instr('0123456789abcdef', substring(h, 7, 1)) - 1) * 16
+      |    + (instr('0123456789abcdef', substring(h, 8, 1)) - 1)
+      |    + 1) / 4294967296.0) AS sample_priority
+      |  FROM w WHERE wt > 0)
+      |SELECT doc_id, wt, sample_priority FROM p
+      |ORDER BY sample_priority DESC, doc_id ASC LIMIT 200""".stripMargin
+
   // ---- RAG chunking: 64-token windows, 16-token overlap ----
   def curate_chunk(s: SparkSession, dir: String): DataFrame =
     Curate.chunkDocuments(t(s, dir).documents.filter(col("doc_id") < 100),
@@ -743,6 +774,7 @@ object Pipeline {
     "text_bm25" -> (text_bm25 _),
     "curate_split" -> (curate_split _),
     "curate_chunk" -> (curate_chunk _),
+    "curate_priority_sample" -> (curate_priority_sample _),
     "text_fingerprint" -> (text_fingerprint _),
     "shard" -> (shard _),
     "checkpoint_resume" -> (checkpoint_resume _))
@@ -777,6 +809,7 @@ object Pipeline {
     "text_bm25" -> textBm25Sql,
     "curate_split" -> curateSplitSql,
     "curate_chunk" -> curateChunkSql,
+    "curate_priority_sample" -> curatePrioritySampleSql,
     "text_fingerprint" -> textFingerprintSql,
     "shard" -> shardSql,
     "checkpoint_resume" -> checkpointResumeSql)

@@ -212,4 +212,47 @@ class CurateSpec extends AnyFunSuite {
       .orderBy("chunk_id").select("chunk").as[String].collect()
     assert(parts.mkString(" ") == (1 to 23).map(i => s"w$i").mkString(" "))
   }
+
+  test("prioritySample: deterministic, exact-k, weight-monotone selection") {
+    val docs = (0 until 2000).map { i =>
+      // two weight classes: heavy (10.0) vs light (1.0), interleaved
+      (i.toLong, if (i % 2 == 0) 10.0 else 1.0)
+    }.toDF("doc_id", "w")
+    val a = Curate.prioritySample(docs, "doc_id", "w", k = 400, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size == 400, "must select exactly k rows")
+    // bit-identical rerun
+    val b = Curate.prioritySample(docs, "doc_id", "w", k = 400, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same seed must select the identical set")
+    // different seed selects a different set (overwhelming probability)
+    val c = Curate.prioritySample(docs, "doc_id", "w", k = 400, seed = 8L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != c, "a different seed should perturb the sample")
+    // weight-monotone: 10x-weighted docs must dominate the selection
+    // (E[heavy] ≈ k·10/11 ≈ 364; even a loose bound separates the classes)
+    val heavy = a.count(_ % 2 == 0)
+    assert(heavy > 280 && (400 - heavy) < 120,
+      s"heavy-weight share implausible: $heavy of 400")
+    // equals the naive local computation exactly (same u, same ordering)
+    val naive = docs.collect().map { r =>
+      val id = r.getLong(0); val w = r.getDouble(1)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:7".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val iv = java.lang.Long.parseLong(h, 16)
+      (w / ((iv + 1).toDouble / 4294967296.0), id)
+    }.sortBy { case (p, id) => (-p, id) }.take(400).map(_._2).toSet
+    assert(a == naive, "distributed sample must equal the reference computation")
+  }
+
+  test("prioritySample drops non-positive weights and honors tiny k") {
+    val docs = Seq((1L, 0.0), (2L, -3.0), (3L, 5.0), (4L, 1.0))
+      .toDF("doc_id", "w")
+    val got = Curate.prioritySample(docs, "doc_id", "w", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L), "zero/negative weights are unsampleable")
+    val one = Curate.prioritySample(docs, "doc_id", "w", k = 1)
+    assert(one.count() == 1)
+  }
 }
