@@ -53,6 +53,58 @@ object Binary {
   val deflateUdf = udf { b: Array[Byte] => if (b == null) null else zlibBytes(b, raw = true) }
   val inflateUdf = udf { b: Array[Byte] => if (b == null) null else unzlibBytes(b, raw = true) }
 
+  // try_ variants (ref binary.py try_compress/try_decompress, str.py
+  // try_decode): null on malformed input instead of a task failure — the
+  // posture a 100 TB corpus with a sprinkling of corrupt blobs needs
+  val tryGunzipUdf = udf { b: Array[Byte] =>
+    if (b == null) null
+    else try gunzipBytes(b) catch { case scala.util.control.NonFatal(_) => null }
+  }
+  val tryUnzlibUdf = udf { b: Array[Byte] =>
+    if (b == null) null
+    else try unzlibBytes(b, raw = false) catch { case scala.util.control.NonFatal(_) => null }
+  }
+  val tryInflateUdf = udf { b: Array[Byte] =>
+    if (b == null) null
+    else try unzlibBytes(b, raw = true) catch { case scala.util.control.NonFatal(_) => null }
+  }
+  val tryDecodeUtf8Udf = udf { b: Array[Byte] =>
+    if (b == null) null
+    else {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+      catch { case _: java.nio.charset.CharacterCodingException => null }
+    }
+  }
+
+  def tryDecompress(c: Column, codec: String): Column = codec.toLowerCase match {
+    case "gzip" => tryGunzipUdf(c)
+    case "zlib" => tryUnzlibUdf(c)
+    case "deflate" => tryInflateUdf(c)
+    case other => throw new IllegalArgumentException(s"unknown codec $other")
+  }
+
+  /** Strict-UTF8 decode returning null on invalid byte sequences (the
+    * builtin `decode` substitutes U+FFFD instead of failing). */
+  def tryDecodeUtf8(c: Column): Column = tryDecodeUtf8Udf(c)
+
+  /** Strict charset encode returning null on unmappable characters (ref
+    * binary.py try_encode — the builtin substitutes `?`). */
+  def tryEncode(c: Column, charset: String): Column = {
+    val cs = charset
+    val f = udf { s: String =>
+      if (s == null) null
+      else try {
+        val bb = java.nio.charset.Charset.forName(cs).newEncoder()
+          .encode(java.nio.CharBuffer.wrap(s))
+        val out = new Array[Byte](bb.remaining())
+        bb.get(out)
+        out
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+    f(c)
+  }
+
   def compress(c: Column, codec: String): Column = codec.toLowerCase match {
     case "gzip"    => gzipUdf(c)
     case "zlib"    => zlibUdf(c)

@@ -46,6 +46,10 @@ object Num {
   def asinhCol(c: Column): Column = asinh(c)
   def acoshCol(c: Column): Column = acosh(c)
   def atanhCol(c: Column): Column = atanh(c)
+  // reciprocal trig (ref functions/numeric.py:90-104: csc/sec/cot)
+  def cotCol(c: Column): Column = lit(1.0) / tan(c)
+  def cscCol(c: Column): Column = lit(1.0) / sin(c)
+  def secCol(c: Column): Column = lit(1.0) / cos(c)
   def radiansCol(c: Column): Column = radians(c)
   def degreesCol(c: Column): Column = degrees(c)
 }
@@ -66,6 +70,8 @@ object Dt {
   def dayOfYear(c: Column): Column = dayofyear(c)
   def weekOfYear(c: Column): Column = weekofyear(c)
   def unixDate(c: Column): Column = unix_date(to_date(c))
+  // inverse (ref datetime.py date_from_unix_date): epoch days → DATE
+  def dateFromUnixDate(c: Column): Column = date_from_unix_date(c)
   def strftime(c: Column, fmt: String): Column = date_format(c, fmt)
   def toDate(c: Column, fmt: String): Column = to_date(c, fmt)
   def toDatetime(c: Column, fmt: String): Column = to_timestamp(c, fmt)
@@ -88,6 +94,28 @@ object Dt {
   def fromUtcTimestamp(c: Column, tz: String): Column = from_utc_timestamp(c, tz)
   def toUtcTimestamp(c: Column, tz: String): Column = to_utc_timestamp(c, tz)
   def totalSeconds(interval: Column): Column = interval.cast("long")
+  // r9 API-sweep closures (ref datetime.py):
+  /** make_timestamp(y, mo, d, h, mi, s) — session-zone timestamp. */
+  def makeTimestamp(y: Column, mo: Column, d: Column,
+      h: Column, mi: Column, s: Column): Column = make_timestamp(y, mo, d, h, mi, s)
+  /** Sub-second microsecond component [0, 999999]. The cast admits
+    * TIMESTAMP_NTZ inputs (unix_micros rejects them); instant-preserving
+    * under the session's pinned-UTC zone, and the sub-second component is
+    * zone-invariant regardless. */
+  def microsecond(c: Column): Column =
+    pmod(unix_micros(c.cast("timestamp")), lit(1000000L))
+  /** ANSI datepart/date_part by field name. */
+  def datePart(field: String, c: Column): Column = date_part(lit(field), c)
+  // duration totals (ref total_days/hours/minutes/...; the seconds
+  // convention above is the anchor, the rest are exact integer scalings)
+  def totalDays(interval: Column): Column =
+    floor(totalSeconds(interval) / lit(86400L)).cast("long")
+  def totalHours(interval: Column): Column =
+    floor(totalSeconds(interval) / lit(3600L)).cast("long")
+  def totalMinutes(interval: Column): Column =
+    floor(totalSeconds(interval) / lit(60L)).cast("long")
+  def totalMilliseconds(interval: Column): Column = totalSeconds(interval) * lit(1000L)
+  def totalMicroseconds(interval: Column): Column = totalSeconds(interval) * lit(1000000L)
 }
 
 /** List namespace — mirrors `daft/functions/list.py` (Spark higher-order
@@ -134,6 +162,15 @@ object Json {
   def fromJson(c: Column, schema: org.apache.spark.sql.types.DataType): Column =
     from_json(c, schema)
   def toJson(c: Column): Column = to_json(c)
+  // ref str.py serialize/deserialize/try_deserialize (format="json" is the
+  // only published format): serialize = to_json; deserialize = from_json,
+  // whose Spark semantics are already null-on-malformed — so the try_
+  // variant IS the base behavior, aliased for surface parity
+  def serializeJson(c: Column): Column = to_json(c)
+  def deserializeJson(c: Column, schema: org.apache.spark.sql.types.DataType): Column =
+    from_json(c, schema)
+  def tryDeserializeJson(c: Column, schema: org.apache.spark.sql.types.DataType): Column =
+    from_json(c, schema)
   def schemaOfJson(sample: String): Column = schema_of_json(sample)
 }
 

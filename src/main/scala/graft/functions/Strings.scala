@@ -92,10 +92,18 @@ object Strings {
     if (s == null) null
     else splitWords(s).map(x => x.head.toUpper + x.tail.toLowerCase).mkString(" ")
   }
+  val upperCamelCaseUdf = udf { s: String =>
+    if (s == null) null
+    else splitWords(s).map(x => x.head.toUpper + x.tail.toLowerCase).mkString
+  }
   def camelCase(c: Column): Column = camelCaseUdf(c)
   def snakeCase(c: Column): Column = snakeCaseUdf(c)
   def kebabCase(c: Column): Column = kebabCaseUdf(c)
   def titleCase(c: Column): Column = titleCaseUdf(c)
+  // SCREAMING variants (ref str.py to_upper_{camel,snake,kebab}_case)
+  def upperCamelCase(c: Column): Column = upperCamelCaseUdf(c)
+  def upperSnakeCase(c: Column): Column = upper(snakeCaseUdf(c))
+  def upperKebabCase(c: Column): Column = upper(kebabCaseUdf(c))
 
   // ---- string distances (ref str.py:1580-1730) — UDFs, semantics match
   // the standard definitions (and DuckDB's, used as the test oracle) ----

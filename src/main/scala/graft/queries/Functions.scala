@@ -67,7 +67,11 @@ object Functions {
         GStr.snakeCase(col("p_name")).as("snake"),
         GStr.kebabCase(col("p_name")).as("kebab"),
         GStr.titleCase(col("p_name")).as("title"),
-        GStr.normalize(concat(lit("  "), col("p_name"), lit("   x  "))).as("normalized"))
+        GStr.normalize(concat(lit("  "), col("p_name"), lit("   x  "))).as("normalized"),
+        // SCREAMING variants (r9 API-sweep closure)
+        GStr.upperCamelCase(col("p_name")).as("ucamel"),
+        GStr.upperSnakeCase(col("p_name")).as("usnake"),
+        GStr.upperKebabCase(col("p_name")).as("ukebab"))
       .orderBy("p_partkey")
 
   val fnStringsCaseSql =
@@ -81,7 +85,12 @@ object Functions {
       |    || ' ' ||
       |  upper(substring(split_part(p_name,' ',2),1,1)) || substring(split_part(p_name,' ',2),2)
       |    AS title,
-      |  lower(trim(regexp_replace('  ' || p_name || '   x  ', '\s+', ' ', 'g'))) AS normalized
+      |  lower(trim(regexp_replace('  ' || p_name || '   x  ', '\s+', ' ', 'g'))) AS normalized,
+      |  upper(substring(split_part(p_name,' ',1),1,1)) || substring(split_part(p_name,' ',1),2)
+      |    || upper(substring(split_part(p_name,' ',2),1,1)) || substring(split_part(p_name,' ',2),2)
+      |    AS ucamel,
+      |  upper(replace(p_name,' ','_')) AS usnake,
+      |  upper(replace(p_name,' ','-')) AS ukebab
       |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin
 
   // ---- strings: distances (graft UDFs vs DuckDB native metrics) ----
@@ -156,7 +165,12 @@ object Functions {
         round(N.sinCol(col("l_discount")), 6).as("sin_v"),
         round(N.atan2Col(col("l_discount"), col("l_tax") + 0.01), 6).as("atan2_v"),
         round(N.degreesCol(col("l_discount")), 6).as("deg_v"),
-        round(N.hypotCol(col("l_quantity"), col("l_linenumber")), 6).as("hypot_v"))
+        round(N.hypotCol(col("l_quantity"), col("l_linenumber")), 6).as("hypot_v"),
+        // reciprocal trig (r9 API-sweep closure); +0.5 keeps args off the
+        // poles so the reciprocals stay well-conditioned at 6 decimals
+        round(N.cotCol(col("l_discount") + 0.5), 6).as("cot_v"),
+        round(N.cscCol(col("l_discount") + 0.5), 6).as("csc_v"),
+        round(N.secCol(col("l_discount") + 0.5), 6).as("sec_v"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -179,7 +193,10 @@ object Functions {
       |  round(sin(l_discount), 6) AS sin_v,
       |  round(atan2(l_discount, l_tax + 0.01), 6) AS atan2_v,
       |  round(degrees(l_discount), 6) AS deg_v,
-      |  round(sqrt(l_quantity*l_quantity + l_linenumber*l_linenumber), 6) AS hypot_v
+      |  round(sqrt(l_quantity*l_quantity + l_linenumber*l_linenumber), 6) AS hypot_v,
+      |  round(1.0 / tan(l_discount + 0.5), 6) AS cot_v,
+      |  round(1.0 / sin(l_discount + 0.5), 6) AS csc_v,
+      |  round(1.0 / cos(l_discount + 0.5), 6) AS sec_v
       |FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   // ---- datetime ----
@@ -205,7 +222,16 @@ object Functions {
         D.dateAdd(col("ts"), 30).as("plus30d"),
         D.lastDay(col("ts")).as("eom"),
         D.addMonths(col("ts"), 2).as("plus2mo"),
-        D.dateDiff(lit("2024-06-01").cast("date"), col("ts")).as("days_to_jun"))
+        D.dateDiff(lit("2024-06-01").cast("date"), col("ts")).as("days_to_jun"),
+        // unix_date/date_from_unix_date inverse pair (r9 API-sweep closure)
+        D.dateFromUnixDate(D.unixDate(col("ts"))).as("unix_date_roundtrip"),
+        // r9 API-sweep closures: component rebuild, sub-second micros,
+        // ANSI datepart
+        D.makeTimestamp(year(col("ts")), month(col("ts")), dayofmonth(col("ts")),
+          hour(col("ts")), minute(col("ts")), second(col("ts")).cast("double"))
+          .as("rebuilt_ts"),
+        D.microsecond(col("ts")).as("micro"),
+        D.datePart("hour", col("ts")).as("dp_hour"))
       .orderBy("event_id")
   }
 
@@ -223,7 +249,13 @@ object Functions {
       |  CAST(CAST(ts AS TIMESTAMP) + INTERVAL 30 DAY AS DATE) AS plus30d,
       |  last_day(CAST(ts AS DATE)) AS eom,
       |  CAST(CAST(ts AS TIMESTAMP) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
-      |  datediff('day', CAST(ts AS DATE), DATE '2024-06-01') AS days_to_jun
+      |  datediff('day', CAST(ts AS DATE), DATE '2024-06-01') AS days_to_jun,
+      |  CAST(ts AS DATE) AS unix_date_roundtrip,
+      |  make_timestamp(CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT),
+      |    CAST(day(ts) AS BIGINT), CAST(hour(ts) AS BIGINT),
+      |    CAST(minute(ts) AS BIGINT), floor(second(ts))) AS rebuilt_ts,
+      |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000 AS BIGINT) AS micro,
+      |  CAST(hour(ts) AS BIGINT) AS dp_hour
       |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
 
   // ---- lists (higher-order functions) ----
@@ -309,7 +341,14 @@ object Functions {
         GBin.lengthBytes(col("p_name")).as("n_bytes"),
         GBin.decodeUtf8(GBin.decompress(GBin.compress(bytes, "gzip"), "gzip")).as("gzip_roundtrip"),
         GBin.decodeUtf8(GBin.decompress(GBin.compress(bytes, "zlib"), "zlib")).as("zlib_roundtrip"),
-        (GBin.lengthBytes(GBin.compress(bytes, "gzip")) > 0).as("gzip_nonempty"))
+        (GBin.lengthBytes(GBin.compress(bytes, "gzip")) > 0).as("gzip_nonempty"),
+        // try_ variants (r9): well-formed input round-trips; malformed
+        // input (raw text as gzip, 0xFF as UTF-8) nulls instead of failing
+        GBin.tryDecodeUtf8(GBin.tryDecompress(GBin.compress(bytes, "gzip"), "gzip"))
+          .as("try_roundtrip"),
+        GBin.tryDecompress(bytes, "gzip").isNull.as("try_bad_gzip_null"),
+        GBin.tryDecodeUtf8(bytes).as("try_decode_ok"),
+        GBin.tryDecodeUtf8(unhex(lit("FF"))).isNull.as("try_decode_bad_null"))
       .orderBy("p_partkey")
   }
 
@@ -321,7 +360,11 @@ object Functions {
       |  octet_length(encode(p_name)) AS n_bytes,
       |  p_name AS gzip_roundtrip,
       |  p_name AS zlib_roundtrip,
-      |  true AS gzip_nonempty
+      |  true AS gzip_nonempty,
+      |  p_name AS try_roundtrip,
+      |  true AS try_bad_gzip_null,
+      |  p_name AS try_decode_ok,
+      |  true AS try_decode_bad_null
       |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin
 
   // ---- conditional / null expressions (Expr::IfElse/IsIn/Between/...) ----

@@ -144,4 +144,38 @@ class FunctionsSpec extends AnyFunSuite {
       assert(math.abs(rms - 1 / math.sqrt(2)) < 0.02, s"rms $rms at $target")
     }
   }
+  test("r9 API-sweep closures: totals, try_encode, SCREAMING cases, reciprocal trig") {
+    import graft.functions.{Binary => GBin, Dt => GDt, Num => GNum}
+    // duration totals scale exactly from the seconds anchor
+    val iv = Seq(90061L).toDF("secs") // 1d 1h 1m 1s
+      .select(col("secs").cast("long").as("s"))
+    val t = iv.select(
+      GDt.totalDays(col("s")).as("d"), GDt.totalHours(col("s")).as("h"),
+      GDt.totalMinutes(col("s")).as("m"),
+      GDt.totalMilliseconds(col("s")).as("ms"),
+      GDt.totalMicroseconds(col("s")).as("us")).head()
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3), t.getLong(4)) ==
+      ((1L, 25L, 1501L, 90061000L, 90061000000L)))
+    // strict encode: ascii of non-ascii is null, of ascii is the bytes
+    val e = Seq(("abc"), ("\u00e9clair")).toDF("s")
+      .select(col("s"), GBin.tryEncode(col("s"), "US-ASCII").as("b"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(e("abc").isDefined && e("\u00e9clair").isEmpty)
+    // SCREAMING case variants
+    val c = Seq("greenDark metal").toDF("s").select(
+      GStr.upperCamelCase(col("s")).as("uc"),
+      GStr.upperSnakeCase(col("s")).as("us"),
+      GStr.upperKebabCase(col("s")).as("uk")).head()
+    assert(c.getString(0) == "GreenDarkMetal")
+    assert(c.getString(1) == "GREEN_DARK_METAL")
+    assert(c.getString(2) == "GREEN-DARK-METAL")
+    // reciprocal trig identities at a benign angle
+    val x = 0.7
+    val r = Seq(x).toDF("x").select(
+      GNum.cotCol(col("x")).as("cot"), GNum.cscCol(col("x")).as("csc"),
+      GNum.secCol(col("x")).as("sec")).head()
+    assert(math.abs(r.getDouble(0) - 1.0 / math.tan(x)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0 / math.sin(x)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0 / math.cos(x)) < 1e-12)
+  }
 }
