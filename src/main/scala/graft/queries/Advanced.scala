@@ -597,6 +597,47 @@ object Advanced {
       .withColumn("total_value", round(col("total_value"), 2))
       .orderBy("event_type")
 
+  /** Streaming NEAR-dup suppression: MinHash-LSH band state behind
+    * `dropDuplicatesWithinWatermark` over a two-batch document stream
+    * (originals, then exact copies with shifted ids). Batch 2's copies
+    * all drop (their bands are claimed); batch 1 also drops one member
+    * of each PLANTED near-dup group inside the base corpus (~25 pairs at
+    * jaccard ≥ 0.9, incl. one triangle) — WHICH member survives depends
+    * on in-batch arrival, so the compared output canonicalizes every
+    * kept doc to its similarity-component MINIMUM (connected components
+    * over exact ≥0.5-jaccard pairs). The canonical kept set is
+    * arrival-invariant; the oracle replays the same canonicalization as
+    * a recursive CTE. */
+  def streaming_neardup(s: SparkSession, dir: String): DataFrame = {
+    val kept = graft.streaming.Streaming
+      .nearDupDedupStream(s, dir, s"graft_neardup_${math.abs(dir.hashCode)}")
+    val docs = t(s, dir).documents
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val canon = graft.ops.Dedup.clusters(pairs, "doc_a", "doc_b")
+    kept.join(canon, kept("doc_id") === canon("member"), "left")
+      .select(coalesce(col("cluster"), col("doc_id")).cast("long").as("doc_id"))
+      .distinct()
+      .orderBy("doc_id")
+  }
+
+  val streamingNeardupSql =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t WHERE len(w) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |canon AS (SELECT a AS doc_id, least(a, min(b)) AS c FROM reach GROUP BY a)
+      |SELECT DISTINCT coalesce(c.c, d.doc_id) AS doc_id
+      |FROM documents d LEFT JOIN canon c USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val streamingSessionsSql =
     """WITH g AS (
       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
@@ -702,6 +743,7 @@ object Advanced {
     "streaming_join" -> (streaming_join _),
     "streaming_dedup" -> (streaming_dedup _),
     "streaming_dedup_watermark" -> (streaming_dedup_watermark _),
+    "streaming_neardup" -> (streaming_neardup _),
     "streaming_enrich" -> (streaming_enrich _),
     "streaming_delta_sink" -> (streaming_delta_sink _),
     "streaming_kafka_to_delta" -> (streaming_kafka_to_delta _))
@@ -732,6 +774,7 @@ object Advanced {
     "streaming_join" -> streamingJoinSql,
     "streaming_dedup" -> streamingDedupSql,
     "streaming_dedup_watermark" -> streamingDedupSql,
+    "streaming_neardup" -> streamingNeardupSql,
     "streaming_enrich" -> streamingEnrichSql,
     "streaming_delta_sink" -> streamingDeltaSinkSql,
     "streaming_kafka_to_delta" -> streamingKafkaToDeltaSql)

@@ -304,6 +304,87 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
   }
 
+  /** Streaming NEAR-duplicate suppression — MinHash-LSH over a document
+    * stream with watermarked band state (the streaming counterpart of
+    * `ops/Dedup.minhashLsh`; the reference has batch dedup only, this is
+    * the shape a continuously-ingesting training-data pipeline needs):
+    * each arriving doc's 128-hash signature is split into 8 bands of 16,
+    * every band key runs through `dropDuplicatesWithinWatermark`, and a
+    * doc survives iff ALL its bands were first claims — any band shared
+    * with an earlier doc (exact dup or ≥~0.9-jaccard near-dup) marks it
+    * a duplicate. Band state is evicted by the watermark, so state is
+    * bounded by the dedup horizon, not history.
+    *
+    * Determinism for the oracle: the copies file is staged with a LATER
+    * modification time and the source reads one file per trigger, so
+    * originals claim every band in batch 1 and the exact copies arrive
+    * strictly after — the kept set is exactly the originals. (In-batch-1
+    * cross-doc band collisions would be a deterministic function of the
+    * corpus + seed; `StreamingNearDupSpec` pins that the base corpus is
+    * collision-free and exercises genuine NEAR-dup drops.) */
+  def nearDupDedupStream(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val dir = Paths.get(s"/tmp/graft_stream_neardup/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    Files.createDirectories(dir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_neardup_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      Files.copy(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    val t0 = 1700000000000L
+    stageOne(docs, "a_originals.parquet", t0)
+    stageOne(docs.withColumn("doc_id", col("doc_id") + 10000), "b_copies.parquet", t0 + 60000)
+    nearDupKeptDocs(spark, dir.toString, docs.schema, queryName)
+  }
+
+  /** The LSH band-dedup stream over an already-staged directory of
+    * (doc_id, text) parquet files — one file per micro-batch, oldest
+    * modification time first; returns the kept doc_ids (a doc survives
+    * iff ALL its bands were first claims). Split out so specs can stage
+    * hand-made corpora and assert the near-dup semantics directly. */
+  def nearDupKeptDocs(spark: SparkSession, stagedDir: String,
+      schema: StructType, queryName: String): DataFrame = {
+    // 3-gram SHINGLES, not unigram tokens: the synthetic corpus draws
+    // from a small vocabulary, so unigram token SETS overlap heavily
+    // across unrelated docs (measured: 355 of 500 originals lost a band
+    // to a neighbor) while shingle sets are near-disjoint. Fused
+    // kernels: shingle-hash once per doc, then signature + band buckets
+    // in one call (see Misc.minhashBands on lambda re-evaluation).
+    val shinglesUdf = graft.functions.Misc.hashedShinglesUdf(3)
+    val bandsUdf = graft.functions.Misc.minhashBandsFromHashesUdf(128, 16, 7L)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // oldest file first → batch order
+      .parquet(stagedDir)
+      .select(col("doc_id"),
+        posexplode(bandsUdf(shinglesUdf(col("text")))).as(Seq("band", "bucket")))
+      .select(col("doc_id"),
+        concat_ws(":", col("band"), col("bucket")).as("band_key"))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L)))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("band_key")
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // a doc survives iff all 8 of its bands were first claims
+    spark.table(queryName)
+      .groupBy("doc_id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === 8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Streaming ingestion into a Delta table ([[DeltaSink]]): the events
     * stream drains through exactly-once txn-stamped micro-batch commits,
     * then the table is read back through the log-replay reader — the
