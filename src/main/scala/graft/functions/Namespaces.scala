@@ -114,8 +114,21 @@ object Dt {
     floor(totalSeconds(interval) / lit(3600L)).cast("long")
   def totalMinutes(interval: Column): Column =
     floor(totalSeconds(interval) / lit(60L)).cast("long")
-  def totalMilliseconds(interval: Column): Column = totalSeconds(interval) * lit(1000L)
-  def totalMicroseconds(interval: Column): Column = totalSeconds(interval) * lit(1000000L)
+  /** Exact interval length in microseconds. Scaling totalSeconds would
+    * truncate sub-second components first (ref total_milliseconds returns 1
+    * for a 1000µs duration, datetime.py:783-826); instead add the interval
+    * to the epoch and read back micros — exact for any day-time interval. */
+  private def intervalMicros(interval: Column): Column = {
+    import org.apache.spark.sql.types.DayTimeIntervalType
+    // SECOND-to-SECOND cast: duration-preserving for interval inputs
+    // (micros precision), seconds-count for integral inputs — so the
+    // totals accept both representations like totalSeconds does
+    val iv = interval.cast(DayTimeIntervalType(DayTimeIntervalType.SECOND))
+    unix_micros(timestamp_micros(lit(0L)) + iv)
+  }
+  def totalMilliseconds(interval: Column): Column =
+    floor(intervalMicros(interval) / lit(1000L)).cast("long")
+  def totalMicroseconds(interval: Column): Column = intervalMicros(interval)
 }
 
 /** List namespace — mirrors `daft/functions/list.py` (Spark higher-order

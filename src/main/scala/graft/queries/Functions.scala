@@ -227,8 +227,12 @@ object Functions {
         D.dateFromUnixDate(D.unixDate(col("ts"))).as("unix_date_roundtrip"),
         // r9 API-sweep closures: component rebuild, sub-second micros,
         // ANSI datepart
+        // cast to NTZ: the oracle's make_timestamp is tz-naive, and the
+        // driver compares parquet dtypes via pandas where UTC-adjusted vs
+        // naive timestamps differ even at identical instants (r9 red)
         D.makeTimestamp(year(col("ts")), month(col("ts")), dayofmonth(col("ts")),
           hour(col("ts")), minute(col("ts")), second(col("ts")).cast("double"))
+          .cast("timestamp_ntz")
           .as("rebuilt_ts"),
         D.microsecond(col("ts")).as("micro"),
         D.datePart("hour", col("ts")).as("dp_hour"))

@@ -156,6 +156,19 @@ class FunctionsSpec extends AnyFunSuite {
       GDt.totalMicroseconds(col("s")).as("us")).head()
     assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3), t.getLong(4)) ==
       ((1L, 25L, 1501L, 90061000L, 90061000000L)))
+    // sub-second components must survive (ref total_milliseconds returns 1
+    // for a 1000µs duration, datetime.py:783-826): feed a true interval
+    val sub = spark.sql(
+      "SELECT INTERVAL '0 00:00:00.001' DAY TO SECOND AS i").select(
+      GDt.totalMilliseconds(col("i")).as("ms"),
+      GDt.totalMicroseconds(col("i")).as("us")).head()
+    assert((sub.getLong(0), sub.getLong(1)) == ((1L, 1000L)))
+    // and a mixed interval with sub-second tail: 1m 1.5s = 61500 ms
+    val mixed = spark.sql(
+      "SELECT INTERVAL '0 00:01:01.5' DAY TO SECOND AS i").select(
+      GDt.totalMilliseconds(col("i")).as("ms"),
+      GDt.totalMicroseconds(col("i")).as("us")).head()
+    assert((mixed.getLong(0), mixed.getLong(1)) == ((61500L, 61500000L)))
     // strict encode: ascii of non-ascii is null, of ascii is the bytes
     val e = Seq(("abc"), ("\u00e9clair")).toDF("s")
       .select(col("s"), GBin.tryEncode(col("s"), "US-ASCII").as("b"))

@@ -116,6 +116,31 @@ def main(sf_dir, out_dir):
         ec, er = canon(exp, exp_cols)
         tdiff = {c: (got_types.get(c), exp_types.get(c)) for c in gc
                  if c in ec and got_types.get(c) != exp_types.get(c)} if gc == ec else {}
+        if STRICT and gc == ec and not tdiff:
+            # DuckDB's description coarsens (TIMESTAMP vs TIMESTAMPTZ both
+            # report DATETIME) — it masked the r9 fn_datetime red. The driver
+            # compares via pandas, so read the Spark parquet through
+            # pandas/pyarrow and the oracle through DuckDB's .df() and diff
+            # pandas dtypes the way the driver sees them.
+            try:
+                import pandas as pd
+                got_pd = pd.read_parquet(f"{out_dir}/{name}")
+                exp_pd = con.execute(sql).df()
+                def kind(d):
+                    return getattr(d, "kind", "O")
+                # Only datetime-vs-datetime dtype drift is flagged: that is
+                # the class the driver rejects (r9 fn_datetime red was
+                # datetime64[us, UTC] vs datetime64[us], both kind 'M').
+                # int-width diffs and DATE-as-object vs datetime64 have been
+                # green across rounds — flagging them would be noise.
+                tdiff = {c: (str(got_pd.dtypes[c]), str(exp_pd.dtypes[c]))
+                         for c in gc
+                         if c in got_pd.columns and c in exp_pd.columns
+                         and kind(got_pd.dtypes[c]) == "M"
+                         and kind(exp_pd.dtypes[c]) == "M"
+                         and str(got_pd.dtypes[c]) != str(exp_pd.dtypes[c])}
+            except Exception as e:
+                print(f"warn {name}: pandas dtype probe failed: {e}")
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
             fail += 1
