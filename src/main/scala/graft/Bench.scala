@@ -304,15 +304,18 @@ object Bench {
       }
 
     // deepest tier's over-budget list, surfaced top-level too (the field
-    // the driver/judge reads without digging into tier objects)
+    // the driver/judge reads without digging into tier objects); keyed by
+    // input_gb, not serialization order — whichever tierJson call runs
+    // last must not win if a larger tier was already recorded
     var deepestOverBudget: Seq[String] = Nil
+    var deepestGb: Double = -1.0
 
     def tierJson(label: String, k: Int, dir: String, res: Seq[QRes],
         ext: Seq[QRes] = Nil): String = {
       val gb = inputBytes(dir, tpchTables) / 1e9
       val tot = okTotal(res)
       val over = overBudget(res, gb)
-      deepestOverBudget = over
+      if (gb > deepestGb) { deepestGb = gb; deepestOverBudget = over }
       val overJson = over.map("\"" + _ + "\"").mkString("[", ",", "]")
       val extPart =
         if (ext.isEmpty) ""

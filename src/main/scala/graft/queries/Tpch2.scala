@@ -200,9 +200,17 @@ object Tpch2 {
     // shrinking its per-entry footprint both speeds the median and
     // narrows the host-weather exposure.
     val packBase = 1000000000000L // > any remapped l_suppkey
+    // guard the pack invariant in-plan: a suppkey outside [0, packBase)
+    // would silently merge distinct (gid, suppkey) pairs / mis-unpack via
+    // div, so fail loudly instead — one codegen'd comparison per row
+    val suppChecked = when(col("l_suppkey").between(lit(0L), lit(packBase - 1)),
+        col("l_suppkey"))
+      .otherwise(raise_error(concat(
+        lit(s"q16 pack invariant violated: l_suppkey outside [0, $packBase): "),
+        col("l_suppkey").cast("string"))))
     tt.lineitem.select("l_partkey", "l_suppkey")
       .join(partG.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
-      .select((col("gid").cast("long") * packBase + col("l_suppkey")).as("gk"))
+      .select((col("gid").cast("long") * packBase + suppChecked).as("gk"))
       // pre-repartition on the dedup key: (gid, suppkey) pairs are ~98%
       // distinct, so the map-side partial aggregate a bare .distinct()
       // plans cannot collapse anything — it just builds a scan-task-sized

@@ -33,6 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ArrowIpc {
 
+  // best-effort resource reclamation for iterators abandoned outside a
+  // Spark task (driver-side/test use); one daemon thread JVM-wide
+  private lazy val cleaner = java.lang.ref.Cleaner.create()
+
   /** Write `df` under `dir` as one .arrow file per partition; returns the
     * row count written (an action). */
   def write(df: DataFrame, dir: String, batchSize: Int = 4096): Long = {
@@ -163,10 +167,8 @@ object ArrowIpc {
       closed = true
       reader.close(); ch.close(); allocator.close()
     }
-    Option(org.apache.spark.TaskContext.get())
-      .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
 
-    new Iterator[InternalRow] {
+    val it = new Iterator[InternalRow] {
       private var cols: Array[ArrowColumnVector] = _
       private var rowsInBatch = 0
       private var i = 0
@@ -198,5 +200,14 @@ object ArrowIpc {
         new GenericInternalRow(vals)
       }
     }
+    // Inside a task, close on task completion (covers limit/failure early
+    // termination). Driver-side/test use has no task lifecycle — register a
+    // best-effort Cleaner so an abandoned iterator cannot leak the channel,
+    // reader, and allocator (exhaustion still closes eagerly via advance()).
+    Option(org.apache.spark.TaskContext.get()) match {
+      case Some(tc) => tc.addTaskCompletionListener[Unit](_ => closeAll())
+      case None => cleaner.register(it, () => closeAll())
+    }
+    it
   }
 }

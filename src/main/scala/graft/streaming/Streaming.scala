@@ -339,18 +339,58 @@ object Streaming {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
     val t0 = 1700000000000L
-    stageOne(docs, "a_originals.parquet", t0)
-    stageOne(docs.withColumn("doc_id", col("doc_id") + 10000), "b_copies.parquet", t0 + 60000)
-    nearDupKeptDocs(spark, dir.toString, docs.schema, queryName)
+    // event times ADVANCE across batches (60 s apart, well inside the 1 h
+    // horizon, so no band state evicts between originals and copies)
+    val a = docs.withColumn("ts", timestamp_seconds(lit(t0 / 1000)))
+    val b = docs.withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("ts", timestamp_seconds(lit(t0 / 1000 + 60)))
+    stageOne(a, "a_originals.parquet", t0)
+    stageOne(b, "b_copies.parquet", t0 + 60000)
+    nearDupKeptDocs(spark, dir.toString, a.schema, queryName)
   }
 
+  /** One (doc_id, band_key, event time) row of the near-dup stream. `ts`
+    * stays a Timestamp: the row is produced by `.as[BandRow]` (a pure
+    * projection), because a `.map` would sever the watermark lineage the
+    * EventTimeTimeout needs. */
+  case class BandRow(doc_id: Long, band_key: String, ts: java.sql.Timestamp)
+  /** Band state: the claiming doc. Evicted by event-time timeout. */
+  case class BandClaim(doc_id: Long)
+  /** An emitted first-claim. */
+  case class Claim(doc_id: Long, band_key: String)
+
   /** The LSH band-dedup stream over an already-staged directory of
-    * (doc_id, text) parquet files — one file per micro-batch, oldest
+    * (doc_id, text, ts) parquet files — one file per micro-batch, oldest
     * modification time first; returns the kept doc_ids (a doc survives
     * iff ALL its bands were first claims). Split out so specs can stage
-    * hand-made corpora and assert the near-dup semantics directly. */
+    * hand-made corpora and assert the near-dup semantics directly.
+    *
+    * Band state is a `flatMapGroupsWithState` keyed by band_key, not
+    * `dropDuplicatesWithinWatermark`, for two properties that operator
+    * cannot give:
+    *  - a DETERMINISTIC in-batch winner (min doc_id among the batch's
+    *    claimants). With first-arrival-wins, two mutual near-dups in one
+    *    micro-batch could split band wins across shuffle partitions and
+    *    knock each other out, leaving a similarity component with ZERO
+    *    survivors — the canonicalized oracle expects the component
+    *    minimum to appear. Min-winner also guarantees the component's
+    *    global minimum claims all its bands, independent of partitioning.
+    *  - EXPLICIT eviction semantics: each claim times out one horizon
+    *    after its event time; a near-duplicate arriving after its
+    *    original's bands aged out is KEPT (the documented cost of
+    *    bounded state at firehose scale, pinned by StreamingNearDupSpec).
+    * State per live band key is one long — bounded by the horizon, not
+    * history. */
   def nearDupKeptDocs(spark: SparkSession, stagedDir: String,
-      schema: StructType, queryName: String): DataFrame = {
+      schema: StructType, queryName: String,
+      horizon: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val horizonMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+      require(iv.months == 0, s"near-dup horizon must be day-time: $horizon")
+      iv.days * 86400000L + iv.microseconds / 1000
+    }
     // 3-gram SHINGLES, not unigram tokens: the synthetic corpus draws
     // from a small vocabulary, so unigram token SETS overlap heavily
     // across unrelated docs (measured: 355 of 500 originals lost a band
@@ -359,18 +399,37 @@ object Streaming {
     // in one call (see Misc.minhashBands on lambda re-evaluation).
     val shinglesUdf = graft.functions.Misc.hashedShinglesUdf(3)
     val bandsUdf = graft.functions.Misc.minhashBandsFromHashesUdf(128, 16, 7L)
-    val stream = spark.readStream
+    val claims = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1") // oldest file first → batch order
       .parquet(stagedDir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("ts"),
         posexplode(bandsUdf(shinglesUdf(col("text")))).as(Seq("band", "bucket")))
       .select(col("doc_id"),
-        concat_ws(":", col("band"), col("bucket")).as("band_key"))
-      .withColumn("ts", timestamp_seconds(lit(1700000000L)))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("band_key")
-    val q = stream.writeStream
+        concat_ws(":", col("band"), col("bucket")).as("band_key"),
+        col("ts"))
+      .withWatermark("ts", horizon)
+      .as[BandRow]
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[BandRow], state: GroupState[BandClaim]) =>
+          if (state.hasTimedOut) { // claim aged out: band becomes claimable again
+            state.remove(); Iterator.empty
+          } else {
+            val rs = rows.toArray
+            if (rs.isEmpty) Iterator.empty
+            else if (state.exists) Iterator.empty // claimed within horizon: suppress
+            else {
+              val winner = rs.minBy(_.doc_id)
+              state.update(BandClaim(winner.doc_id))
+              // evict one horizon past the claim's event time (must stay
+              // ahead of the current watermark; max over the batch's rows)
+              state.setTimeoutTimestamp(rs.map(_.ts.getTime).max + horizonMs)
+              Iterator.single(Claim(winner.doc_id, key))
+            }
+          }
+      }
+    val q = claims.writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
       .queryName(queryName)
