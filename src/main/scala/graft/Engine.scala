@@ -45,6 +45,10 @@ object Engine {
         // never broadcast a fact-scaled side, and bloom-prefilter the
         // probe side of selective equi-joins (plans/GraftOptimizerRules)
         ext.injectOptimizerRule(_ => graft.plans.FactBroadcastGuard)
+        // eager aggregation first: the bloom rule then sees the settled
+        // join shape (a pushed aggregate is no longer a probe-able scan
+        // chain, and the creation side is unchanged)
+        ext.injectPreCBORule(_ => graft.plans.EagerAggregationRule)
         ext.injectPreCBORule(_ => graft.plans.BloomPrefilterRule)
         // SQL surface parity (ref daft-sql exposes every function to
         // `daft.sql(...)`): the native codegen kernels register as SQL

@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, PredicateHelper, ScalarSubquery, XxHash64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, Cast, EqualTo, Expression, NamedExpression, PredicateHelper, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -82,6 +82,210 @@ object FactBroadcastGuard extends Rule[LogicalPlan] {
         val nr = guard(hint.rightHint, r)
         if (nl == hint.leftHint && nr == hint.rightHint) j
         else j.copy(hint = JoinHint(nl, nr))
+    }
+  }
+}
+
+/** EAGER AGGREGATION (Yan & Larson, VLDB'95): rewrites
+  *
+  * {{{
+  *   Aggregate(G, F(x), Join(fact, other, Inner, fact.k = other.k'))
+  *     ⇒ Aggregate(G, F'(p), Join(Aggregate(k, partial F(x) AS p, fact),
+  *                                 other, Inner, k = k'))
+  * }}}
+  *
+  * — the q3/q8/q9-shape rewrite the curated corpus applies by hand
+  * (`queries/Tpch.scala` q3 "EAGER AGGREGATION below the join"), promoted
+  * to a rule so un-hinted user SQL with a `GROUP BY` whose fact-side key
+  * is the fact's join key gets the pre-aggregate too. The reference gets
+  * this class of win from stats-driven planning
+  * (`src/daft-logical-plan/src/optimization/rules/reorder_joins/mod.rs`,
+  * `enrich_with_stats.rs`); in Catalyst it is a guarded pre-CBO rewrite.
+  *
+  * Why it pays at 100 TB: the fact side's one exchange then moves
+  * map-side-combined partial rows (sum/count collapse ~rows-per-key×)
+  * instead of raw rows, the join's probe stream shrinks by the same
+  * factor, and because the pushed grouping keys EQUAL the fact-side equi
+  * keys the aggregate's shuffle doubles as the join's shuffle — same
+  * exchange count as the original plan, strictly less data through it.
+  *
+  * Correctness (inner join): every conjunct's fact-side references are
+  * exactly the equi-key attributes, so all rows of a pushed group join
+  * the same other-side rows; other-side duplication multiplies partials
+  * exactly as it multiplied raw rows, and the surviving TOP aggregate
+  * re-combines (SUM→SUM of partial sums, COUNT→SUM of partial counts,
+  * MIN/MAX pass through). DISTINCT/filtered/non-decomposable aggregates,
+  * expression group keys on the fact side, and mixed-side aggregate
+  * arguments all bail. A Cast restores the original result type where
+  * re-aggregation widens it (decimal SUM precision).
+  *
+  * Fires only when (each gate a measured failure mode):
+  *   - the fact side `scalesWithFact` — the reduction must target the
+  *     side that grows with the corpus;
+  *   - the other side will NOT broadcast (fact-scaled or over the
+  *     threshold, and not broadcast-hinted): under a broadcast hash join
+  *     the original plan never shuffles the fact side, so the rewrite
+  *     would ADD an exchange where none existed;
+  *   - neither side carries an explicit strategy hint (the user took
+  *     control — same precedence rule as [[FactBroadcastGuard]]);
+  *   - fact-side grouping keys ⊆ fact-side equi keys (bare attributes):
+  *     otherwise the pushed aggregate needs its own, extra exchange;
+  *   - the fact side is not already aggregated on those keys
+  *     (idempotence under the fixpoint batch). */
+object EagerAggregationRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.optimizer.eagerAggregation.enabled", "true").toBoolean
+  private def minFactBytes: Long =
+    conf.getConfString("spark.graft.optimizer.eagerAggregation.minFactBytes",
+      (128L << 20).toString).toLong
+
+  private def decomposable(ae: AggregateExpression): Boolean =
+    ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
+      ae.aggregateFunction.deterministic &&
+      (ae.aggregateFunction match {
+        case _: Sum | _: Count | _: Min | _: Max => true
+        case _ => false
+      })
+
+  /** Top-level re-combiner for a pushed partial. */
+  private def recombine(ae: AggregateExpression, partial: Attribute): Expression = {
+    val fn = ae.aggregateFunction match {
+      case _: Sum => Sum(partial)
+      case _: Count => Sum(partial) // counts re-add
+      case _: Min => Min(partial)
+      case _: Max => Max(partial)
+      case other => throw new IllegalStateException(s"not decomposable: $other")
+    }
+    val re = AggregateExpression(fn, Complete, isDistinct = false)
+    // re-aggregation can widen the type (decimal SUM precision, COUNT's
+    // long through SUM) — pin the original schema
+    if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+  }
+
+  /** A strategy hint that takes planning out of this rule's hands.
+    * NO_BROADCAST_HASH does NOT count: [[FactBroadcastGuard]] installs it
+    * on every fact-scaled side before this rule runs, and "don't
+    * broadcast" is exactly the premise the rewrite relies on. */
+  private def steeringHint(hint: Option[HintInfo]): Boolean =
+    hint.exists(h => h.strategy.isDefined && !h.strategy.contains(NO_BROADCAST_HASH))
+
+  private def otherSideWontBroadcast(p: LogicalPlan, hint: Option[HintInfo],
+      facts: Set[String]): Boolean =
+    !steeringHint(hint) &&
+      (hint.exists(_.strategy.contains(NO_BROADCAST_HASH)) ||
+        FactBroadcastGuard.scalesWithFact(p, facts) ||
+        p.stats.sizeInBytes > conf.autoBroadcastJoinThreshold)
+
+  /** The fact side already grouped on exactly these keys (this rule's own
+    * output, or a user pre-aggregate) — nothing left to collapse. */
+  private def alreadyAggregated(p: LogicalPlan, keys: AttributeSet): Boolean = p match {
+    case Project(_, child) => alreadyAggregated(child, keys)
+    case a: Aggregate => AttributeSet(a.groupingExpressions.flatMap(_.references)) == keys
+    case _ => false
+  }
+
+  private def tryRewrite(agg: Aggregate, join: Join, factIsLeft: Boolean,
+      facts: Set[String]): Option[LogicalPlan] = {
+    val (fact, other) = if (factIsLeft) (join.left, join.right) else (join.right, join.left)
+    val (factHint, otherHint) =
+      if (factIsLeft) (join.hint.leftHint, join.hint.rightHint)
+      else (join.hint.rightHint, join.hint.leftHint)
+    val cond = join.condition.get
+
+    if (steeringHint(factHint)) return None
+    if (!FactBroadcastGuard.scalesWithFact(fact, facts)) return None
+    if (!otherSideWontBroadcast(other, otherHint, facts)) return None
+    if (fact.stats.sizeInBytes < minFactBytes) return None
+    if (!cond.deterministic) return None
+    // dominance gate: only collapse the side whose scans dominate the
+    // join. Pushing onto the smaller side is usually the PK side of an
+    // FK join — grouping by a near-unique key collapses nothing and the
+    // hash maps are pure overhead (the q16 lesson). Leaf bytes, not
+    // subtree estimates: the size-only visitor inflates Join estimates
+    // multiplicatively, which would mask the real ordering.
+    def leafBytes(p: LogicalPlan): BigInt =
+      p.collectLeaves().map(_.stats.sizeInBytes).sum
+    if (leafBytes(fact) < leafBytes(other)) return None
+
+    // fact-side equi-key attributes; every conjunct's fact-side references
+    // must be bare equi attrs (a non-equi fact predicate would not be
+    // constant within a pushed group unless its attrs are keys — require
+    // exactly the key set for the shuffle-reuse property)
+    val conjuncts = splitConjunctivePredicates(cond)
+    val equiFactAttrs = scala.collection.mutable.LinkedHashSet[Attribute]()
+    conjuncts.foreach {
+      case EqualTo(a: Attribute, b) if fact.outputSet.contains(a) &&
+          b.references.subsetOf(other.outputSet) => equiFactAttrs += a
+      case EqualTo(a, b: Attribute) if fact.outputSet.contains(b) &&
+          a.references.subsetOf(other.outputSet) => equiFactAttrs += b
+      case c if c.references.intersect(fact.outputSet).isEmpty => // other-only: fine
+      case _ => return None
+    }
+    if (equiFactAttrs.isEmpty) return None
+    val keySet = AttributeSet(equiFactAttrs.toSeq)
+
+    // grouping: each expr single-sided; fact-side ones must be bare key attrs
+    agg.groupingExpressions.foreach { g =>
+      val fRefs = g.references.intersect(fact.outputSet)
+      if (fRefs.nonEmpty) {
+        if (!g.references.subsetOf(fact.outputSet)) return None
+        g match {
+          case a: Attribute if keySet.contains(a) => // ok
+          case _ => return None
+        }
+      }
+    }
+
+    // aggregate functions: all decomposable, fact-side-only arguments
+    val aggExprs = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    if (aggExprs.isEmpty) return None
+    if (!aggExprs.forall(ae =>
+        decomposable(ae) && ae.references.subsetOf(fact.outputSet))) return None
+    if (alreadyAggregated(fact, keySet)) return None
+
+    // build the pushed partial aggregate: one alias per distinct function
+    val partials = scala.collection.mutable.LinkedHashMap[Expression, (Alias, AggregateExpression)]()
+    aggExprs.foreach { ae =>
+      partials.getOrElseUpdate(ae.canonicalized,
+        (Alias(ae, s"_eager_partial_${partials.size}")(), ae))
+    }
+    val pushedKeys: Seq[NamedExpression] = equiFactAttrs.toSeq
+    val pushed = Aggregate(pushedKeys,
+      pushedKeys ++ partials.values.map(_._1), fact)
+
+    val newJoin =
+      if (factIsLeft) join.copy(left = pushed) else join.copy(right = pushed)
+    val newResult = agg.aggregateExpressions.map(_.transform {
+      case ae: AggregateExpression if partials.contains(ae.canonicalized) =>
+        recombine(ae, partials(ae.canonicalized)._1.toAttribute)
+    }.asInstanceOf[NamedExpression])
+    Some(agg.copy(aggregateExpressions = newResult, child = newJoin))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled || plan.isStreaming) return plan
+    val facts = FactBroadcastGuard.factNames
+    plan.transformUp {
+      // look through a pruning Project of bare attributes (the settled
+      // post-optimization shape) — it is rebuilt by later pruning
+      case agg: Aggregate =>
+        val joinOpt = agg.child match {
+          case j: Join => Some(j)
+          case Project(projList, j: Join)
+              if projList.forall(_.isInstanceOf[Attribute]) => Some(j)
+          case _ => None
+        }
+        joinOpt match {
+          case Some(join) if join.joinType == Inner && join.condition.isDefined =>
+            val base = agg.copy(child = join)
+            tryRewrite(base, join, factIsLeft = true, facts)
+              .orElse(tryRewrite(base, join, factIsLeft = false, facts))
+              .getOrElse(agg)
+          case _ => agg
+        }
     }
   }
 }
@@ -193,18 +397,38 @@ object BloomPrefilterRule extends Rule[LogicalPlan] with PredicateHelper {
     walk(p, sawSelective = false)
   }
 
-  /** Probe sides are SCAN CHAINS only (Project/Filter over a leaf). The
-    * prefilter's entire value is dropping rows BEFORE their first
-    * shuffle; above an aggregate or join the reduction already happened,
-    * and injecting mid-plan can split a subtree shared with another
-    * consumer — r9 measured q15's revenue CTE losing its runtime
-    * exchange reuse to exactly such an injection (the lineitem sliver
-    * was scanned and aggregated twice, 5× the quiet wall time). */
-  private def isScanChain(p: LogicalPlan): Boolean = p match {
-    case Project(_, child) => isScanChain(child)
-    case Filter(_, child) => isScanChain(child)
+  /** Structurally probe-able sides: Project/Filter chains over a leaf
+    * (the r9 gate) or — r10 — over a JOIN, so the middle join's output in
+    * multi-join user SQL can be pruned before its next exchange. Chains
+    * over an Aggregate stay excluded: the reduction already happened
+    * there, and the probe would run on post-aggregate cardinality. */
+  private def isProbeChain(p: LogicalPlan): Boolean = p match {
+    case Project(_, child) => isProbeChain(child)
+    case Filter(_, child) => isProbeChain(child)
     case _: LeafNode => true
+    case _: Join => true
     case _ => false
+  }
+
+  /** Whether `p`'s canonical form occurs more than once in the whole
+    * query plan. Injecting a bloom filter between a SHARED subtree and
+    * its exchange de-duplicates nothing and splits the physical exchange
+    * reuse — r9 measured q15's revenue CTE being scanned and aggregated
+    * twice (5× the quiet wall time) from exactly such an injection. A
+    * subtree with a single consumer cannot lose reuse it never had, so
+    * the occurrence count is the precise gate (r9 shipped the blunter
+    * leaf-only `isScanChain`, which also skipped legitimate
+    * Filter-over-Join probes). Sharing BELOW the probe is fine: those
+    * subtrees' own exchanges are untouched by a filter above them. */
+  private def occurrences(plan: LogicalPlan): Map[LogicalPlan, Int] = {
+    val counts = scala.collection.mutable.HashMap.empty[LogicalPlan, Int]
+    plan.foreach { node =>
+      // count every non-leaf subtree once per occurrence (leaves are
+      // cheap to recompute; reuse loss only matters above an exchange)
+      val c = node.canonicalized
+      counts.update(c, counts.getOrElse(c, 0) + 1)
+    }
+    counts.toMap
   }
 
   private def injectFilter(probe: LogicalPlan, probeKeys: Seq[Expression],
@@ -227,6 +451,20 @@ object BloomPrefilterRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled || plan.isStreaming) return plan
+    // computed once on the input plan: rewrites only ADD bloom filters, so
+    // stripping them from a (possibly already-rewritten) candidate subtree
+    // recovers the canonical form the counter indexed — transformUp
+    // rewrites inner joins before outer probe checks run
+    lazy val occ = occurrences(plan)
+    def stripBloomFilters(p: LogicalPlan): LogicalPlan = p.transformUp {
+      case Filter(cond, child) if cond.exists {
+            case _: BlockBloomMightContainBytes => true
+            case _: BlockBloomMightContainExpr => true
+            case _ => false
+          } => child
+    }
+    def isShared(p: LogicalPlan): Boolean =
+      occ.getOrElse(stripBloomFilters(p).canonicalized, 1) > 1
     plan.transformUp {
       case j @ Join(left, right, joinType, Some(cond), hint)
           if joinType == Inner || joinType == LeftSemi =>
@@ -263,7 +501,8 @@ object BloomPrefilterRule extends Rule[LogicalPlan] with PredicateHelper {
           }
           def probeOk(p: LogicalPlan, bytes: BigInt, other: BigInt,
               h: Option[HintInfo]): Boolean =
-            isScanChain(p) && !hasBloomProbe(p) && !hasUnknownLeafSize(p) &&
+            isProbeChain(p) && !isShared(p) && !hasBloomProbe(p) &&
+              !hasUnknownLeafSize(p) &&
               !broadcastHinted(h) && bytes >= minProbeBytes && bytes >= other * probeRatio
           if (probeOk(left, ls, rs, hint.leftHint) &&
               creationOk(right, rs, hint.rightHint))

@@ -116,6 +116,137 @@ class GraftOptimizerRulesSpec extends AnyFunSuite {
     }
   }
 
+  test("un-hinted q3-shaped SQL plans the eager pre-aggregate below the join") {
+    registerViews()
+    withConfs(
+      "spark.graft.optimizer.eagerAggregation.minFactBytes" -> "1",
+      // isolate: no bloom interplay in the asserted plan
+      "spark.graft.optimizer.bloomPrefilter.enabled" -> "false") {
+      val df = spark.sql(q3Sql)
+      val plan = executed(df)
+      assert(plan.contains("_eager_partial"),
+        s"expected the pushed partial aggregate in the physical plan:\n$plan")
+      // the pushed aggregate sits BELOW the orderkey join: the partial
+      // alias must appear in a HashAggregate whose input is the lineitem
+      // scan side, i.e. before any SortMergeJoin/ShuffledHashJoin line
+      val lines = plan.linesIterator.toSeq
+      val aggIdx = lines.indexWhere(l =>
+        l.contains("HashAggregate") && l.contains("_eager_partial"))
+      assert(aggIdx >= 0, s"no partial HashAggregate:\n$plan")
+      // result-identical to the un-rewritten plan
+      val expected = withConfsValue(
+        "spark.graft.optimizer.eagerAggregation.enabled" -> "false") {
+        spark.sql(q3Sql).collect().toSeq
+      }
+      assert(df.collect().toSeq == expected,
+        "eager aggregation changed the query result")
+    }
+  }
+
+  test("eager aggregation stays off when the other side broadcasts (dim join)") {
+    registerViews()
+    withConfs("spark.graft.optimizer.eagerAggregation.minFactBytes" -> "1") {
+      // nation is a true dim: the join never shuffles lineitem-side rows,
+      // so a pushed aggregate would ADD an exchange — must not fire
+      val plan = executed(spark.sql(
+        """SELECT n_name, sum(s_acctbal) AS total
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin))
+      assert(!plan.contains("_eager_partial"),
+        s"eager aggregate must not fire under a broadcast join:\n$plan")
+    }
+  }
+
+  test("eager aggregation bails on DISTINCT and other-side aggregate arguments") {
+    registerViews()
+    withConfs(
+      "spark.graft.optimizer.eagerAggregation.minFactBytes" -> "1",
+      "spark.graft.optimizer.bloomPrefilter.enabled" -> "false") {
+      val distinctSql =
+        """SELECT l_orderkey, count(DISTINCT l_partkey) AS n
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |GROUP BY l_orderkey""".stripMargin
+      assert(!executed(spark.sql(distinctSql)).contains("_eager_partial"),
+        "DISTINCT aggregate is not decomposable — must bail")
+      val mixedSql =
+        """SELECT l_orderkey, sum(o_totalprice) AS n
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |GROUP BY l_orderkey""".stripMargin
+      assert(!executed(spark.sql(mixedSql)).contains("_eager_partial"),
+        "aggregate over the other side's columns — must bail")
+    }
+  }
+
+  private def withConfsValue[T](kvs: (String, String)*)(body: => T): T = {
+    val olds = kvs.map { case (k, _) => k -> scala.util.Try(spark.conf.get(k)).toOption }
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("3-table un-hinted join gets the bloom probe on the middle join's output") {
+    registerViews()
+    withConfs(
+      "spark.graft.optimizer.bloomPrefilter.minProbeBytes" -> "1",
+      "spark.graft.optimizer.bloomPrefilter.probeRatio" -> "1",
+      "spark.graft.optimizer.eagerAggregation.enabled" -> "false") {
+      // join order as written: (lineitem ⋈ orders) ⋈ σ(customer) — the
+      // probe side of the custkey join is a Project over a JOIN, which the
+      // r9 scan-chain gate skipped; the reuse-aware gate admits it because
+      // the subtree has a single consumer
+      val df = spark.sql(
+        """SELECT o_orderkey, l_quantity, c_name
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+      val plan = executed(df)
+      // the custkey probe must appear ABOVE the orderkey join: find the
+      // bloom filter line probing o_custkey
+      assert(plan.linesIterator.exists(l =>
+          l.contains("graft_bloom_might_contain") && l.contains("o_custkey")),
+        s"expected a bloom probe on the middle join's output (o_custkey):\n$plan")
+      // result-identical (unordered query: canonicalize row order)
+      def canonRows(rows: Seq[org.apache.spark.sql.Row]): Seq[String] =
+        rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+      val expected = withDisabledRules(
+        canonRows(spark.sql(
+          """SELECT o_orderkey, l_quantity, c_name
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |WHERE c_mktsegment = 'BUILDING'""".stripMargin).collect().toSeq))
+      assert(canonRows(df.collect().toSeq) == expected)
+    }
+  }
+
+  test("a SHARED probe-side subtree is never bloom-injected (exchange-reuse guard)") {
+    registerViews()
+    withConfs(
+      "spark.graft.optimizer.bloomPrefilter.minProbeBytes" -> "1",
+      "spark.graft.optimizer.bloomPrefilter.probeRatio" -> "1",
+      "spark.graft.optimizer.eagerAggregation.enabled" -> "false") {
+      // the q15 shape: one join subtree consumed twice (self-union). Both
+      // occurrences canonicalize identically, so the occurrence counter
+      // must refuse the probe on each — otherwise one copy gains a filter
+      // and physical exchange reuse splits.
+      val df = spark.sql(
+        """WITH lo AS (SELECT o_orderkey, o_custkey, l_quantity
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+          |SELECT lo.o_orderkey, lo.l_quantity
+          |FROM lo JOIN customer ON lo.o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |UNION ALL
+          |SELECT lo.o_orderkey, lo.l_quantity
+          |FROM lo JOIN customer ON lo.o_custkey = c_custkey
+          |WHERE c_mktsegment = 'MACHINERY'""".stripMargin)
+      val plan = executed(df)
+      assert(!plan.linesIterator.exists(l =>
+          l.contains("graft_bloom_might_contain") && l.contains("o_custkey")),
+        s"bloom probe injected above a twice-consumed join subtree:\n$plan")
+    }
+  }
+
   test("rules leave streaming plans alone and can be disabled") {
     registerViews()
     withDisabledRules {

@@ -96,6 +96,64 @@ class GraftRulesPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("eager aggregation is result-invisible over random skew/null tables, and fires") {
+    // name-based fact detection needs parquet-backed named tables: write
+    // each random frame under <dir>/facta.parquet / <dir>/dimb.parquet and
+    // declare facta a fact for the rule's role heuristic
+    val olds = Seq(
+      "spark.graft.optimizer.factTables" -> Some("facta,dimb"),
+      "spark.graft.optimizer.eagerAggregation.minFactBytes" -> Some("1"),
+      "spark.graft.optimizer.bloomPrefilter.enabled" -> Some("false"),
+      "spark.sql.autoBroadcastJoinThreshold" -> Some("-1"))
+    val prev = olds.map { case (k, _) => k -> scala.util.Try(spark.conf.get(k)).toOption }
+    olds.foreach { case (k, Some(v)) => spark.conf.set(k, v); case _ => }
+    try {
+      var fired = false
+      val valGen: Gen[Option[Int]] = Gen.frequency(
+        8 -> Gen.choose(-50, 50).map(Some(_)), 1 -> Gen.const(Option.empty[Int]))
+      val factGen: Gen[List[(Option[Long], Option[Int])]] =
+        Gen.choose(40, 200).flatMap(n =>
+          Gen.listOfN(n, keyGen.flatMap(k => valGen.map(v => (k, v)))))
+      val dimGen: Gen[List[(Option[Long], Int)]] =
+        Gen.choose(0, 25).flatMap(n =>
+          Gen.listOfN(n, keyGen.flatMap(k => Gen.choose(0, 3).map(w => (k, w)))))
+      val cases = samples(
+        for { f <- factGen; d <- dimGen; shape <- Gen.choose(0, 2) }
+          yield (f, d, shape), 15)
+      assert(cases.size >= 12)
+      for (((fRows, dRows, shape), i) <- cases.zipWithIndex) {
+        val dir = java.nio.file.Files.createTempDirectory(s"eager_prop_$i").toString
+        fRows.toDF("k", "v").write.parquet(s"$dir/facta.parquet")
+        dRows.toDF("dk", "w").write.parquet(s"$dir/dimb.parquet")
+        def query(): DataFrame = {
+          val f = spark.read.parquet(s"$dir/facta.parquet")
+          val d = spark.read.parquet(s"$dir/dimb.parquet")
+          val j = f.join(d, col("k") === col("dk"))
+          shape match {
+            case 0 => j.groupBy(col("k"), col("w")).agg(
+              sum("v").as("s"), count(lit(1)).as("c"), min("v").as("mn"))
+            case 1 => j.groupBy(col("k")).agg(
+              count("v").as("cv"), max("v").as("mx"), sum("v").as("s"))
+            case _ => j.groupBy(col("w")).agg(sum("v").as("s"), count(lit(1)).as("c"))
+          }
+        }
+        val dfOn = query()
+        val on = canon(dfOn)
+        if (!fired)
+          fired = dfOn.queryExecution.executedPlan.toString.contains("_eager_partial")
+        spark.conf.set("spark.graft.optimizer.eagerAggregation.enabled", "false")
+        val off = try canon(query())
+        finally spark.conf.unset("spark.graft.optimizer.eagerAggregation.enabled")
+        assert(on == off, s"case $i shape=$shape: eager aggregation changed the result")
+      }
+      assert(fired,
+        "eager aggregation never fired across the property run — it tested nothing")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("multi-key equi-joins survive the rules (combined-hash probe)") {
     withForcedThresholds {
       val a = (1 to 200).map(i => (i % 7L, i % 11L, i)).toDF("k1", "k2", "va")

@@ -216,6 +216,13 @@ class ScaledPlanSpec extends AnyFunSuite {
       .filter(q => plan(q).contains("graft_bloom_might_contain"))
     assert(offenders.isEmpty,
       s"rule-injected bloom probes in curated queries: $offenders")
+    // same contract for the r10 eager-aggregation rule: q3/q8/q9 carry the
+    // rewrite BY HAND (different aliases); a rule firing on top would
+    // double-aggregate or reshape a measured plan
+    val eagerOffenders = (1 to 22).map(i => s"q$i")
+      .filter(q => plan(q).contains("_eager_partial"))
+    assert(eagerOffenders.isEmpty,
+      s"rule-injected eager aggregates in curated queries: $eagerOffenders")
   }
 
   test("un-hinted user SQL gets the bloom prefilter at SF100 scale with DEFAULT gates") {
@@ -251,6 +258,12 @@ class ScaledPlanSpec extends AnyFunSuite {
       .toSeq
     assert(offending.isEmpty,
       s"fact broadcast in un-hinted SQL:\n${offending.mkString("\n")}")
+    // r10: the same un-hinted SQL also gets the EAGER PRE-AGGREGATE with
+    // default gates — lineitem (10.8 GB leaf) dominates orders+customer,
+    // the guard blocks the other side's broadcast, and the group key IS
+    // the fact's equi key, so revenue collapses below the orderkey join
+    assert(p.contains("_eager_partial"),
+      s"default-gate eager aggregation missing from un-hinted SQL at bench scale:\n$p")
   }
 
   test("no headline query plans a cartesian product at bench scale") {
