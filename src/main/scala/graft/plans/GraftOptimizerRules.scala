@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, Cast, EqualTo, Expression, NamedExpression, PredicateHelper, ScalarSubquery, XxHash64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, Cast, Divide, EqualTo, Expression, NamedExpression, PredicateHelper, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -145,22 +145,43 @@ object EagerAggregationRule extends Rule[LogicalPlan] with PredicateHelper {
       ae.aggregateFunction.deterministic &&
       (ae.aggregateFunction match {
         case _: Sum | _: Count | _: Min | _: Max => true
+        // AVG decomposes to SUM/COUNT partials — double-typed only: the
+        // decimal variant carries its own precision/rounding contract
+        // that a naive sum/count quotient would not reproduce
+        case a: Average => a.dataType == org.apache.spark.sql.types.DoubleType
         case _ => false
       })
 
-  /** Top-level re-combiner for a pushed partial. */
-  private def recombine(ae: AggregateExpression, partial: Attribute): Expression = {
-    val fn = ae.aggregateFunction match {
-      case _: Sum => Sum(partial)
-      case _: Count => Sum(partial) // counts re-add
-      case _: Min => Min(partial)
-      case _: Max => Max(partial)
+  /** Pushed partial aliases + top-level re-combiner for one aggregate.
+    * Most functions need one partial; AVG needs two (sum and count). */
+  private def decompose(ae: AggregateExpression, idx: Int)
+      : (Seq[Alias], Seq[Attribute] => Expression) = {
+    def cmpl(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
+      AggregateExpression(f, Complete, isDistinct = false)
+    def pinned(e: Expression): Expression =
+      if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
+    ae.aggregateFunction match {
+      case _: Sum =>
+        (Seq(Alias(ae, s"_eager_partial_$idx")()),
+          ps => pinned(cmpl(Sum(ps.head))))
+      case _: Count =>
+        (Seq(Alias(ae, s"_eager_partial_$idx")()),
+          ps => pinned(cmpl(Sum(ps.head)))) // counts re-add
+      case _: Min =>
+        (Seq(Alias(ae, s"_eager_partial_$idx")()),
+          ps => pinned(cmpl(Min(ps.head))))
+      case _: Max =>
+        (Seq(Alias(ae, s"_eager_partial_$idx")()),
+          ps => pinned(cmpl(Max(ps.head))))
+      case a: Average =>
+        val s = Alias(cmpl(Sum(a.child)), s"_eager_partial_${idx}_sum")()
+        val c = Alias(cmpl(Count(a.child)), s"_eager_partial_${idx}_cnt")()
+        import org.apache.spark.sql.types.DoubleType
+        (Seq(s, c), ps => pinned(Divide(
+          Cast(cmpl(Sum(ps(0))), DoubleType),
+          Cast(cmpl(Sum(ps(1))), DoubleType))))
       case other => throw new IllegalStateException(s"not decomposable: $other")
     }
-    val re = AggregateExpression(fn, Complete, isDistinct = false)
-    // re-aggregation can widen the type (decimal SUM precision, COUNT's
-    // long through SUM) — pin the original schema
-    if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
   }
 
   /** A strategy hint that takes planning out of this rule's hands.
@@ -246,21 +267,23 @@ object EagerAggregationRule extends Rule[LogicalPlan] with PredicateHelper {
         decomposable(ae) && ae.references.subsetOf(fact.outputSet))) return None
     if (alreadyAggregated(fact, keySet)) return None
 
-    // build the pushed partial aggregate: one alias per distinct function
-    val partials = scala.collection.mutable.LinkedHashMap[Expression, (Alias, AggregateExpression)]()
+    // build the pushed partial aggregate: one decomposition per distinct
+    // function (AVG contributes two partial columns)
+    val partials = scala.collection.mutable.LinkedHashMap[
+      Expression, (Seq[Alias], Seq[Attribute] => Expression)]()
     aggExprs.foreach { ae =>
-      partials.getOrElseUpdate(ae.canonicalized,
-        (Alias(ae, s"_eager_partial_${partials.size}")(), ae))
+      partials.getOrElseUpdate(ae.canonicalized, decompose(ae, partials.size))
     }
     val pushedKeys: Seq[NamedExpression] = equiFactAttrs.toSeq
     val pushed = Aggregate(pushedKeys,
-      pushedKeys ++ partials.values.map(_._1), fact)
+      pushedKeys ++ partials.values.flatMap(_._1), fact)
 
     val newJoin =
       if (factIsLeft) join.copy(left = pushed) else join.copy(right = pushed)
     val newResult = agg.aggregateExpressions.map(_.transform {
       case ae: AggregateExpression if partials.contains(ae.canonicalized) =>
-        recombine(ae, partials(ae.canonicalized)._1.toAttribute)
+        val (aliases, rebuild) = partials(ae.canonicalized)
+        rebuild(aliases.map(_.toAttribute))
     }.asInstanceOf[NamedExpression])
     Some(agg.copy(aggregateExpressions = newResult, child = newJoin))
   }

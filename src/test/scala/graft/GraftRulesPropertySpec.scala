@@ -133,8 +133,11 @@ class GraftRulesPropertySpec extends AnyFunSuite {
             case 0 => j.groupBy(col("k"), col("w")).agg(
               sum("v").as("s"), count(lit(1)).as("c"), min("v").as("mn"))
             case 1 => j.groupBy(col("k")).agg(
-              count("v").as("cv"), max("v").as("mx"), sum("v").as("s"))
-            case _ => j.groupBy(col("w")).agg(sum("v").as("s"), count(lit(1)).as("c"))
+              count("v").as("cv"), max("v").as("mx"), sum("v").as("s"),
+              avg(col("v").cast("double")).as("a"))
+            case _ => j.groupBy(col("w")).agg(
+              sum("v").as("s"), count(lit(1)).as("c"),
+              avg(col("v").cast("double")).as("a"))
           }
         }
         val dfOn = query()
