@@ -23,8 +23,15 @@ object Pipeline {
       .select("doc_id")
       .orderBy("doc_id")
 
+  // min(doc_id) per distinct text of the doubled corpus — NOT simply "all
+  // original ids": the sf0.1 fixture has 8 duplicate-text groups among the
+  // originals themselves (4992 distinct texts / 5000 rows), which the
+  // dedup correctly collapses (found by the r10 sf0.1 oracle sweep)
   val dedupExactSql =
-    "SELECT doc_id FROM documents ORDER BY doc_id"
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)
+      |SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin
 
   /** Benchmark decontamination (ops/Dedup.decontaminate): drop corpus
     * documents sharing any normalized 3-gram with a small "eval set"
@@ -223,9 +230,16 @@ object Pipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  // all identical-text pairs of the doubled corpus (ham is 0 by
+  // construction for identical texts) — not just (d, d+10000): the sf0.1
+  // fixture's 8 duplicate-text original groups produce cross pairs too
   val dedupSimhashSql =
-    """SELECT doc_id AS doc_a, doc_id + 10000 AS doc_b, CAST(0 AS BIGINT) AS ham
-      |FROM documents ORDER BY doc_a, doc_b""".stripMargin
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS ham
+      |FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- dedup: embedding cosine near-dup (exact baseline) ----
   def dedup_embedding_cosine(s: SparkSession, dir: String): DataFrame =
@@ -352,8 +366,11 @@ object Pipeline {
       .select("doc_id").orderBy("doc_id")
   }
 
+  // min(doc_id) per distinct text (copy ids are all ≥ 10000, so the
+  // per-text minimum over the tripled corpus is the minimum original) —
+  // the sf0.1 fixture's duplicate-text originals collapse too
   val dedupPipelineSql =
-    "SELECT doc_id FROM documents ORDER BY doc_id"
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
 
   // ---- text: PII scrubbing (emails / IPv4 / phone-like runs) ----
   /** Synthetic PII is appended to every doc, then scrubbed; the oracle
