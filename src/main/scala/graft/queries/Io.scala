@@ -894,6 +894,63 @@ object Io {
       |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
       |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin
 
+  /** Eager-aggregation rule surface (round 10, VERDICT r9 #4): un-hinted
+    * q3-shaped SQL whose GROUP BY key is the fact side's join key, with
+    * every decomposable aggregate class (SUM / COUNT / AVG / MIN / MAX —
+    * AVG splits into two partials). `GraftOptimizerRulesSpec` pins the
+    * rewritten plan shape; this row pins the FIRED rewrite's result
+    * fidelity against the oracle. The rule's size gates are scoped down
+    * for the sf0.01 fixture (minFactBytes, broadcast threshold) and
+    * restored after the plan is evaluated — evaluation happens inside the
+    * scope (bounded LIMIT 20 output relocalized) because Verify's write
+    * action would otherwise re-plan under the restored session confs, and
+    * the assert proves the partial aggregate actually sits below the join
+    * rather than silently testing the unrewritten plan. */
+  def sql_eager_agg(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    tt.orders.createOrReplaceTempView("v_orders")
+    tt.lineitem.createOrReplaceTempView("v_lineitem")
+    val oldMin = s.conf.getOption("spark.graft.optimizer.eagerAggregation.minFactBytes")
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.graft.optimizer.eagerAggregation.minFactBytes", "1")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = s.sql(
+        """SELECT l_orderkey, o_orderpriority,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |  count(*) AS n_items,
+          |  round(avg(l_quantity), 6) AS avg_qty,
+          |  round(min(l_extendedprice), 2) AS min_price,
+          |  round(max(l_extendedprice), 2) AS max_price
+          |FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+          |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |GROUP BY l_orderkey, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.toString.contains("_eager_partial"),
+        "EagerAggregationRule did not fire on the un-hinted eager-agg SQL")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    } finally {
+      oldMin match {
+        case Some(v) => s.conf.set("spark.graft.optimizer.eagerAggregation.minFactBytes", v)
+        case None => s.conf.unset("spark.graft.optimizer.eagerAggregation.minFactBytes")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+  }
+
+  val sqlEagerAggSql =
+    """SELECT l_orderkey, o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(min(l_extendedprice), 2) AS min_price,
+      |  round(max(l_extendedprice), 2) AS max_price
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY l_orderkey, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin
+
   /** Graft-native functions on the SQL surface (ref daft-sql binds every
     * function for `daft.sql`): `graft_cosine_similarity` is the SAME
     * codegen CosineSimilarityExpr the Column API plans, injected via
@@ -1068,6 +1125,7 @@ object Io {
     "io_write_sink" -> (io_write_sink _),
     "sql_entry" -> (sql_entry _),
     "sql_optimizer_rules" -> (sql_optimizer_rules _),
+    "sql_eager_agg" -> (sql_eager_agg _),
     "sql_graft_functions" -> (sql_graft_functions _),
     "subquery_scalar_corr" -> (subquery_scalar_corr _),
     "subquery_in_sql" -> (subquery_in_sql _),
@@ -1108,6 +1166,7 @@ object Io {
     "io_write_sink" -> ioWriteSinkSql,
     "sql_entry" -> sqlEntrySql,
     "sql_optimizer_rules" -> sqlOptimizerRulesSql,
+    "sql_eager_agg" -> sqlEagerAggSql,
     "sql_graft_functions" -> sqlGraftFunctionsSql,
     "subquery_scalar_corr" -> subqueryScalarCorrSql,
     "subquery_in_sql" -> subqueryInSqlSql,
