@@ -88,6 +88,8 @@ object Engine {
         (sys.env.getOrElse("SPARK_GRAFT_DISABLE_RULES", "0") != "1").toString)
       .config("spark.graft.optimizer.factBroadcastGuard.enabled",
         (sys.env.getOrElse("SPARK_GRAFT_DISABLE_RULES", "0") != "1").toString)
+      .config("spark.graft.optimizer.eagerAggregation.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_DISABLE_RULES", "0") != "1").toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // start wide, coalesce down: big shuffles (10+ GB locally, TBs on a
