@@ -46,9 +46,13 @@ STRICT = os.environ.get("STRICT", "") == "1"
 def veq(a, b):
     """Tolerant value equality (floats: rel/abs 1e-7; tz-naive == UTC).
 
-    STRICT=1 switches floats to exact bit equality (and dtype equality for
-    int-vs-float), emulating the driver's value-hash compare — use it to
-    catch last-ulp drift and dtype widening that the tolerant mode absorbs.
+    STRICT=1 adds DTYPE-CLASS checks on top (float-vs-int mismatch here,
+    pandas datetime dtype drift in main) — the classes the driver's
+    pandas-side compare rejects. Float VALUES stay tolerance-compared even
+    under STRICT: the driver's value hash normalizes floats (q9-style
+    summation-order last-ulp drift has been hash_match=true every round),
+    so exact-bit equality would fail ~10 healthy rows per sweep and bury
+    real reds in noise.
     """
     import datetime as _dt
     if a is None or b is None:
@@ -56,12 +60,6 @@ def veq(a, b):
     if STRICT:
         if isinstance(a, float) != isinstance(b, float):
             return False
-        if isinstance(a, float):
-            if math.isnan(a) or math.isnan(b):
-                return math.isnan(a) and math.isnan(b)
-            return a == b
-        if isinstance(a, int) and isinstance(b, int):
-            return a == b and type(a) == type(b)
     if isinstance(a, _dt.datetime) and isinstance(b, _dt.datetime):
         if a.tzinfo is not None:
             a = a.astimezone(_dt.timezone.utc).replace(tzinfo=None)
