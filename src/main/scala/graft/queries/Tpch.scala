@@ -119,6 +119,11 @@ object Tpch {
     // join: it then shuffles the ~order-count aggregate, not the full
     // pruned orders table. Both joins pinned shuffle-merge (SHUFFLE_HASH
     // A/B'd in r7: with zero SMJ spill the hash builds cost more).
+    // SMJ pin re-A/B'd in r10 on the POST-block-bloom streams (the r8 q9
+    // flip invalidated every r7-era hash-vs-merge measurement): SHJ 14.0 s
+    // vs SMJ 13.8 s interleaved same-session at k=1000 — within spread.
+    // Unlike q9, the eager aggregate has already collapsed the sort
+    // inputs ~4x here, so the SMJ sorts are cheap and the pin stands.
     oF.hint("shuffle_merge")
       .join(liAgg, col("o_orderkey") === col("l_orderkey"))
       .join(cF.hint("shuffle_merge"),
