@@ -57,15 +57,25 @@ object Tpch2 {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_shipdate", "l_linestatus")
-    tt.orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
-      .join(liF,
+    // the priority STRING never needs to cross the exchange: the query
+    // only asks "is it URGENT/HIGH", so fold it to a boolean map-side
+    val oSlim = tt.orders.select(col("o_orderkey"), col("o_orderdate"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("__is_high"))
+    // SHUFFLE_HASH with the year-sliver lineitem as build (r10 interleaved
+    // A/B at k=1000: SHJ 14.2/15.3 s vs SMJ 17.9 s; pre-slim baseline
+    // ~18.8-20.5 s): replaces both SMJ sorts (150M orders + 75M lineitem
+    // rows) with per-task hash builds of the SMALLER side. Scale posture:
+    // the build is the date sliver (~1/8 of lineitem) and shuffle
+    // partition count scales with the data, so per-task build bytes stay
+    // O(partition size); rows-per-key is bounded (<=7 lineitems/order),
+    // so no skewed build partition exists for AQE to miss.
+    oSlim
+      .join(liF.hint("shuffle_hash"),
         col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"))
       .groupBy("l_linestatus")
       .agg(
-        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
-          .as("high_line_count"),
-        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
-          .as("low_line_count"))
+        sum(when(col("__is_high"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("__is_high"), 1L).otherwise(0L)).as("low_line_count"))
       .orderBy("l_linestatus")
   }
 

@@ -272,6 +272,29 @@ class ScaledPlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"CartesianProduct at bench scale in: $offenders")
   }
 
+  test("q12 hash-joins the facts and keeps the priority string off the exchange") {
+    // The r10 shape (interleaved A/B at k=1000: SHJ 14.2/15.3 s vs SMJ
+    // 17.9 s, pre-slim baseline ~18.8-20.5 s): build side = the lineitem
+    // year sliver (bounded rows-per-key, <=7 lineitems/order), and
+    // o_orderpriority is folded to a boolean BEFORE the shuffle so the
+    // 9-char string never crosses the exchange.
+    val p = plan("q12")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q12: fact join must be a shuffled hash join:\n$p")
+    val factSorts = p.linesIterator
+      .filter(_.contains("Sort ["))
+      .filter(l => l.contains("[l_orderkey#") || l.contains("[o_orderkey#"))
+      .toSeq
+    assert(factSorts.isEmpty,
+      s"q12: SMJ fact sort reintroduced:\n${factSorts.mkString("\n")}\n$p")
+    val exchangesWithPriority = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("o_orderpriority#"))
+      .toSeq
+    assert(exchangesWithPriority.isEmpty,
+      s"q12: priority string crosses an exchange:\n${exchangesWithPriority.mkString("\n")}")
+  }
+
   test("q21 hash-joins the facts and adds no exchange between join and window") {
     // The r7 shape: lineitem SHJ orders (build side = unique-keyed orders,
     // no skew, bounded build) replaced an SMJ whose two fact sorts spilled
