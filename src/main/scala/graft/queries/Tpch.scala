@@ -351,7 +351,7 @@ object Tpch {
     // narrow the fact rows before their shuffles (same as q9): volume is
     // computed at the scan so the partkey/orderkey exchanges move one
     // folded 8-byte column instead of extendedprice + discount
-    val li = graft.ops.Prune.bloomSemiPrefilter(
+    val liPromo = graft.ops.Prune.bloomSemiPrefilter(
         tt.lineitem, "l_partkey", partPromo.select("p_partkey"), "p_partkey")
       .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
@@ -361,12 +361,12 @@ object Tpch {
     // fact join — the r7 shape carried o_custkey through the lineitem
     // join and re-shuffled the full joined stream by custkey; orders
     // alone is ~4x narrower and the downstream stream drops a column.
-    val oF = graft.ops.Prune.bloomSemiPrefilter(
+    val oF = graft.ops.Caches.lease(graft.ops.Prune.bloomSemiPrefilter(
         tt.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
         "o_custkey", custEur, "c_custkey")
       .join(custEur.hint("shuffle_merge"),
         col("o_custkey") === col("c_custkey"), "left_semi")
-      .select("o_orderkey", "o_orderdate")
+      .select("o_orderkey", "o_orderdate"))
     // EAGER AGGREGATION below the supplier join (r8, q3-profiled insight):
     // the final group is (o_year) and the supplier join only maps
     // l_suppkey → nation, so volume pre-aggregates by (l_suppkey, o_year)
@@ -376,6 +376,14 @@ object Tpch {
     // Join strategy (r8 A/B, same rationale as q9): SHUFFLE_HASH with the
     // slim side as build — partPromo is a key column, oF is two columns
     // post-semi (~4 MB/task builds) — skips every fact sort.
+    // r10 stacked bloom (the q3 shape; interleaved A/B at k=1000: 23.7/
+    // 26.4 s stacked vs 31.1 s without, same session): only ~1/5 of the
+    // promo-pruned rows survive the later EUROPE-orders join, so probing
+    // oF's orderkey bloom BEFORE the first exchange shrinks BOTH fact
+    // shuffles ~5x for one extra 32-byte load per surviving row. oF is
+    // leased: it feeds this bloom build and the exact join below.
+    val li = graft.ops.Prune.bloomSemiPrefilter(
+      liPromo, "l_orderkey", oF.select("o_orderkey"), "o_orderkey")
     val perSupp = li
       .join(partPromo.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
       .join(oF.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
