@@ -465,10 +465,14 @@ object Tpch {
     // (r9 note: packing (suppkey, year) into one BIGINT — the q16 trick —
     // was A/B'd here and measured a wash: q9's cost is the SHJ probe and
     // the eager agg's per-task group cardinality, not key-tuple hashing)
+    // fold o_year AT THE SCAN (r10 interleaved A/B at k=1000: 26.7/28.6 s
+    // vs 34.6/36.2 s with the post-join fold): downstream reads only the
+    // year, and the exchange compresses ~7 distinct year values to almost
+    // nothing where raw microsecond timestamps are incompressible entropy
     val perSupp = liPart.hint("shuffle_hash")
-      .join(tt.orders.select("o_orderkey", "o_orderdate"),
+      .join(tt.orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
-      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
       .groupBy(col("l_suppkey"), col("o_year"))
       .agg(sum("amount").as("amt"))
     perSupp
