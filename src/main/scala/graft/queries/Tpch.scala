@@ -290,19 +290,25 @@ object Tpch {
     // <1% of lineitem pays the two fact shuffles instead of 100%. No
     // pre-aggregation: (l_orderkey, l_suppkey) is near-unique in
     // lineitem, so a pre-agg would add a shuffle and remove ~no rows.
+    // l_year and volume fold AT THE SCAN (r10, the q8/q9 narrowing): the
+    // two fact exchanges then move (suppkey, orderkey, year, volume) —
+    // the raw microsecond l_shipdate (incompressible entropy) and the
+    // separate price/discount columns never cross a shuffle
     val liF = graft.ops.Prune.bloomSemiPrefilter(
       graft.ops.Prune.bloomSemiPrefilter(
         tt.lineitem, "l_suppkey", supF.select("s_suppkey"), "s_suppkey"),
       "l_orderkey", oF.select("o_orderkey"), "o_orderkey")
+      .select(col("l_suppkey"), col("l_orderkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
     supF
       .join(liF, col("s_suppkey") === col("l_suppkey"))
       .join(oF, col("o_orderkey") === col("l_orderkey"))
       .join(custF, col("c_custkey") === col("o_custkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
       .groupBy("supp_nation", "cust_nation", "l_year")
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(sum(col("volume")).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
