@@ -288,23 +288,35 @@ object Tpch2 {
     // SF100-equivalent tier. Shuffling raw (orderkey, qty) rows first
     // moves the same bytes but lands BOTH agg phases on AQE-coalesced
     // (advisory-sized) partitions: zero-spill maps.
-    val bigOrders = tt.lineitem
+    val bigOrders = graft.ops.Caches.lease(tt.lineitem
       .select("l_orderkey", "l_quantity")
       .repartition(col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(sum("l_quantity").as("total_qty"))
-      .filter(col("total_qty") > 300)
+      .filter(col("total_qty") > 300))
     // join the SELECTIVE reduction first: qty > 300 keeps a sliver of
     // orders, so orders⋈bigOrders shrinks the customer join input by
     // orders of magnitude (the old customer⋈orders-first shape shuffled
     // the full fact pair before any reduction — the classic q18 killer).
+    // r10: bloom-prune ORDERS on the sliver's orderkeys before its
+    // exchange (the q4/q5 shape — ~2% survive, so the 2.6 GB orders
+    // shuffle collapses to tens of MB), and prune CUSTOMER the same way
+    // on the sliver's custkeys; bigOrders and oBig are leased (bloom
+    // count+build plus the join). A/B at k=1000 in the commit message.
     // The customer join pins SHUFFLE_HASH with the sliver as build: left
     // to AQE it broadcast CUSTOMER (a fact — the compressed tier slips
     // it under the threshold; caught by the r8 fact-broadcast sweep).
-    tt.orders
-      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+    // the sliver is fact-SCALED (qty>300 grows with the data) but its
+    // lease hides that from FactBroadcastGuard (an InMemoryRelation leaf
+    // has no fact name), so the no-broadcast discipline is pinned by hand
+    val oBig = graft.ops.Caches.lease(graft.ops.Prune.bloomSemiPrefilter(
+        tt.orders, "o_orderkey", bigOrders.select("l_orderkey"), "l_orderkey")
+      .join(bigOrders.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey")))
+    val custBig = graft.ops.Prune.bloomSemiPrefilter(
+      tt.customer, "c_custkey", oBig.select("o_custkey"), "o_custkey")
+    oBig
       .hint("shuffle_hash")
-      .join(tt.customer, col("c_custkey") === col("o_custkey"))
+      .join(custBig, col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_orderdate"),
         col("o_totalprice"), col("total_qty"))
