@@ -516,14 +516,25 @@ object Tpch {
     val li = graft.ops.Prune.bloomSemiPrefilter(
       tt.lineitem.filter(col("l_returnflag") === "R"), "l_orderkey",
       o.select("o_orderkey"), "o_orderkey")
-    // the quarter's orders scale with the data too: shuffle-merge, not
-    // broadcast (same fact discipline as q3/q5/q8/q9)
-    tt.customer
-      .join(o.hint("shuffle_merge"), col("c_custkey") === col("o_custkey"))
+    // EAGER AGGREGATION below the customer join (r10, the q3/q8/q9
+    // shape): the group key set is functionally dependent on c_custkey,
+    // so revenue folds per custkey from the slim o⋈li stream FIRST — the
+    // old customer-first order shuffled c_name/c_acctbal strings through
+    // the orderkey exchange on every joined row; now the customer strings
+    // cross exactly ONE exchange (the final custkey join) and the wide
+    // orderkey exchange disappears. The quarter's orders scale with the
+    // data: shuffle-merge, not broadcast (fact discipline as q3/q5/q8/q9);
+    // the per-cust aggregate is fact-scaled too — SHUFFLE_HASH build, not
+    // a broadcast.
+    val rev = o.hint("shuffle_merge")
       .join(li, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .groupBy(col("o_custkey"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    tt.customer
+      .join(rev.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+        col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
   }
