@@ -138,6 +138,19 @@ object Engine {
       udf((tokens: Seq[String]) => graft.functions.Misc.simhash64(tokens, 0L)))
     spark.udf.register("graft_jq",
       udf((json: String, expr: String) => graft.functions.Jq.eval(json, expr)))
+    // Composed-builtin expression function: the builder expands the same
+    // codegen'd tree the Column API builds (no UDF boundary on the SQL
+    // surface; ref file_.py:134 guess_mime_type).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_guess_mime_type",
+      exprs => {
+        require(exprs.length == 1,
+          "graft_guess_mime_type(bytes) takes exactly 1 argument")
+        import org.apache.spark.sql.graftbridge.Bridge
+        Bridge.expression(
+          graft.functions.Binary.guessMimeType(Bridge.column(exprs.head)))
+      },
+      "built-in")
   }
 }
 

@@ -36,8 +36,28 @@ object Graft {
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
   def fromGlobPath(spark: SparkSession, glob: String): DataFrame =
-    spark.read.format("binaryFile").load(glob)
+    try spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("length"), col("modificationTime"))
+    catch {
+      // ref from_glob_path: no matching files -> empty frame, not an error
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("does not exist") =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("length",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("modificationTime",
+              org.apache.spark.sql.types.TimestampType))))
+    }
+  /** from_files (ref `daft/io/_files.py:13`): glob listing → one `file`
+    * column of lazy File references (content is read on demand by the
+    * file ops, never here — only the listing runs). */
+  def fromFiles(spark: SparkSession, glob: String): DataFrame =
+    fromGlobPath(spark, glob).select(ops.Files.file(col("path")).as("file"))
   def readArrow(spark: SparkSession, path: String): DataFrame =
     sources.ArrowIpc.read(spark, path)
   def writeArrow(df: DataFrame, path: String, batchSize: Int = 4096): Long =

@@ -129,6 +129,37 @@ object Dt {
   def totalMilliseconds(interval: Column): Column =
     floor(intervalMicros(interval) / lit(1000L)).cast("long")
   def totalMicroseconds(interval: Column): Column = intervalMicros(interval)
+  /** Nanosecond component (ref datetime.py:278). Spark timestamps carry
+    * microsecond precision, so this is the µs component ×1000 — identical
+    * to the reference on any µs-precision input. */
+  def nanosecond(c: Column): Column = microsecond(c) * lit(1000L)
+  def totalNanoseconds(interval: Column): Column =
+    intervalMicros(interval) * lit(1000L)
+  /** Instant-preserving zone conversion (ref datetime.py:1144). A
+    * TIMESTAMP input is an instant already; a TIMESTAMP_NTZ input is
+    * interpreted in `fromTz` (default UTC — under the pinned-UTC session a
+    * plain-timestamp cast to NTZ reads as its UTC wall-clock, so the
+    * default composes). Returns the wall-clock in `toTz` as TIMESTAMP_NTZ:
+    * Spark has no per-column zone label, so the wall-clock value carries
+    * the conversion. */
+  def convertTimeZone(c: Column, toTz: String, fromTz: Option[String] = None): Column =
+    convert_timezone(lit(fromTz.getOrElse("UTC")), lit(toTz),
+      c.cast("timestamp_ntz"))
+  /** Wall-clock-preserving zone relabel (ref datetime.py:1160): the result
+    * is the instant whose wall-clock in `tz` equals the input's wall-clock.
+    * With no tz the zone is dropped: the wall-clock comes back as
+    * TIMESTAMP_NTZ. */
+  def replaceTimeZone(c: Column, tz: Option[String] = None): Column = tz match {
+    case Some(z) => to_utc_timestamp(c.cast("timestamp_ntz"), z)
+    case None    => c.cast("timestamp_ntz")
+  }
+  /** UTC timestamp from components (ref datetime.py:1750): components are
+    * interpreted in `tz` (UTC when absent) and the result is an instant. */
+  def makeTimestampLtz(y: Column, mo: Column, d: Column, h: Column,
+      mi: Column, s: Column, tz: Option[String] = None): Column = tz match {
+    case Some(z) => make_timestamp_ltz(y, mo, d, h, mi, s, lit(z))
+    case None    => make_timestamp_ltz(y, mo, d, h, mi, s, lit("UTC"))
+  }
 }
 
 /** List namespace — mirrors `daft/functions/list.py` (Spark higher-order
@@ -163,6 +194,29 @@ object Lists {
     sort_array(transform(array_distinct(c),
       v => struct(v.as("value"),
         aggregate(c, lit(0L), (acc, x) => acc + when(x === v, 1L).otherwise(0L)).as("count"))))
+}
+
+/** Horizontal (across-columns) aggregation — mirrors
+  * `daft/functions/columnar.py`, which defines columns_* as
+  * to_list(cols).list_agg(). Null elements are skipped (the reference's
+  * list aggregations operate on valid values); all-null rows yield null. */
+object Columnar {
+  private def valid(cols: Seq[Column]): Column =
+    filter(array(cols: _*), x => x.isNotNull)
+  def columnsSum(cols: Column*): Column = {
+    val v = valid(cols)
+    when(size(v) > 0,
+      aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double")))
+  }
+  def columnsMean(cols: Column*): Column = {
+    val v = valid(cols)
+    when(size(v) > 0,
+      aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double")) /
+        size(v).cast("double"))
+  }
+  def columnsAvg(cols: Column*): Column = columnsMean(cols: _*)
+  def columnsMin(cols: Column*): Column = array_min(array(cols: _*))
+  def columnsMax(cols: Column*): Column = array_max(array(cols: _*))
 }
 
 /** JSON namespace — mirrors `daft/functions/str.py` serialize/jq/json_* via

@@ -14,8 +14,12 @@ import graft.types.FileRef
   * resolved lazily per-row on the executor (pure map, no shuffle). */
 object Files {
 
-  /** Magic-byte MIME sniffing (ref misc guess_mime_type): pure function of
-    * the leading bytes. */
+  /** Magic-byte MIME heuristic for File-UDT routing — a SUPERSET of the
+    * reference's sniffer (adds bmp/gzip/warc and a text/plain fallback the
+    * media pipeline wants). The reference-exact decision chain
+    * (file.rs:441-495) is the codegen'd column function
+    * [[graft.functions.Binary.guessMimeType]]; use that for
+    * `guess_mime_type` parity. */
   def guessMime(b: Array[Byte]): Option[String] = {
     if (b == null || b.length < 4) return None
     def at(i: Int) = b(i) & 0xff

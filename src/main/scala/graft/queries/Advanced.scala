@@ -717,7 +717,62 @@ object Advanced {
       |    AS response
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Media-file metadata family (ref daft/functions/{audio,video,
+    * image_file_}.py, round-11 API sweep): per-row WAV / MJPEG-AVI / PNG
+    * fixtures are synthesized from doc_id-derived parameters, the
+    * header-only metadata functions read them back, and the oracle
+    * predicts every field from the same parameters — so the parsers (not
+    * the writers) are what's under test. */
+  def fn_media_metadata(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Audio, Images, MediaFiles, Video}
+    val wavUdf = udf { (id: Long) =>
+      val n = (100 + id % 50).toInt
+      Audio.encodeWav(Array.tabulate(n)(i => math.sin(i * 0.1).toFloat),
+        (8000 + (id % 4) * 2000).toFloat)
+    }
+    val pngUdf = udf { (id: Long) =>
+      Images.solidPng((1 + id % 16).toInt, (1 + id % 9).toInt, 10, 20, 30)
+    }
+    val aviUdf = udf { (id: Long) =>
+      val jpg = Images.encode(
+        Images.decode(Images.solidPng(8, 8, 5, 5, 5)).get, "jpg")
+      val bos = new java.io.ByteArrayOutputStream()
+      Video.writeMjpegAvi(Seq.fill((1 + id % 3).toInt)(jpg), 8, 8,
+        (5 + id % 10).toInt, bos)
+      bos.toByteArray
+    }
+    t(s, dir).documents
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        MediaFiles.audioMetadata(wavUdf(col("doc_id"))).as("am"),
+        MediaFiles.imageFileMetadata(pngUdf(col("doc_id"))).as("im"),
+        MediaFiles.videoMetadata(aviUdf(col("doc_id"))).as("vm"))
+      .select(col("doc_id"),
+        col("am.sample_rate").as("a_rate"),
+        col("am.frames").cast("long").as("a_frames"),
+        col("am.subtype").as("a_subtype"),
+        col("im.width").as("i_w"), col("im.height").as("i_h"),
+        col("im.format").as("i_fmt"), col("im.mode").as("i_mode"),
+        col("vm.frame_count").as("v_frames"),
+        col("vm.width").as("v_w"),
+        round(col("vm.time_base") * 1e6).cast("long").as("v_us_per_frame"))
+      .orderBy("doc_id")
+  }
+
+  val fnMediaMetadataSql =
+    """SELECT doc_id,
+      |  8000 + (doc_id % 4) * 2000 AS a_rate,
+      |  100 + doc_id % 50 AS a_frames,
+      |  'PCM_16' AS a_subtype,
+      |  1 + doc_id % 16 AS i_w, 1 + doc_id % 9 AS i_h,
+      |  'PNG' AS i_fmt, 'RGB' AS i_mode,
+      |  1 + doc_id % 3 AS v_frames,
+      |  CAST(8 AS BIGINT) AS v_w,
+      |  CAST(floor(1000000 / (5 + doc_id % 10)) AS BIGINT) AS v_us_per_frame
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fn_media_metadata" -> (fn_media_metadata _),
     "llm_generate" -> (llm_generate _),
     "tokenize_roundtrip" -> (tokenize_roundtrip _),
     "tokenize_pretrained" -> (tokenize_pretrained _),
@@ -749,6 +804,7 @@ object Advanced {
     "streaming_kafka_to_delta" -> (streaming_kafka_to_delta _))
 
   val oracle: Map[String, String] = Map(
+    "fn_media_metadata" -> fnMediaMetadataSql,
     "llm_generate" -> llmGenerateSql,
     "tokenize_roundtrip" -> tokenizeRoundtripSql,
     "tokenize_pretrained" -> tokenizePretrainedSql,

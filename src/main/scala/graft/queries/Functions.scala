@@ -262,6 +262,144 @@ object Functions {
       |  CAST(hour(ts) AS BIGINT) AS dp_hour
       |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
 
+  /** Timezone-aware datetime surface — round-11 API-sweep closure (ref
+    * datetime.py:278 nanosecond, :875 total_nanoseconds, :1144
+    * convert_time_zone, :1160 replace_time_zone, :1750 make_timestamp_ltz).
+    * Fixed-offset zones keep the DuckDB oracle pure arithmetic (no ICU
+    * dependency), and every output is a string or long so parquet dtypes
+    * cannot drift (the r9 fn_datetime lesson). */
+  def fn_datetime_tz(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Dt => D}
+    val ts = col("ts")
+    t(s, dir).events
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        D.nanosecond(ts).as("nanos"),
+        D.totalNanoseconds(
+          ts.cast("timestamp") - date_trunc("day", ts.cast("timestamp")))
+          .as("day_nanos"),
+        date_format(D.convertTimeZone(ts, "+05:30"), "yyyy-MM-dd HH:mm:ss")
+          .as("ist_wall"),
+        date_format(D.convertTimeZone(ts, "-08:00"), "yyyy-MM-dd HH:mm:ss")
+          .as("pst_wall"),
+        unix_timestamp(D.replaceTimeZone(ts, Some("+05:30")))
+          .as("relabel_epoch"),
+        date_format(D.replaceTimeZone(ts, None), "yyyy-MM-dd HH:mm:ss")
+          .as("naive_wall"),
+        unix_timestamp(D.makeTimestampLtz(
+          year(ts), month(ts), dayofmonth(ts),
+          hour(ts), minute(ts), second(ts).cast("double"), Some("+02:00")))
+          .as("ltz_epoch"))
+      .orderBy("event_id")
+  }
+
+  val fnDatetimeTzSql =
+    """SELECT event_id,
+      |  CAST((epoch_us(CAST(ts AS TIMESTAMP)) % 1000000) * 1000 AS BIGINT) AS nanos,
+      |  CAST((epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))) * 1000 AS BIGINT) AS day_nanos,
+      |  strftime(CAST(ts AS TIMESTAMP) + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S') AS ist_wall,
+      |  strftime(CAST(ts AS TIMESTAMP) - INTERVAL 480 MINUTE, '%Y-%m-%d %H:%M:%S') AS pst_wall,
+      |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) - 19800 AS relabel_epoch,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS naive_wall,
+      |  CAST(floor(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))) AS BIGINT) - 7200 AS ltz_epoch
+      |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+
+  /** Horizontal across-columns aggregation (ref columnar.py columns_*),
+    * including null-skipping and the all-null → null contract. */
+  def fn_columnar(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Columnar => C}
+    val q = col("l_quantity").cast("double")
+    val p = col("l_extendedprice").cast("double")
+    val d = col("l_discount").cast("double")
+    t(s, dir).lineitem
+      .filter(col("l_orderkey") < 200)
+      .withColumn("maybe_tax",
+        when(col("l_linenumber") % 2 === 0, col("l_tax").cast("double")))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(C.columnsSum(q, p, d), 4).as("h_sum"),
+        round(C.columnsMean(q, p, d), 4).as("h_mean"),
+        C.columnsMin(q, p, d).as("h_min"),
+        C.columnsMax(q, p, d).as("h_max"),
+        round(C.columnsSum(q, col("maybe_tax")), 4).as("h_sum_null"),
+        round(C.columnsMean(q, col("maybe_tax")), 4).as("h_mean_null"),
+        C.columnsSum(lit(null).cast("double"), lit(null).cast("double"))
+          .as("h_all_null"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val fnColumnarSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_quantity + l_extendedprice + l_discount, 4) AS h_sum,
+      |  round((l_quantity + l_extendedprice + l_discount) / 3.0, 4) AS h_mean,
+      |  least(l_quantity, l_extendedprice, l_discount) AS h_min,
+      |  greatest(l_quantity, l_extendedprice, l_discount) AS h_max,
+      |  round(l_quantity + CASE WHEN l_linenumber % 2 = 0 THEN l_tax ELSE 0 END, 4) AS h_sum_null,
+      |  round(CASE WHEN l_linenumber % 2 = 0 THEN (l_quantity + l_tax) / 2.0 ELSE l_quantity END, 4) AS h_mean_null,
+      |  CAST(NULL AS DOUBLE) AS h_all_null
+      |FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Magic-byte MIME sniffing (ref file_.py:134 / file.rs:441-495): each
+    * doc_id selects one format's signature bytes, built identically in both
+    * engines; the oracle states the expected MIME independently, so the
+    * sniffer's decision chain is what's under test. Covers all 13 formats,
+    * the HDF5 user-block offset, and the unknown → null contract. */
+  def fn_mime(s: SparkSession, dir: String): DataFrame = {
+    val samples = Seq(
+      "89504E470D0A1A0A0000",             // PNG
+      "FFD8FFE000104A464946",             // JPEG/JFIF
+      "4749463839610100",                 // GIF89a
+      "524946460A00000057454250",         // RIFF....WEBP
+      "255044462D312E34",                 // %PDF-1.4
+      "504B03041400",                     // ZIP local header
+      "494433030000",                     // ID3-tagged MP3
+      "FFFB9044",                         // MP3 frame sync
+      "524946460A00000057415645",         // RIFF....WAVE
+      "4F6767530002",                     // OggS
+      "000000186674797069736F6D",         // ....ftypisom (MP4)
+      "000001BA2100",                     // MPEG program stream
+      "3C21444F43545950452068746D6C3E",   // <!DOCTYPE html>
+      "3C68746D6C3E",                     // <html>
+      "3C48544D4C3E",                     // <HTML>
+      "894844460D0A1A0A00",               // HDF5 superblock at offset 0
+      ("00" * 512) + "894844460D0A1A0A",  // HDF5 after a 512-byte user block
+      "DEADBEEF")                         // unknown -> null
+    val kase = col("doc_id") % samples.length
+    val hexCol = samples.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (hx, i)) => when(kase === i, lit(hx)).otherwise(acc)
+    }
+    t(s, dir).documents
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        graft.functions.Binary.guessMimeType(unhex(hexCol)).as("mime"))
+      .orderBy("doc_id")
+  }
+
+  val fnMimeSql =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 18 AS INT)
+      |    WHEN 0 THEN 'image/png'
+      |    WHEN 1 THEN 'image/jpeg'
+      |    WHEN 2 THEN 'image/gif'
+      |    WHEN 3 THEN 'image/webp'
+      |    WHEN 4 THEN 'application/pdf'
+      |    WHEN 5 THEN 'application/zip'
+      |    WHEN 6 THEN 'audio/mpeg'
+      |    WHEN 7 THEN 'audio/mpeg'
+      |    WHEN 8 THEN 'audio/wav'
+      |    WHEN 9 THEN 'audio/ogg'
+      |    WHEN 10 THEN 'video/mp4'
+      |    WHEN 11 THEN 'video/mpeg'
+      |    WHEN 12 THEN 'text/html'
+      |    WHEN 13 THEN 'text/html'
+      |    WHEN 14 THEN 'text/html'
+      |    WHEN 15 THEN 'application/vnd.hdfgroup.hdf5'
+      |    WHEN 16 THEN 'application/vnd.hdfgroup.hdf5'
+      |    ELSE NULL
+      |  END AS mime
+      |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin
+
   // ---- lists (higher-order functions) ----
   def fn_lists(s: SparkSession, dir: String): DataFrame = {
     t(s, dir).documents
@@ -692,6 +830,9 @@ object Functions {
     "fn_strings_regex" -> (fn_strings_regex _),
     "fn_numeric" -> (fn_numeric _),
     "fn_datetime" -> (fn_datetime _),
+    "fn_datetime_tz" -> (fn_datetime_tz _),
+    "fn_columnar" -> (fn_columnar _),
+    "fn_mime" -> (fn_mime _),
     "fn_lists" -> (fn_lists _),
     "fn_json" -> (fn_json _),
     "fn_binary" -> (fn_binary _),
@@ -715,6 +856,9 @@ object Functions {
     "fn_strings_regex" -> fnStringsRegexSql,
     "fn_numeric" -> fnNumericSql,
     "fn_datetime" -> fnDatetimeSql,
+    "fn_datetime_tz" -> fnDatetimeTzSql,
+    "fn_columnar" -> fnColumnarSql,
+    "fn_mime" -> fnMimeSql,
     "fn_lists" -> fnListsSql,
     "fn_json" -> fnJsonSql,
     "fn_binary" -> fnBinarySql,

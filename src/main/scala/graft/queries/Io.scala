@@ -843,6 +843,63 @@ object Io {
       |  count(*) AS csv_rows, count(*) AS db_rows, true AS no_dups
       |FROM documents""".stripMargin
 
+  /** write_sql (ref dataframe.py:911, round-11 API sweep): the JDBC sink
+    * with the reference's mode semantics — overwrite creates, a second
+    * append doubles the rows, and metrics come back as the one-row frame —
+    * read back through read_sql. The array column exercises the default
+    * "str" non-primitive handling (JSON text), re-parsed on readback so
+    * the oracle stays byte-format-agnostic. */
+  def io_write_sql(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Sql
+    val db = s"$ioDir/write_sql_${math.abs(dir.hashCode)}.duckdb"
+    new java.io.File(db).delete()
+    val url = s"jdbc:duckdb:$db"
+    val docs = t(s, dir).documents
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .repartition(4)
+    val m1 = Sql.writeSql(docs, url, "docs", writeMode = "overwrite").head()
+    val m2 = Sql.writeSql(docs, url, "docs", writeMode = "append").head()
+    Sql.readSql(s, url, "SELECT doc_id, lang, toks FROM docs")
+      .withColumn("n_toks", size(from_json(col("toks"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("total_toks"))
+      .withColumn("written_rows", lit(m1.getLong(0) + m2.getLong(0)))
+      .orderBy("lang")
+  }
+
+  val ioWriteSqlSql =
+    """SELECT lang, count(*) * 2 AS n, count(DISTINCT doc_id) AS n_docs,
+      |  2 * sum(len(string_split_regex(trim(text), '\s+'))) AS total_toks,
+      |  2 * (SELECT count(*) FROM documents WHERE doc_id < 300) AS written_rows
+      |FROM documents WHERE doc_id < 300
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** skip_existing (ref dataframe.py:3233, round-11 API sweep): write the
+    * processed subset's keys to parquet, anti-join the full table against
+    * those files. The absent second path exercises the permissive
+    * missing-path contract. */
+  def io_skip_existing(s: SparkSession, dir: String): DataFrame = {
+    val done = s"$ioDir/skip_existing_${math.abs(dir.hashCode)}"
+    val o = t(s, dir).orders
+    o.filter(col("o_orderkey") % 10 < 3).select("o_orderkey")
+      .write.mode("overwrite").parquet(done)
+    graft.ops.SkipExisting.skipExisting(
+        o, Seq(done, s"$done-never-written"), Seq("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_remaining"))
+      .orderBy("o_orderstatus")
+  }
+
+  val ioSkipExistingSql =
+    """SELECT o_orderstatus, count(*) AS n_remaining FROM orders
+      |WHERE o_orderkey % 10 >= 3
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** SQL entry point (§3.2): temp views + spark.sql with CTE, join,
     * window — same logical IR as the DataFrame API. */
   def sql_entry(s: SparkSession, dir: String): DataFrame = {
@@ -1122,6 +1179,8 @@ object Io {
     "io_hudi_dml" -> (io_hudi_dml _),
     "io_huggingface" -> (io_huggingface _),
     "io_read_sql" -> (io_read_sql _),
+    "io_write_sql" -> (io_write_sql _),
+    "io_skip_existing" -> (io_skip_existing _),
     "io_write_sink" -> (io_write_sink _),
     "sql_entry" -> (sql_entry _),
     "sql_optimizer_rules" -> (sql_optimizer_rules _),
@@ -1163,6 +1222,8 @@ object Io {
     "io_hudi_dml" -> ioHudiDmlSql,
     "io_huggingface" -> ioHuggingfaceSql,
     "io_read_sql" -> ioReadSqlSql,
+    "io_write_sql" -> ioWriteSqlSql,
+    "io_skip_existing" -> ioSkipExistingSql,
     "io_write_sink" -> ioWriteSinkSql,
     "sql_entry" -> sqlEntrySql,
     "sql_optimizer_rules" -> sqlOptimizerRulesSql,

@@ -67,8 +67,11 @@ object Sinks {
 
   /** JDBC sink: per-partition connection, batched prepared inserts —
     * the clickhouse/bigtable-style sink shape, pointed at any JDBC url
-    * (DuckDB offline). */
-  class JdbcSink(url: String, table: String, batchSize: Int = 500) extends DataSink {
+    * (DuckDB offline). `writeMode` carries the reference write_sql modes
+    * (dataframe.py:911): "overwrite" drops + recreates, "append" creates
+    * only if absent, "fail" errors when the table already exists. */
+  class JdbcSink(url: String, table: String, batchSize: Int = 500,
+      writeMode: String = "overwrite") extends DataSink {
     def name = s"jdbc:$table"
     override def start(schema: StructType): Unit = {
       val cols = schema.fields.map { f =>
@@ -80,14 +83,29 @@ object Sinks {
         }
         s""""${f.name}" $t"""
       }.mkString(", ")
-      Sql.execute(url, Seq(
-        s"""DROP TABLE IF EXISTS "$table"""",
-        s"""CREATE TABLE "$table" ($cols)"""))
+      writeMode match {
+        case "overwrite" =>
+          Sql.execute(url, Seq(
+            s"""DROP TABLE IF EXISTS "$table"""",
+            s"""CREATE TABLE "$table" ($cols)"""))
+        case "append" =>
+          Sql.execute(url, Seq(
+            s"""CREATE TABLE IF NOT EXISTS "$table" ($cols)"""))
+        case "fail" =>
+          if (Sql.tableExists(url, table))
+            throw new IllegalStateException(
+              s"write_sql(mode=fail): table $table already exists")
+          Sql.execute(url, Seq(s"""CREATE TABLE "$table" ($cols)"""))
+        case other =>
+          throw new IllegalArgumentException(
+            s"write_sql: unknown write_mode '$other' (append|overwrite|fail)")
+      }
     }
     def writePartition(pid: Int, rows: Iterator[Row], schema: StructType): WriteResult = {
       Class.forName(Sql.DuckDbDriver)
       val conn = DriverManager.getConnection(url)
       var n = 0L
+      var bytes = 0L
       try {
         val ph = schema.fields.map(_ => "?").mkString(", ")
         val st = conn.prepareStatement(s"""INSERT INTO "$table" VALUES ($ph)""")
@@ -95,7 +113,9 @@ object Sinks {
         rows.foreach { r =>
           var i = 0
           while (i < r.length) {
-            st.setObject(i + 1, r.get(i))
+            val v = r.get(i)
+            st.setObject(i + 1, v)
+            if (v != null) bytes += String.valueOf(v).length
             i += 1
           }
           st.addBatch()
@@ -106,7 +126,7 @@ object Sinks {
         if (inBatch > 0) st.executeBatch()
         st.close()
       } finally conn.close()
-      WriteResult(pid, n, 0L, url)
+      WriteResult(pid, n, bytes, url)
     }
   }
 }

@@ -41,6 +41,116 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(3) == "Hello World Foo X9")
   }
 
+  test("guessMimeType: every signature, the HDF5 user-block offsets, unknown -> null") {
+    import graft.functions.Binary
+    def mimeOfHex(hx: String): Option[String] = {
+      val r = Seq(hx).toDF("h")
+        .select(Binary.guessMimeType(unhex($"h")).as("m")).head()
+      Option(r.getString(0))
+    }
+    assert(mimeOfHex("89504E470D0A1A0A00").contains("image/png"))
+    assert(mimeOfHex("FFD8FFE0").contains("image/jpeg"))
+    assert(mimeOfHex("47494638396101").contains("image/gif"))
+    // RIFF disambiguation: WEBP vs WAVE by the byte at offset 8
+    assert(mimeOfHex("524946460000000057454250").contains("image/webp"))
+    assert(mimeOfHex("524946460000000057415645").contains("audio/wav"))
+    // a short RIFF prefix (no offset-8 tag) matches neither
+    assert(mimeOfHex("52494646").isEmpty)
+    assert(mimeOfHex("25504446").contains("application/pdf"))
+    assert(mimeOfHex("504B0304").contains("application/zip"))
+    assert(mimeOfHex("494433").contains("audio/mpeg"))
+    assert(mimeOfHex("FFFB90").contains("audio/mpeg"))
+    assert(mimeOfHex("4F676753").contains("audio/ogg"))
+    assert(mimeOfHex("0000001866747970").contains("video/mp4"))
+    assert(mimeOfHex("000001BA").contains("video/mpeg"))
+    assert(mimeOfHex("3C21444F4354595045").contains("text/html"))
+    assert(mimeOfHex("3C68746D6C").contains("text/html"))
+    assert(mimeOfHex("3C48544D4C").contains("text/html"))
+    val hdf5 = "894844460D0A1A0A"
+    assert(mimeOfHex(hdf5).contains("application/vnd.hdfgroup.hdf5"))
+    // superblock after a user block at every documented offset
+    for (off <- Seq(512, 1024, 2048, 4096))
+      assert(mimeOfHex(("00" * off) + hdf5).contains("application/vnd.hdfgroup.hdf5"),
+        s"offset $off")
+    // offset 256 is NOT a valid superblock location
+    assert(mimeOfHex(("00" * 256) + hdf5).isEmpty)
+    assert(mimeOfHex("DEADBEEF").isEmpty)
+    assert(mimeOfHex("").isEmpty)
+  }
+
+  test("columns_* horizontal aggregation: null skipping and all-null") {
+    import graft.functions.{Columnar => C}
+    val r = Seq((1.0, 4.0)).toDF("a", "b")
+      .select(
+        C.columnsSum($"a", $"b").as("s"),
+        C.columnsMean($"a", $"b").as("m"),
+        C.columnsMin($"a", $"b").as("lo"),
+        C.columnsMax($"a", $"b").as("hi"),
+        C.columnsSum($"a", lit(null).cast("double")).as("s_null"),
+        C.columnsMean($"a", lit(null).cast("double")).as("m_null"),
+        C.columnsSum(lit(null).cast("double"), lit(null).cast("double")).as("all_null"))
+      .head()
+    assert(r.getDouble(0) == 5.0)
+    assert(r.getDouble(1) == 2.5)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 1.0) // null element skipped, not poisoning
+    assert(r.getDouble(5) == 1.0) // mean over the one valid value
+    assert(r.isNullAt(6))         // no valid values -> null
+  }
+
+  test("timezone functions: convert preserves the instant, replace preserves the wall-clock") {
+    import graft.functions.{Dt => D}
+    val df = Seq("2024-03-10 12:00:00").toDF("s")
+      .select(to_timestamp($"s").as("ts"))
+    val r = df.select(
+      date_format(D.convertTimeZone($"ts", "+05:30"), "yyyy-MM-dd HH:mm:ss").as("ist"),
+      unix_timestamp(D.replaceTimeZone($"ts", Some("+05:30"))).as("relabel"),
+      unix_timestamp($"ts").as("epoch"),
+      D.nanosecond(to_timestamp(lit("2024-01-01 00:00:00.123456"))).as("nanos"),
+      D.totalNanoseconds(to_timestamp(lit("2024-01-01 00:00:01.5")) -
+        to_timestamp(lit("2024-01-01 00:00:00"))).as("dur_ns"),
+      unix_timestamp(D.makeTimestampLtz(lit(2024), lit(3), lit(10), lit(12),
+        lit(0), lit(0.0), Some("+02:00"))).as("ltz")).head()
+    assert(r.getString(0) == "2024-03-10 17:30:00") // +5:30 wall-clock, same instant
+    assert(r.getLong(1) == r.getLong(2) - 19800)    // same wall-clock read in +5:30
+    assert(r.getLong(3) == 123456000L)
+    assert(r.getLong(4) == 1500000000L)
+    assert(r.getLong(5) == r.getLong(2) - 7200)     // components interpreted in +02:00
+  }
+
+  test("resilient udf: retries recover transients, error policies hold") {
+    import graft.functions.ResilientUdf
+    val attempts = scala.collection.concurrent.TrieMap.empty[Long, Int]
+    def flaky(failures: Int)(x: Long): Long = {
+      val n = attempts.updateWith(x) { c => Some(c.getOrElse(0) + 1) }.get
+      if (n <= failures) throw new RuntimeException(s"transient #$n for $x")
+      x * 10
+    }
+    // two transient failures per key, three attempts allowed -> succeeds
+    attempts.clear()
+    val ok = Seq(1L, 2L).toDF("x")
+      .select(udf(ResilientUdf.resilient(flaky(2), maxRetries = 2)).apply($"x").as("y"))
+      .collect().map(_.getLong(0)).sorted
+    assert(ok.toSeq == Seq(10L, 20L))
+    // always-failing + ignore -> null rows, no exception
+    val nulls = Seq(3L).toDF("x")
+      .select(udf(ResilientUdf.resilient((_: Long) => {
+        throw new RuntimeException("boom"); 0L }, maxRetries = 1,
+        onError = "ignore")).apply($"x"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+    // always-failing + raise -> propagates
+    intercept[Exception] {
+      Seq(4L).toDF("x")
+        .select(udf(ResilientUdf.resilient((_: Long) => {
+          throw new RuntimeException("boom"); 0L })).apply($"x"))
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      ResilientUdf.resilient((x: Long) => x, onError = "explode")
+    }
+  }
+
   test("native cosine expression is bit-identical to the HOF formulation") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
