@@ -133,6 +133,14 @@ object Dt {
     * microsecond precision, so this is the µs component ×1000 — identical
     * to the reference on any µs-precision input. */
   def nanosecond(c: Column): Column = microsecond(c) * lit(1000L)
+  /** Millisecond component [0, 999] (ref datetime.py millisecond). */
+  def millisecond(c: Column): Column =
+    floor(microsecond(c) / lit(1000L)).cast("long")
+  /** Time-of-day extraction (ref datetime.py time()). Spark has no
+    * standalone Time type on stable surfaces; the reference-compatible
+    * projection is the HH:mm:ss.SSSSSS wall-clock string. */
+  def timeOfDay(c: Column): Column =
+    date_format(c.cast("timestamp"), "HH:mm:ss.SSSSSS")
   def totalNanoseconds(interval: Column): Column =
     intervalMicros(interval) * lit(1000L)
   /** Instant-preserving zone conversion (ref datetime.py:1144). A

@@ -290,7 +290,9 @@ object Functions {
         unix_timestamp(D.makeTimestampLtz(
           year(ts), month(ts), dayofmonth(ts),
           hour(ts), minute(ts), second(ts).cast("double"), Some("+02:00")))
-          .as("ltz_epoch"))
+          .as("ltz_epoch"),
+        D.millisecond(ts).as("milli"),
+        D.timeOfDay(ts).as("tod"))
       .orderBy("event_id")
   }
 
@@ -302,7 +304,9 @@ object Functions {
       |  strftime(CAST(ts AS TIMESTAMP) - INTERVAL 480 MINUTE, '%Y-%m-%d %H:%M:%S') AS pst_wall,
       |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) - 19800 AS relabel_epoch,
       |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS naive_wall,
-      |  CAST(floor(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))) AS BIGINT) - 7200 AS ltz_epoch
+      |  CAST(floor(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))) AS BIGINT) - 7200 AS ltz_epoch,
+      |  CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) % 1000000) / 1000) AS BIGINT) AS milli,
+      |  strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S.%f') AS tod
       |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
 
   /** Horizontal across-columns aggregation (ref columnar.py columns_*),
