@@ -41,8 +41,7 @@ object Graft {
     catch {
       // ref from_glob_path: no matching files -> empty frame, not an error
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("PATH_NOT_FOUND") ||
-             e.getMessage.contains("does not exist") =>
+          if e.getCondition == "PATH_NOT_FOUND" =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(

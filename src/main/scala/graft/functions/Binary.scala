@@ -11,35 +11,52 @@ import org.apache.spark.sql.functions._
   * (JDK java.util.zip — no Spark builtin). */
 object Binary {
 
-  /** Magic-byte MIME sniffing (ref `daft/functions/file_.py:134`, decision
-    * chain `src/daft-file/src/file.rs:441-495`; signatures are the public
-    * IANA/WHATWG ones). Detects PNG/JPEG/GIF/WEBP/PDF/ZIP/MP3/WAV/OGG/MP4/
-    * MPEG/HTML/HDF5, null when unknown. Pure codegen'd builtins — hex
-    * prefixes compared to literal strings — and the branch ORDER mirrors
-    * the reference exactly (e.g. WEBP's RIFF test precedes WAV's). HDF5's
-    * superblock signature may sit at offset 0, 512, 1024, 2048 or 4096
-    * (user block), all within the reference's 4 KiB sniff window. */
-  def guessMimeType(c: Column): Column = {
-    def pre(n: Int): Column = hex(substring(c, 1, n))
-    def at(off: Int, n: Int): Column = hex(substring(c, off + 1, n))
+  /** The reference's MIME signature table (decision chain
+    * `src/daft-file/src/file.rs:441-495`; signatures are the public
+    * IANA/WHATWG ones). One rule = (mime, all-of (offset, hex-bytes)
+    * checks); the FIRST rule whose checks all match wins, so rule ORDER
+    * mirrors the reference exactly (e.g. WEBP's RIFF test precedes
+    * WAV's). HDF5's superblock may sit at user-block offsets
+    * 0/512/1024/2048/4096, all within the reference's 4 KiB sniff window.
+    * This single table drives BOTH the codegen'd column function
+    * [[guessMimeType]] and the JVM-side gate sniffer
+    * `graft.ops.MediaFiles.sniff` — fix a signature here, both move. */
+  private[graft] val MimeSignatures: Seq[(String, Seq[(Int, String)])] = {
     val hdf5 = "894844460D0A1A0A" // \x89HDF\r\n\x1a\n
-    when(pre(8) === "89504E470D0A1A0A", "image/png")
-      .when(pre(2) === "FFD8", "image/jpeg")
-      .when(pre(4) === "47494638", "image/gif") // GIF8
-      .when(pre(4) === "52494646" && at(8, 4) === "57454250", "image/webp") // RIFF..WEBP
-      .when(pre(4) === "25504446", "application/pdf") // %PDF
-      .when(pre(4) === "504B0304", "application/zip")
-      .when(pre(3) === "494433" || pre(2) === "FFFB", "audio/mpeg") // ID3 | frame sync
-      .when(pre(4) === "52494646" && at(8, 4) === "57415645", "audio/wav") // RIFF..WAVE
-      .when(pre(4) === "4F676753", "audio/ogg") // OggS
-      .when(at(4, 4) === "66747970", "video/mp4") // ....ftyp
-      .when(pre(4) === "000001BA", "video/mpeg")
-      .when(pre(9) === "3C21444F4354595045" || pre(5) === "3C68746D6C" ||
-        pre(5) === "3C48544D4C", "text/html") // <!DOCTYPE | <html | <HTML
-      .when(pre(8) === hdf5 || at(512, 8) === hdf5 || at(1024, 8) === hdf5 ||
-        at(2048, 8) === hdf5 || at(4096, 8) === hdf5,
-        "application/vnd.hdfgroup.hdf5")
+    Seq(
+      "image/png" -> Seq(0 -> "89504E470D0A1A0A"),
+      "image/jpeg" -> Seq(0 -> "FFD8"),
+      "image/gif" -> Seq(0 -> "47494638"), // GIF8
+      "image/webp" -> Seq(0 -> "52494646", 8 -> "57454250"), // RIFF..WEBP
+      "application/pdf" -> Seq(0 -> "25504446"), // %PDF
+      "application/zip" -> Seq(0 -> "504B0304"),
+      "audio/mpeg" -> Seq(0 -> "494433"), // ID3
+      "audio/mpeg" -> Seq(0 -> "FFFB"),   // MPEG ADTS layer-III sync
+      "audio/wav" -> Seq(0 -> "52494646", 8 -> "57415645"), // RIFF..WAVE
+      "audio/ogg" -> Seq(0 -> "4F676753"), // OggS
+      "video/mp4" -> Seq(4 -> "66747970"), // ....ftyp
+      "video/mpeg" -> Seq(0 -> "000001BA"),
+      "text/html" -> Seq(0 -> "3C21444F4354595045"), // <!DOCTYPE
+      "text/html" -> Seq(0 -> "3C68746D6C"),         // <html
+      "text/html" -> Seq(0 -> "3C48544D4C"),         // <HTML
+      "application/vnd.hdfgroup.hdf5" -> Seq(0 -> hdf5),
+      "application/vnd.hdfgroup.hdf5" -> Seq(512 -> hdf5),
+      "application/vnd.hdfgroup.hdf5" -> Seq(1024 -> hdf5),
+      "application/vnd.hdfgroup.hdf5" -> Seq(2048 -> hdf5),
+      "application/vnd.hdfgroup.hdf5" -> Seq(4096 -> hdf5))
   }
+
+  /** Magic-byte MIME sniffing (ref `daft/functions/file_.py:134`):
+    * null when unknown. Pure codegen'd builtins — hex substrings compared
+    * to literal strings — expanded from [[MimeSignatures]]. */
+  def guessMimeType(c: Column): Column =
+    MimeSignatures.foldLeft(Option.empty[Column]) {
+      case (acc, (mime, checks)) =>
+        val cond = checks.map { case (off, hx) =>
+          hex(substring(c, off + 1, hx.length / 2)) === hx
+        }.reduce(_ && _)
+        Some(acc.fold(when(cond, mime))(_.when(cond, mime)))
+    }.get
 
   def encodeBase64(c: Column): Column = base64(c)
   def decodeBase64(c: Column): Column = unbase64(c)

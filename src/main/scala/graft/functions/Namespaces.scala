@@ -143,13 +143,16 @@ object Dt {
     date_format(c.cast("timestamp"), "HH:mm:ss.SSSSSS")
   def totalNanoseconds(interval: Column): Column =
     intervalMicros(interval) * lit(1000L)
-  /** Instant-preserving zone conversion (ref datetime.py:1144). A
-    * TIMESTAMP input is an instant already; a TIMESTAMP_NTZ input is
-    * interpreted in `fromTz` (default UTC — under the pinned-UTC session a
-    * plain-timestamp cast to NTZ reads as its UTC wall-clock, so the
-    * default composes). Returns the wall-clock in `toTz` as TIMESTAMP_NTZ:
-    * Spark has no per-column zone label, so the wall-clock value carries
-    * the conversion. */
+  /** Zone conversion, defined on the input's WALL-CLOCK (ref
+    * datetime.py:1144): the wall-clock (TIMESTAMP_NTZ directly; TIMESTAMP
+    * via its session-zone rendering — UTC under graft's pinned session, so
+    * the default `fromTz=UTC` is instant-preserving for instants) is
+    * interpreted in `fromTz` and converted to the `toTz` wall-clock,
+    * returned as TIMESTAMP_NTZ (Spark has no per-column zone label).
+    * Pass `fromTz` ONLY for naive inputs, exactly like the reference
+    * ("if the timestamp has no timezone, from_timezone must be provided")
+    * — an instant input combined with an explicit `fromTz` is
+    * re-interpreted in that zone, not preserved. */
   def convertTimeZone(c: Column, toTz: String, fromTz: Option[String] = None): Column =
     convert_timezone(lit(fromTz.getOrElse("UTC")), lit(toTz),
       c.cast("timestamp_ntz"))

@@ -36,22 +36,25 @@ object MediaFiles {
     def cc(off: Int) = new String(b, off, 4, "US-ASCII")
     if (cc(0) != "RIFF" || cc(8) != "WAVE") return None
     val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-    var off = 12
+    // walk offsets as Long: a corrupt size field near 2^32 must terminate
+    // the loop (run off the end), never truncate to a non-advancing int
+    var off = 12L
     var fmtTag = -1; var channels = -1; var rate = -1L
     var blockAlign = -1; var bits = -1; var dataSize = -1L
     while (off + 8 <= b.length && (fmtTag < 0 || dataSize < 0)) {
-      val id = cc(off)
-      val size = buf.getInt(off + 4).toLong & 0xffffffffL
+      val o = off.toInt
+      val id = cc(o)
+      val size = buf.getInt(o + 4).toLong & 0xffffffffL
       if (id == "fmt " && off + 24 <= b.length) {
-        fmtTag = buf.getShort(off + 8) & 0xffff
-        channels = buf.getShort(off + 10) & 0xffff
-        rate = buf.getInt(off + 12).toLong & 0xffffffffL
-        blockAlign = buf.getShort(off + 20) & 0xffff
-        bits = buf.getShort(off + 22) & 0xffff
+        fmtTag = buf.getShort(o + 8) & 0xffff
+        channels = buf.getShort(o + 10) & 0xffff
+        rate = buf.getInt(o + 12).toLong & 0xffffffffL
+        blockAlign = buf.getShort(o + 20) & 0xffff
+        bits = buf.getShort(o + 22) & 0xffff
       } else if (id == "data") {
         dataSize = size
       }
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      off += 8L + size + (size & 1L) // chunks are word-aligned
     }
     if (fmtTag < 0 || dataSize < 0 || blockAlign <= 0) None
     else Some(AudioMeta(rate, channels.toLong,
@@ -69,12 +72,15 @@ object MediaFiles {
     def cc(off: Int) = new String(b, off, 4, "US-ASCII")
     if (cc(0) != "RIFF" || cc(8) != "AVI ") return None
     val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-    // the avih chunk sits in the first LIST(hdrl); scan the header region
-    val limit = math.min(b.length - 64, 4096)
-    var off = 12
-    while (off < limit) {
-      if (cc(off) == "avih") {
-        val p = off + 8
+    // proper RIFF chunk walk (chunks are 2-byte aligned, so a fixed-stride
+    // scan can step over avih): descend into LISTs, skip other chunks
+    var off = 12L
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      val id = cc(o)
+      val size = buf.getInt(o + 4).toLong & 0xffffffffL
+      if (id == "avih" && off + 8 + 40 <= b.length) {
+        val p = o + 8
         val usPerFrame = (buf.getInt(p).toLong & 0xffffffffL).toDouble
         val totalFrames = buf.getInt(p + 16).toLong & 0xffffffffL
         val width = buf.getInt(p + 32).toLong & 0xffffffffL
@@ -83,7 +89,8 @@ object MediaFiles {
         return Some(VideoMeta(width, height, fps, totalFrames,
           usPerFrame / 1e6))
       }
-      off += 4
+      if (id == "LIST") off += 12 // descend past the list type fourCC
+      else off += 8L + size + (size & 1L) // word-aligned skip
     }
     None
   }
@@ -111,12 +118,17 @@ object MediaFiles {
       return Some(ImageMeta((le.getShort(6) & 0xffff).toLong,
         (le.getShort(8) & 0xffff).toLong, "GIF", "P"))
     }
-    // JPEG: walk segments to the first SOFn frame header
+    // JPEG: walk segments to the first SOFn frame header. 0xFF fill bytes
+    // between segments and standalone markers (TEM/RSTn) carry no length
+    // field — spec-legal output from common encoders — so they advance by
+    // one/two bytes, never through a bogus length read.
     if (u8(0) == 0xff && u8(1) == 0xd8) {
       var off = 2
       while (off + 9 < b.length && u8(off) == 0xff) {
         val marker = u8(off + 1)
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) { off += 2 }
+        if (marker == 0xff) { off += 1 } // fill byte
+        else if (marker == 0x01 || marker == 0xd8 ||
+          (marker >= 0xd0 && marker <= 0xd9)) { off += 2 } // standalone
         else {
           val len = ((u8(off + 2) << 8) | u8(off + 3))
           val isSof = marker >= 0xc0 && marker <= 0xcf &&
@@ -129,6 +141,7 @@ object MediaFiles {
             }
             return Some(ImageMeta(w.toLong, h.toLong, "JPEG", mode))
           }
+          if (len < 2) return None // corrupt length: stop, don't loop
           off += 2 + len
         }
       }
@@ -160,35 +173,28 @@ object MediaFiles {
     }
   }
 
-  /** JVM-side twin of [[graft.functions.Binary.guessMimeType]] (same
-    * decision chain, same strings) for the typed-file gates. */
+  /** JVM-side sniffer for the typed-file gates, expanded from the SAME
+    * signature table as the codegen'd column function
+    * ([[graft.functions.Binary.MimeSignatures]]) — one source of truth,
+    * both surfaces move together. AVI is appended for the video gate (the
+    * reference's PyAV accepts it even though the content sniffer predates
+    * the mapping). */
   private[graft] def sniff(b: Array[Byte]): Option[String] = {
     if (b == null || b.length == 0) return None
-    def u8(i: Int) = if (i < b.length) b(i) & 0xff else -1
-    def at(off: Int, s: String): Boolean =
-      off + s.length <= b.length && s.indices.forall(i => u8(off + i) == s.charAt(i))
-    val hdf5 = Array(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
-    def hdf5At(off: Int): Boolean =
-      off + 8 <= b.length && hdf5.indices.forall(i => u8(off + i) == hdf5(i))
-    if (u8(0) == 0x89 && at(1, "PNG") && u8(4) == 0x0d && u8(5) == 0x0a &&
-      u8(6) == 0x1a && u8(7) == 0x0a) Some("image/png")
-    else if (u8(0) == 0xff && u8(1) == 0xd8) Some("image/jpeg")
-    else if (at(0, "GIF8")) Some("image/gif")
-    else if (at(0, "RIFF") && at(8, "WEBP")) Some("image/webp")
-    else if (at(0, "%PDF")) Some("application/pdf")
-    else if (u8(0) == 'P' && u8(1) == 'K' && u8(2) == 3 && u8(3) == 4) Some("application/zip")
-    else if (at(0, "ID3") || (u8(0) == 0xff && u8(1) == 0xfb)) Some("audio/mpeg")
-    else if (at(0, "RIFF") && at(8, "WAVE")) Some("audio/wav")
-    else if (at(0, "OggS")) Some("audio/ogg")
-    else if (at(4, "ftyp")) Some("video/mp4")
-    else if (u8(0) == 0 && u8(1) == 0 && u8(2) == 1 && u8(3) == 0xba) Some("video/mpeg")
-    else if (at(0, "<!DOCTYPE") || at(0, "<html") || at(0, "<HTML")) Some("text/html")
-    else if (hdf5At(0) || hdf5At(512) || hdf5At(1024) || hdf5At(2048) || hdf5At(4096))
-      Some("application/vnd.hdfgroup.hdf5")
-    // AVI is sniffed for the video gate (the reference's PyAV accepts it
-    // even though the content sniffer predates the mapping)
-    else if (at(0, "RIFF") && at(8, "AVI ")) Some("video/x-msvideo")
-    else None
+    def matchAt(off: Int, hx: String): Boolean = {
+      val n = hx.length / 2
+      off + n <= b.length && (0 until n).forall { i =>
+        (b(off + i) & 0xff) == Integer.parseInt(hx.substring(i * 2, i * 2 + 2), 16)
+      }
+    }
+    graft.functions.Binary.MimeSignatures.collectFirst {
+      case (mime, checks) if checks.forall { case (off, hx) => matchAt(off, hx) } =>
+        mime
+    }.orElse {
+      if (matchAt(0, "52494646") && matchAt(8, "41564920")) // RIFF..AVI
+        Some("video/x-msvideo")
+      else None
+    }
   }
 
   def audioFile(bytes: Column): Column = typedFile("audio")(bytes)

@@ -733,9 +733,10 @@ object Advanced {
     val pngUdf = udf { (id: Long) =>
       Images.solidPng((1 + id % 16).toInt, (1 + id % 9).toInt, 10, 20, 30)
     }
+    // row-independent constant: encode the 8x8 frame ONCE, not per row
+    val jpg = Images.encode(
+      Images.decode(Images.solidPng(8, 8, 5, 5, 5)).get, "jpg")
     val aviUdf = udf { (id: Long) =>
-      val jpg = Images.encode(
-        Images.decode(Images.solidPng(8, 8, 5, 5, 5)).get, "jpg")
       val bos = new java.io.ByteArrayOutputStream()
       Video.writeMjpegAvi(Seq.fill((1 + id % 3).toInt)(jpg), 8, 8,
         (5 + id % 10).toInt, bos)

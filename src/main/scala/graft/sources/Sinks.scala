@@ -108,14 +108,25 @@ object Sinks {
       var bytes = 0L
       try {
         val ph = schema.fields.map(_ => "?").mkString(", ")
-        val st = conn.prepareStatement(s"""INSERT INTO "$table" VALUES ($ph)""")
+        // name the columns: appending to a pre-existing table with a
+        // different column order must route values by NAME (a positional
+        // insert would silently swap coercible columns)
+        val colList = schema.fields.map(f => s""""${f.name}"""").mkString(", ")
+        val st = conn.prepareStatement(
+          s"""INSERT INTO "$table" ($colList) VALUES ($ph)""")
         var inBatch = 0
         rows.foreach { r =>
           var i = 0
           while (i < r.length) {
             val v = r.get(i)
             st.setObject(i + 1, v)
-            if (v != null) bytes += String.valueOf(v).length
+            bytes += (v match {
+              case null => 0L
+              case a: Array[Byte] => a.length.toLong
+              case s: String =>
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+              case other => String.valueOf(other).length.toLong
+            })
             i += 1
           }
           st.addBatch()

@@ -113,6 +113,39 @@ class MediaFilesSpec extends AnyFunSuite {
     assert(MediaFiles.sniff(unhex("DEADBEEF")).isEmpty)
   }
 
+  test("malformed headers terminate: huge WAV chunk size, corrupt JPEG length") {
+    // WAV whose first chunk claims size 0xFFFFFFF8 — must return None,
+    // not spin (the size is walked as a Long, off runs past the end)
+    val evil = "RIFF".getBytes ++ Array.fill[Byte](4)(0) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      Array.fill[Byte](64)(0)
+    assert(MediaFiles.wavMetadata(evil).isEmpty)
+    // JPEG segment with length < 2 — corrupt, stop instead of looping
+    val badJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte,
+      0, 0, 0, 0, 0, 0, 0, 0)
+    assert(MediaFiles.imageMetadata(badJpeg).isEmpty)
+  }
+
+  test("avih found behind an odd-sized leading chunk (2-byte alignment)") {
+    // build a normal AVI, then splice a 5-byte JUNK chunk (padded to 6)
+    // between the RIFF header and the hdrl LIST — avih lands at an
+    // offset that a 4-byte-stride scan would step over
+    val base = avi(Seq(jpeg(12, 10)), 12, 10, 8)
+    val junk = "JUNK".getBytes ++ Array[Byte](5, 0, 0, 0) ++
+      Array[Byte](1, 2, 3, 4, 5, 0) // body 5 + 1 pad byte
+    val spliced = base.take(12) ++ junk ++ base.drop(12)
+    val m = MediaFiles.aviMetadata(spliced).get
+    assert(m.width == 12L && m.height == 10L && m.frame_count == 1L)
+  }
+
+  test("JPEG with 0xFF fill bytes between segments still parses") {
+    val j = jpeg(19, 7)
+    // inject two fill bytes after SOI (spec-legal padding)
+    val padded = j.take(2) ++ Array[Byte](0xff.toByte, 0xff.toByte) ++ j.drop(2)
+    val m = MediaFiles.imageMetadata(padded).get
+    assert(m.width == 19L && m.height == 7L)
+  }
+
   test("from_files: lazy file refs from a glob; empty on no match") {
     val dir = java.nio.file.Files.createTempDirectory("fromfiles").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.png"),

@@ -88,6 +88,17 @@ class SkipExistingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("already exists"))
   }
 
+  test("append routes values by COLUMN NAME, not position") {
+    val db = tmp("write-sql-order") + "/o.duckdb"
+    val url = s"jdbc:duckdb:$db"
+    // pre-existing table with the opposite column order
+    Sql.execute(url, Seq("""CREATE TABLE t2 ("v" VARCHAR, "id" BIGINT)"""))
+    val df = Seq((7L, "x")).toDF("id", "v")
+    Sql.writeSql(df, url, "t2", writeMode = "append").head()
+    val r = Sql.readSql(spark, url, "SELECT id, v FROM t2").head()
+    assert(r.get(0).asInstanceOf[Number].longValue == 7L && r.getString(1) == "x")
+  }
+
   test("write_sql non-primitive handling: str serializes JSON, error rejects") {
     val db = tmp("write-sql-np") + "/np.duckdb"
     val url = s"jdbc:duckdb:$db"
