@@ -69,6 +69,20 @@ class SkipExistingSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shape: LEFT ANTI join, small key set broadcasts (the 100 TB posture)") {
+    val dir = tmp("skip-plan")
+    Seq(Tuple1(1L)).toDF("id").write.parquet(s"$dir/done")
+    val df = spark.range(1000).toDF("id")
+    val out = SkipExisting.skipExisting(df, Seq(s"$dir/done"), Seq("id"))
+    out.count() // materialize so AQE finalizes the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(500))
+    // a tiny existing-key set must become the broadcast build side — the
+    // probe (the 100 TB frame) never shuffles for this filter
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(500))
+  }
+
   test("write_sql modes: overwrite resets, append accumulates, fail rejects") {
     val db = tmp("write-sql") + "/m.duckdb"
     val url = s"jdbc:duckdb:$db"
