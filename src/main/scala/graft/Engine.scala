@@ -90,6 +90,15 @@ object Engine {
         (sys.env.getOrElse("SPARK_GRAFT_DISABLE_RULES", "0") != "1").toString)
       .config("spark.graft.optimizer.eagerAggregation.enabled",
         (sys.env.getOrElse("SPARK_GRAFT_DISABLE_RULES", "0") != "1").toString)
+      // Stats-driven planning (the reference's enrich_with_stats +
+      // reorder_joins, src/daft-logical-plan/src/optimization/rules/
+      // reorder_joins/mod.rs — Spark-first this is CBO): both are strict
+      // no-ops unless CATALOG tables carry ANALYZE'd row counts
+      // (path-based parquet reads never do, so the curated corpus's
+      // pinned plans are untouched); GraftSession.analyzeTable collects
+      // the stats that light them up.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // start wide, coalesce down: big shuffles (10+ GB locally, TBs on a

@@ -184,6 +184,20 @@ class GraftSession(val spark: SparkSession) {
   def dropTable(name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
 
+  /** Collect table + column statistics (the reference's stats enrichment,
+    * `enrich_with_stats.rs` — here it's Spark's ANALYZE): row counts feed
+    * CBO's cost model and, with `spark.sql.cbo.joinReorder.enabled`
+    * (on in [[graft.Engine.session]]), multi-way inner joins are
+    * re-ordered by estimated cardinality exactly like the reference's
+    * reorder_joins pass. Column-level stats (ndv/min/max) sharpen the
+    * join-selectivity estimates; pass the join/filter keys. */
+  def analyzeTable(name: String, columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR COLUMNS " +
+        columns.map(c => s"`$c`").mkString(", "))
+  }
+
   /** Bucketed persistent table: rows are hash-partitioned into `buckets`
     * files per partition on `bucketCols` at WRITE time, so joins and
     * aggregations on those keys later read co-located data and plan NO

@@ -1008,6 +1008,58 @@ object Io {
       |GROUP BY l_orderkey, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin
 
+  /** Stats-driven join reorder (ref reorder_joins/mod.rs +
+    * enrich_with_stats.rs; Spark-first = CBO, round 11): three catalog
+    * tables are ANALYZE'd, then un-hinted SQL written in a PESSIMAL order
+    * (the fact joins customer first, the 1-row-selective nation filter
+    * last). With row-count + column stats, CostBasedJoinReorder moves the
+    * selective customer⋈nation join under the fact join — asserted
+    * in-scope on the optimized plan (the innermost join must be the
+    * dim⋈dim pair, not fact⋈customer as written) before the result is
+    * oracle-compared. Broadcast is disabled inside the scope so reorder
+    * (not broadcast placement) is what's proven. */
+  def sql_cbo_reorder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val tt = t(s, dir)
+    val sess = new graft.GraftSession(s)
+    val suffix = math.abs(dir.hashCode).toString
+    val (nT, cT, oT) = (s"cbo_nation_$suffix", s"cbo_customer_$suffix", s"cbo_orders_$suffix")
+    sess.createTable(nT, tt.nation)
+    sess.createTable(cT, tt.customer)
+    sess.createTable(oT, tt.orders)
+    sess.analyzeTable(nT, Seq("n_nationkey", "n_name"))
+    sess.analyzeTable(cT, Seq("c_custkey", "c_nationkey"))
+    sess.analyzeTable(oT, Seq("o_custkey"))
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = s.sql(
+        s"""SELECT n_name, count(*) AS n_orders,
+           |  round(sum(o_totalprice), 2) AS total
+           |FROM $oT JOIN $cT ON o_custkey = c_custkey
+           |JOIN $nT ON c_nationkey = n_nationkey
+           |WHERE n_name IN ('NATION_7', 'NATION_12')
+           |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      val innermost = joins.last.toString
+      assert(innermost.contains(nT) && innermost.contains(cT) &&
+        !innermost.contains(oT),
+        s"CBO join reorder did not move the selective dim join under the fact:\n$innermost")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      Seq(nT, cT, oT).foreach(sess.dropTable)
+    }
+  }
+
+  val sqlCboReorderSql =
+    """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_7', 'NATION_12')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** Graft-native functions on the SQL surface (ref daft-sql binds every
     * function for `daft.sql`): `graft_cosine_similarity` is the SAME
     * codegen CosineSimilarityExpr the Column API plans, injected via
@@ -1185,6 +1237,7 @@ object Io {
     "sql_entry" -> (sql_entry _),
     "sql_optimizer_rules" -> (sql_optimizer_rules _),
     "sql_eager_agg" -> (sql_eager_agg _),
+    "sql_cbo_reorder" -> (sql_cbo_reorder _),
     "sql_graft_functions" -> (sql_graft_functions _),
     "subquery_scalar_corr" -> (subquery_scalar_corr _),
     "subquery_in_sql" -> (subquery_in_sql _),
@@ -1228,6 +1281,7 @@ object Io {
     "sql_entry" -> sqlEntrySql,
     "sql_optimizer_rules" -> sqlOptimizerRulesSql,
     "sql_eager_agg" -> sqlEagerAggSql,
+    "sql_cbo_reorder" -> sqlCboReorderSql,
     "sql_graft_functions" -> sqlGraftFunctionsSql,
     "subquery_scalar_corr" -> subqueryScalarCorrSql,
     "subquery_in_sql" -> subqueryInSqlSql,
