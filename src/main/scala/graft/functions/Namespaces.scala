@@ -254,6 +254,10 @@ object Json {
 
 /** Struct/Map namespace — mirrors `daft/functions/struct.py` + map helpers. */
 object Structs {
+  /** unnest (ref expressions.py:206): flatten a struct column's fields
+    * into top-level columns — Spark's star expansion on the struct. */
+  def unnest(df: org.apache.spark.sql.DataFrame, structCol: String): org.apache.spark.sql.DataFrame =
+    df.select(df.columns.filter(_ != structCol).map(col).toSeq :+ col(s"$structCol.*"): _*)
   def toStruct(cols: Column*): Column = struct(cols: _*)
   def get(c: Column, field: String): Column = c.getField(field)
   def mapGet(m: Column, key: Column): Column = element_at(m, key)

@@ -118,6 +118,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(5) == r.getLong(2) - 7200)     // components interpreted in +02:00
   }
 
+  test("struct unnest flattens fields into top-level columns") {
+    import graft.functions.Structs
+    val df = Seq((1L, ("a", 2.5))).toDF("id", "s")
+    val out = Structs.unnest(df, "s")
+    assert(out.columns.toSeq == Seq("id", "_1", "_2"))
+    val r = out.head()
+    assert(r.getLong(0) == 1L && r.getString(1) == "a" && r.getDouble(2) == 2.5)
+  }
+
+  test("named-zone convert across the 2024 US DST boundary") {
+    import graft.functions.{Dt => D}
+    val df = Seq("2024-03-10 06:59:00", "2024-03-10 07:01:00").toDF("s")
+      .select(to_timestamp($"s").as("ts"))
+    val got = df.select(
+      date_format(D.convertTimeZone($"ts", "America/New_York"), "HH:mm").as("wall"))
+      .collect().map(_.getString(0)).toSeq
+    // 06:59Z is 01:59 EST (-5); 07:01Z is 03:01 EDT (-4): the 2-5am gap
+    assert(got == Seq("01:59", "03:01"))
+  }
+
   test("resilient udf: retries recover transients, error policies hold") {
     import graft.functions.ResilientUdf
     val attempts = scala.collection.concurrent.TrieMap.empty[Long, Int]
