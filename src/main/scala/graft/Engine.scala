@@ -97,8 +97,10 @@ object Engine {
       // (path-based parquet reads never do, so the curated corpus's
       // pinned plans are untouched); GraftSession.analyzeTable collects
       // the stats that light them up.
-      .config("spark.sql.cbo.enabled", "true")
-      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.sql.cbo.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_CBO", "1") != "0").toString)
+      .config("spark.sql.cbo.joinReorder.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_CBO", "1") != "0").toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // start wide, coalesce down: big shuffles (10+ GB locally, TBs on a
