@@ -91,16 +91,20 @@ object Engine {
       .config("spark.graft.optimizer.eagerAggregation.enabled",
         (sys.env.getOrElse("SPARK_GRAFT_DISABLE_RULES", "0") != "1").toString)
       // Stats-driven planning (the reference's enrich_with_stats +
-      // reorder_joins, src/daft-logical-plan/src/optimization/rules/
-      // reorder_joins/mod.rs — Spark-first this is CBO): both are strict
-      // no-ops unless CATALOG tables carry ANALYZE'd row counts
-      // (path-based parquet reads never do, so the curated corpus's
-      // pinned plans are untouched); GraftSession.analyzeTable collects
-      // the stats that light them up.
+      // reorder_joins — Spark-first this is CBO) is OFF by default and
+      // enabled IN SCOPE where ANALYZE'd catalog tables exist
+      // (GraftSession.analyzeTable + spark.conf.set, see
+      // sql_cbo_reorder / CboReorderSpec). A global default-on was tried
+      // and MEASURED as a regression: cbo.enabled switches the logical
+      // stats visitor for EVERY plan — join reorder does gate on row
+      // counts, but size-estimate propagation changes even on path-read
+      // parquet (k=1000 A/B: q13 16.2 s -> 24.1 s deterministic,
+      // q21 53.9 -> 69.9 same session) — so "no-op without stats" is
+      // false and the tuned corpus keeps the size-only visitor.
       .config("spark.sql.cbo.enabled",
-        (sys.env.getOrElse("SPARK_GRAFT_CBO", "1") != "0").toString)
+        (sys.env.getOrElse("SPARK_GRAFT_CBO", "0") == "1").toString)
       .config("spark.sql.cbo.joinReorder.enabled",
-        (sys.env.getOrElse("SPARK_GRAFT_CBO", "1") != "0").toString)
+        (sys.env.getOrElse("SPARK_GRAFT_CBO", "0") == "1").toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // start wide, coalesce down: big shuffles (10+ GB locally, TBs on a

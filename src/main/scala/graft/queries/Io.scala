@@ -1031,8 +1031,15 @@ object Io {
     sess.analyzeTable(cT, Seq("c_custkey", "c_nationkey"))
     sess.analyzeTable(oT, Seq("o_custkey"))
     val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldCbo = s.conf.get("spark.sql.cbo.enabled")
+    val oldReorder = s.conf.get("spark.sql.cbo.joinReorder.enabled")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // CBO is scoped to the analyzed tables (see Engine.session: the
+      // global default stays off because the cbo stats visitor changes
+      // estimates on stat-less path reads too)
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
       val df = s.sql(
         s"""SELECT n_name, count(*) AS n_orders,
            |  round(sum(o_totalprice), 2) AS total
@@ -1049,6 +1056,8 @@ object Io {
       s.createDataFrame(df.collect().toSeq.asJava, df.schema)
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      s.conf.set("spark.sql.cbo.enabled", oldCbo)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", oldReorder)
       Seq(nT, cT, oT).foreach(sess.dropTable)
     }
   }

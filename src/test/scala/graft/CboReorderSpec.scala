@@ -35,8 +35,12 @@ class CboReorderSpec extends AnyFunSuite {
       sess.analyzeTable("cbo_spec_cust", Seq("c_custkey", "c_nationkey"))
       sess.analyzeTable("cbo_spec_nat", Seq("n_nationkey", "n_name"))
       val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val oldCbo = spark.conf.get("spark.sql.cbo.enabled")
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // scoped enable — the session default is off (Engine.session doc)
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
         val q =
           """SELECT n_name, count(*) AS c FROM cbo_spec_fact
             |JOIN cbo_spec_cust ON custkey = c_custkey
@@ -55,7 +59,8 @@ class CboReorderSpec extends AnyFunSuite {
         // 200k rows of fact, 1000/25th survive the N7 filter
         assert(withReorder.nonEmpty)
       } finally {
-        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", oldCbo)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
       }
     } finally {
@@ -69,9 +74,13 @@ class CboReorderSpec extends AnyFunSuite {
     // CostBasedJoinReorder requires row counts on ALL join inputs
     val dir = java.nio.file.Files.createTempDirectory("cbo-path").toString
     spark.range(100).toDF("id").write.parquet(s"$dir/t")
-    val df = spark.read.parquet(s"$dir/t")
-    val stats = df.queryExecution.optimizedPlan.stats
-    assert(stats.rowCount.isEmpty,
-      s"path scan unexpectedly exposes a row count: $stats")
+    val oldCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true") // even with CBO on
+      val df = spark.read.parquet(s"$dir/t")
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isEmpty,
+        s"path scan unexpectedly exposes a row count: $stats")
+    } finally spark.conf.set("spark.sql.cbo.enabled", oldCbo)
   }
 }
