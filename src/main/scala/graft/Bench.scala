@@ -82,10 +82,15 @@ object Bench {
 
   /** Stability gate (r5/r6/r7 all shipped contention-garbage medians with
     * `contended:false` — the load-average heuristic alone misses a load
-    * that ARRIVES mid-run): a query's selected reps must agree within
-    * max(50% of median, 2 s) or the result is marked unstable and the
-    * whole artifact `contended`. */
-  private def spreadBound(med: Double): Double = math.max(0.5 * med, 2.0)
+    * that ARRIVES mid-run): a query's selected reps must agree within the
+    * bound or the result is marked unstable and the whole artifact
+    * `contended`. r11 tightening (VERDICT #3): the official r11 run passed
+    * `unstable=[]` while q3 carried a 10.7 s spread on a 21.9 s median —
+    * 50% was too loose to protect the round's one official number. Queries
+    * above 5 s must now agree within 25% of the median (still ≥ 2 s so
+    * scheduler-floor jitter on fast queries can't flag). */
+  private def spreadBound(med: Double): Double =
+    if (med > 5.0) math.max(0.25 * med, 2.0) else math.max(0.5 * med, 2.0)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -134,6 +139,68 @@ object Bench {
     }
   }
 
+  /** Captures the EXECUTED physical plan of the rep's write (post-AQE
+    * final plan — `df.queryExecution` alone would show the pre-execution
+    * shape) so every stage-dump line carries a plan fingerprint: two reps
+    * of the same query with different fingerprints = a real plan flip
+    * (AQE/stat drift); identical fingerprints with 2× the time = the host,
+    * not the plan (VERDICT r11 #2). */
+  private final class PlanCapture
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    @volatile var last: String = ""
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+      last = qe.executedPlan.toString
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    /** Normalized shape hash: expression/plan/codegen ids and object
+      * addresses vary run-to-run without the SHAPE changing. */
+    def fingerprint(): String = {
+      val norm = normalized()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(norm.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    }
+    def normalized(): String = last
+      .replaceAll("#\\d+", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("\\bid=\\d+", "id=")
+      .replaceAll("@[0-9a-fA-F]+", "@")
+      .replaceAll("\\(\\d+\\)", "(n)") // WholeStageCodegen (i) ids
+      .replaceAll("dpp#\\d+", "dpp#")
+      .replaceAll("cachedrdd-\\d+", "cachedrdd-")
+      // DataFilters renders under truncatedString: the `...` cut point
+      // shifts with expression-id digit WIDTH, flipping the hash with no
+      // shape change. PushedFilters/ReadSchema carry the pushdown signal.
+      .replaceAll("DataFilters: .*?, Format:", "DataFilters: <elided>, Format:")
+    /** SPARK_GRAFT_BENCH_FP_DEBUG=dir: persist each rep's normalized plan
+      * for diffing when fingerprints differ across reps. */
+    def maybeDump(name: String, sec: Double): Unit =
+      sys.env.get("SPARK_GRAFT_BENCH_FP_DEBUG").foreach { d =>
+        new java.io.File(d).mkdirs()
+        val f = new java.io.File(d, f"${name}_${fingerprint()}_$sec%.2fs.txt")
+        val w = new java.io.FileWriter(f)
+        try w.write(normalized()) finally w.close()
+      }
+  }
+
+  /** JVM-global compilation + GC wall-clock, for per-rep deltas: the q3
+    * stable-slow regime (10 s vs ~22 s, stable in-session, byte-identical
+    * stages) needs JIT-vs-plan-vs-host attribution per rep. */
+  private def jitMs(): Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
+  }
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+  }
+  private def processCpuMs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1000000L
+      case _ => 0L
+    }
+
   /** Total over SUCCEEDED queries only — a query that dies (e.g. OOM at a
     * scaled tier) must not report its time-to-failure as a result. */
   private def okTotal(results: Seq[QRes]): Double =
@@ -180,12 +247,18 @@ object Bench {
     // free-space check falls back to disk when /dev/shm can't hold the
     // expected shuffle volume.
     Engine.preferShmLocalDir()
-    var spark = Engine.session(cpus)
+    val planCap = new PlanCapture
+    def newSession(): SparkSession = {
+      val s = Engine.session(cpus)
+      s.listenerManager.register(planCap)
+      s
+    }
+    var spark = newSession()
     // a query that kills the SparkContext (executor OOM at a scaled tier)
     // must not poison every query after it: rebuild the session and keep
     // measuring — only the dying query records as failed
     def ensureAlive(): Unit =
-      if (spark.sparkContext.isStopped) spark = Engine.session(cpus)
+      if (spark.sparkContext.isStopped) spark = newSession()
 
     def drain(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -224,14 +297,18 @@ object Bench {
     def freshTier(): Unit = {
       if (!spark.sparkContext.isStopped) spark.stop()
       System.gc()
-      spark = Engine.session(cpus)
+      spark = newSession()
     }
 
     /** One timed execution; leased caches are dropped afterwards so every
       * rep (and every query) measures the full computation, not a warm
       * cache from the previous run. */
+    // default: EVERY headline query plus the three noisy extended ones —
+    // r11's q3/q15/q17 driver-run inflation had no stage evidence because
+    // only q16/q18/q21 dumped (VERDICT #2/#3)
     val stageDumpSet: Set[String] = sys.env
-      .getOrElse("SPARK_GRAFT_BENCH_STAGE_DUMP", "q16,q18,q21")
+      .getOrElse("SPARK_GRAFT_BENCH_STAGE_DUMP",
+        (1 to 10).map(i => s"q$i").mkString(",") + ",q15,q16,q17,q18,q21")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val stageDumpFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGE_FILE",
       "bench_stages.jsonl")
@@ -241,6 +318,7 @@ object Bench {
       val agg = if (stageDumpSet(name)) Some(new StageAgg) else None
       agg.foreach(spark.sparkContext.addSparkListener)
       val fn = SparkEntry.queries(name)
+      val (jit0, gc0, cpu0) = (jitMs(), gcMs(), processCpuMs())
       val t0 = System.nanoTime()
       val ok =
         try { drain(fn(spark, dir)); true }
@@ -254,7 +332,11 @@ object Bench {
       agg.foreach { a =>
         Thread.sleep(500) // let the listener bus drain task-end events
         if (!spark.sparkContext.isStopped) spark.sparkContext.removeSparkListener(a)
-        val line = f"""{"q":"$name","dir":"$dir","sec":$sec%.2f,"ok":$ok,"top_stages":${a.jsonTopStages(8)}}"""
+        // fp: post-AQE executed-plan shape hash — differing fps across
+        // reps = plan flip; same fp + swung sec = host/JVM, and the
+        // jit/gc/cpu deltas say which
+        planCap.maybeDump(name, sec)
+        val line = f"""{"q":"$name","dir":"$dir","sec":$sec%.2f,"ok":$ok,"fp":"${planCap.fingerprint()}","jit_ms":${jitMs() - jit0},"gc_ms":${gcMs() - gc0},"cpu_ms":${processCpuMs() - cpu0},"top_stages":${a.jsonTopStages(8)}}"""
         val w = new java.io.FileWriter(stageDumpFile, true)
         try w.write(line + "\n") finally w.close()
       }
@@ -286,10 +368,11 @@ object Bench {
           val c = chosen
           c.nonEmpty && c.max - c.min > spreadBound(median(c))
         }
-        // bounded retries: an invalid (outlier) rep gets re-run up to twice;
+        // bounded retries: an invalid (outlier) rep gets re-run up to FOUR
+        // times (r11 #3 — two retries couldn't converge the tighter gate);
         // only meaningful at nReps >= 2 (a single rep has spread 0)
         var extra = 0
-        while (nReps >= 2 && okSecs.nonEmpty && unstable && extra < 2) {
+        while (nReps >= 2 && okSecs.nonEmpty && unstable && extra < 4) {
           runs :+= runOnce(dir, name)
           extra += 1
         }

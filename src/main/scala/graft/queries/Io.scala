@@ -13,6 +13,16 @@ object Io {
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
   private val ioDir = "/tmp/graft_io"
 
+  /** Remove a DuckDB database AND its write-ahead log: deleting only the
+    * .duckdb file leaves a stale `.wal` that DuckDB replays into the
+    * freshly-created database on next open — phantom rows from a previous
+    * (killed) run. */
+  private def deleteDuckDb(path: String): Unit = {
+    new java.io.File(path).delete()
+    new java.io.File(path + ".wal").delete()
+    ()
+  }
+
   /** CSV write → schema-inferring read → aggregate (read_csv/write_csv). */
   def io_csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = t(s, dir).lineitem
@@ -797,7 +807,7 @@ object Io {
   def io_read_sql(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Sql
     val db = s"$ioDir/read_sql_${math.abs(dir.hashCode)}.duckdb"
-    new java.io.File(db).delete()
+    deleteDuckDb(db)
     Sql.execute(s"jdbc:duckdb:$db", Seq(
       s"CREATE OR REPLACE TABLE orders AS SELECT * FROM read_parquet('$dir/orders.parquet')"))
     val maxKey = t(s, dir).orders.agg(max("o_orderkey")).head().getLong(0)
@@ -820,7 +830,7 @@ object Io {
   def io_write_sink(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{Sinks, Sql}
     val db = s"$ioDir/write_sink_${math.abs(dir.hashCode)}.duckdb"
-    new java.io.File(db).delete()
+    deleteDuckDb(db)
     val docs = t(s, dir).documents.select("doc_id", "text").repartition(8)
     // write_sink is BLOCKING (as in the reference): materialize the write
     // results before reading the sink back
@@ -852,7 +862,7 @@ object Io {
   def io_write_sql(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Sql
     val db = s"$ioDir/write_sql_${math.abs(dir.hashCode)}.duckdb"
-    new java.io.File(db).delete()
+    deleteDuckDb(db)
     val url = s"jdbc:duckdb:$db"
     val docs = t(s, dir).documents
       .filter(col("doc_id") < 300)
@@ -874,8 +884,14 @@ object Io {
   }
 
   val ioWriteSqlSql =
+    // CAST the token sum to BIGINT: DuckDB's sum(INTEGER) yields HUGEINT
+    // (int128), and the driver's pandas compare renders HUGEINT as float64
+    // while the Spark parquet holds int64 — the r11 red was exactly this
+    // (identical VALUES, hash-only mismatch; total_toks was the single
+    // HUGEINT column across all 256 oracles).
     """SELECT lang, count(*) * 2 AS n, count(DISTINCT doc_id) AS n_docs,
-      |  2 * sum(len(string_split_regex(trim(text), '\s+'))) AS total_toks,
+      |  CAST(2 * sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS total_toks,
       |  2 * (SELECT count(*) FROM documents WHERE doc_id < 300) AS written_rows
       |FROM documents WHERE doc_id < 300
       |GROUP BY lang ORDER BY lang""".stripMargin

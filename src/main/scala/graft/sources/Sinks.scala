@@ -20,8 +20,16 @@ trait DataSink extends Serializable {
   def name: String
   /** Driver-side, before execution (create tables, clear dirs, …). */
   def start(schema: StructType): Unit = ()
-  /** Executor-side: consume one partition, return its result. */
+  /** Executor-side: consume one partition, return its result. Must be
+    * IDEMPOTENT under task retry: on a real cluster a task attempt can die
+    * after partially writing and be re-run, so either write to an
+    * attempt-replaceable staging area (see JdbcSink) or make the write a
+    * single atomic transaction. */
   def writePartition(partitionId: Int, rows: Iterator[Row], schema: StructType): WriteResult
+  /** Driver-side, after every partition SUCCEEDED exactly once (Spark
+    * reports one result per partition from the winning attempt). Commit
+    * staged work atomically here. */
+  def finish(results: Seq[WriteResult]): Unit = ()
 }
 
 case class WriteResult(partitionId: Int, rowsWritten: Long, bytesWritten: Long, detail: String)
@@ -29,14 +37,23 @@ case class WriteResult(partitionId: Int, rowsWritten: Long, bytesWritten: Long, 
 object Sinks {
 
   /** write_sink: run the sink over every partition, return the per-
-    * partition results as a DataFrame (the reference's write_results). */
+    * partition results as a DataFrame (the reference's write_results).
+    *
+    * BLOCKING, like the reference: the write executes here, `finish` runs
+    * once on the driver with the winning attempts' results (the two-phase
+    * commit point for staged sinks), and the returned frame is a bounded
+    * local one-row-per-partition result set — re-evaluating it can never
+    * re-run the writes. */
   def writeSink(df: DataFrame, sink: DataSink): DataFrame = {
     val schema = df.schema
     sink.start(schema)
-    df.mapPartitions { it =>
+    val results = df.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       Iterator.single(sink.writePartition(pid, it, schema))
-    }(Encoders.product[WriteResult]).toDF()
+    }(Encoders.product[WriteResult]).collect().toSeq
+    sink.finish(results)
+    val spark = df.sparkSession
+    spark.createDataFrame(results)
   }
 
   /** Parallel CSV part-file sink (no header; one file per partition). */
@@ -69,12 +86,23 @@ object Sinks {
     * the clickhouse/bigtable-style sink shape, pointed at any JDBC url
     * (DuckDB offline). `writeMode` carries the reference write_sql modes
     * (dataframe.py:911): "overwrite" drops + recreates, "append" creates
-    * only if absent, "fail" errors when the table already exists. */
+    * only if absent, "fail" errors when the table already exists.
+    *
+    * EXACTLY-ONCE under task retry (the cluster posture — a task attempt
+    * can die after some batches committed and be re-run): each partition
+    * writes to its own staging table via `CREATE OR REPLACE`, so a retried
+    * attempt wipes its predecessor's partial rows, and `finish` promotes
+    * every staging table into the target in ONE driver-side transaction
+    * after all partitions succeeded. No partial or duplicated rows are
+    * ever visible in the target table. */
   class JdbcSink(url: String, table: String, batchSize: Int = 500,
       writeMode: String = "overwrite") extends DataSink {
     def name = s"jdbc:$table"
-    override def start(schema: StructType): Unit = {
-      val cols = schema.fields.map { f =>
+    // driver-only (start/finish both run on the driver; not serialized out)
+    @transient private var driverSchema: StructType = _
+    private def stage(pid: Int) = s"${table}__graft_stage_$pid"
+    private def colsDdl(schema: StructType): String =
+      schema.fields.map { f =>
         val t = f.dataType.typeName match {
           case "long" | "integer" | "short" | "byte" => "BIGINT"
           case "double" | "float" => "DOUBLE"
@@ -83,6 +111,9 @@ object Sinks {
         }
         s""""${f.name}" $t"""
       }.mkString(", ")
+    override def start(schema: StructType): Unit = {
+      driverSchema = schema
+      val cols = colsDdl(schema)
       writeMode match {
         case "overwrite" =>
           Sql.execute(url, Seq(
@@ -107,13 +138,19 @@ object Sinks {
       var n = 0L
       var bytes = 0L
       try {
+        val st0 = conn.createStatement()
+        // CREATE OR REPLACE is the idempotence point: a second attempt of
+        // this partition starts from an empty staging table no matter how
+        // far the first attempt got.
+        st0.execute(s"""CREATE OR REPLACE TABLE "${stage(pid)}" (${colsDdl(schema)})""")
+        st0.close()
         val ph = schema.fields.map(_ => "?").mkString(", ")
         // name the columns: appending to a pre-existing table with a
         // different column order must route values by NAME (a positional
         // insert would silently swap coercible columns)
         val colList = schema.fields.map(f => s""""${f.name}"""").mkString(", ")
         val st = conn.prepareStatement(
-          s"""INSERT INTO "$table" ($colList) VALUES ($ph)""")
+          s"""INSERT INTO "${stage(pid)}" ($colList) VALUES ($ph)""")
         var inBatch = 0
         rows.foreach { r =>
           var i = 0
@@ -137,7 +174,28 @@ object Sinks {
         if (inBatch > 0) st.executeBatch()
         st.close()
       } finally conn.close()
-      WriteResult(pid, n, bytes, url)
+      WriteResult(pid, n, bytes, stage(pid))
+    }
+    override def finish(results: Seq[WriteResult]): Unit = {
+      Class.forName(Sql.DuckDbDriver)
+      val conn = DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        // one transaction: every staging table lands in the target — or
+        // none does. `detail` carries the staging table the WINNING attempt
+        // wrote; routing by column name tolerates target column order.
+        val colList =
+          driverSchema.fields.map(f => s""""${f.name}"""").mkString(", ")
+        results.sortBy(_.partitionId).foreach { r =>
+          st.execute(
+            s"""INSERT INTO "$table" ($colList)
+               |SELECT $colList FROM "${r.detail}"""".stripMargin)
+          st.execute(s"""DROP TABLE "${r.detail}"""")
+        }
+        st.close()
+        conn.commit()
+      } finally conn.close()
     }
   }
 }

@@ -102,6 +102,19 @@ def main(sf_dir, out_dir):
             fail += 1
             continue
         try:
+            # HUGEINT guard: DuckDB widens sum(INTEGER) to HUGEINT (int128),
+            # which the driver's pandas compare renders as float64 while the
+            # Spark parquet holds int64 — an automatic hash red even when
+            # every value matches (the r11 io_write_sql red). Any HUGEINT
+            # oracle column must be CAST(... AS BIGINT) in the oracle SQL.
+            hug = [d[0] for d in
+                   con.execute(f"DESCRIBE SELECT * FROM ({sql}) x").fetchall()
+                   if "HUGEINT" in d[1]]
+            if hug:
+                print(f"FAIL {name}: oracle HUGEINT column(s) {hug} — "
+                      f"cast to BIGINT in the oracle SQL")
+                fail += 1
+                continue
             exp_rel = con.execute(sql)
             exp_cols = [d[0] for d in exp_rel.description]
             exp_types = {d[0]: str(d[1]) for d in exp_rel.description}
