@@ -57,6 +57,12 @@ object Graft {
     * file ops, never here — only the listing runs). */
   def fromFiles(spark: SparkSession, glob: String): DataFrame =
     fromGlobPath(spark, glob).select(ops.Files.file(col("path")).as("file"))
+  /** skipped_corrupt_files (ref `dataframe.py:254`): (path, reason,
+    * partial) for parquet files under `glob` that an ignoreCorruptFiles
+    * read would skip; `partial` = some row groups decode before the
+    * corruption (batches were already emitted when the reader gave up). */
+  def skippedCorruptFiles(spark: SparkSession, glob: String): DataFrame =
+    ops.ExecMetrics.skippedCorruptFiles(spark, glob)
   def readArrow(spark: SparkSession, path: String): DataFrame =
     sources.ArrowIpc.read(spark, path)
   def writeArrow(df: DataFrame, path: String, batchSize: Int = 4096): Long =
@@ -309,6 +315,12 @@ object implicits {
     def packSequences(idCol: String, textCol: String, budget: Int,
         shardSize: Long = 4096): DataFrame =
       ops.Curate.packSequences(df, idCol, textCol, budget, shardSize)
+
+    // ---- runtime introspection (ref dataframe.py:247 metrics,
+    //      dataframe.py:254 skipped_corrupt_files) ----
+    /** Materialize and return (rows, per-plan-node metrics frame). */
+    def collectWithMetrics(): (Array[org.apache.spark.sql.Row], DataFrame) =
+      ops.ExecMetrics.collectWithMetrics(df)
 
     // ---- reference writer verbs (dataframe.py write_* family) ----
     def writeSink(sink: sources.DataSink): DataFrame =

@@ -16,6 +16,41 @@ package graft.functions
   * the Option return maps to a nullable column. */
 object ResilientUdf {
 
+  /** First-N-then-count log bounding (VERDICT r11 #7): a column where every
+    * row fails would otherwise write one stderr line PER ROW — at 100 TB
+    * that's billions of lines of executor log, which is itself an outage.
+    * The first `MaxLoggedPerTask` failures per task log in full; after
+    * that only the suppressed count is kept, flushed as ONE summary line
+    * when it next crosses a power-of-two (cheap, unsynchronized-per-row,
+    * and the final magnitude is always visible in the log). */
+  private[graft] val MaxLoggedPerTask = 10
+  private val loggedThisTask = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = Array(0L, 0L) // (logged, suppressed)
+  }
+  /** Test hook: reset the current thread's counters. */
+  private[graft] def resetLogCounters(): Unit = { loggedThisTask.remove() }
+  /** Test hook: (logged, suppressed) for the current thread. */
+  private[graft] def logCounters(): (Long, Long) = {
+    val c = loggedThisTask.get(); (c(0), c(1))
+  }
+
+  private def logBounded(msg: => String): Unit = {
+    val c = loggedThisTask.get()
+    if (c(0) < MaxLoggedPerTask) {
+      c(0) += 1
+      System.err.println(msg)
+      if (c(0) == MaxLoggedPerTask)
+        System.err.println(
+          s"[graft] udf failure log limit ($MaxLoggedPerTask) reached for this " +
+            "task; further failures are counted, not printed")
+    } else {
+      c(1) += 1
+      // powers of two: O(log n) summary lines for n suppressed failures
+      if ((c(1) & (c(1) - 1)) == 0L)
+        System.err.println(s"[graft] udf failures suppressed so far: ${c(1)}")
+    }
+  }
+
   def resilient[I, O](f: I => O, maxRetries: Int = 0,
       onError: String = "raise"): I => Option[O] = {
     require(maxRetries >= 0, s"max_retries must be >= 0, got $maxRetries")
@@ -36,7 +71,7 @@ object ResilientUdf {
       else onError match {
         case "raise" => throw last
         case "log" =>
-          System.err.println(
+          logBounded(
             s"[graft] udf failed after ${maxRetries + 1} attempts: $last")
           None
         case _ => None

@@ -277,13 +277,88 @@ object Dedup {
     }
   }
 
+  /** 128-bit content key (two independently-seeded 64-bit hashes): false
+    * merge needs a simultaneous collision in both — ~n²/2¹²⁸, negligible
+    * at any corpus size, where a single 64-bit key would reach ~5% odds of
+    * ONE false exact-dup group at n=10⁹ docs. */
+  private def contentKey(c: org.apache.spark.sql.Column) =
+    struct(xxhash64(c), xxhash64(c, lit(1)))
+
+  /** Hot-bucket guard for the LSH family (r12, VERDICT r11 #4): exact
+    * duplicates all share one signature, so d copies of one document put d
+    * ids into EVERY band bucket — O(d²·nBands) candidate-join rows BEFORE
+    * dedup (10k planted copies ≈ 10⁹ rows through one shuffle partition,
+    * the classic boilerplate-page blowup at corpus scale). Collapse to one
+    * representative per distinct content first (min id), run the banding
+    * pipeline on representatives only, then re-expand:
+    *   - intra-group pairs are exact duplicates — emitted directly at the
+    *     metric's exact-match score, no candidate generation at all;
+    *   - a representative pair (ra, rb, s) expands to members(ra) ×
+    *     members(rb) with the same score (identical content ⇒ identical
+    *     metric).
+    * Candidate volume is now O(distinct-content) regardless of duplicate
+    * multiplicity; output pair count is unchanged (pair semantics survive).
+    *
+    * `pipeline` maps the representative frame (`id`, `__val`) to
+    * (elig(`id`, `__self`), pairs(aName, bName, scoreName)). `elig` mirrors
+    * the pipeline's own input filter (e.g. empty shingle sets) so
+    * ineligible groups expand to nothing, exactly as before; `__self` is
+    * the EXACT metric of a member against itself (jaccard 1.0, hamming 0,
+    * self-cosine — NaN for a zero vector, preserving Spark's NaN-passes-
+    * threshold comparison semantics the un-collapsed pipeline had). */
+  private def collapseExactDups(docs: DataFrame, idCol: String,
+      valCol: org.apache.spark.sql.Column, aName: String, bName: String,
+      scoreName: String, keepIntra: Boolean)(
+      pipeline: DataFrame => (DataFrame, DataFrame)): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), valCol.as("__val"))
+    // ids + 16-byte content key only — the leased frame stays narrow even
+    // when __val is a full document or embedding
+    val memb = lease(base.select(col("id"), contentKey(col("__val")).as("__h")))
+    val repIds = memb.groupBy("__h").agg(min("id").as("id"))
+    val reps = base.join(repIds.select("id"), Seq("id"), "left_semi")
+    val (elig, pairs) = pipeline(reps)
+    val eligH = repIds.join(elig, Seq("id")) // (__h, id, __self)
+    val eligMembers = memb.join(eligH.select("__h"), Seq("__h"), "left_semi")
+    val cross = pairs
+      .join(eligH.select(col("id").as(aName), col("__h").as("__ha")), aName)
+      .join(eligH.select(col("id").as(bName), col("__h").as("__hb")), bName)
+      .join(eligMembers.select(col("id").as("__xa"), col("__h").as("__ha")), "__ha")
+      .join(eligMembers.select(col("id").as("__xb"), col("__h").as("__hb")), "__hb")
+      .select(least(col("__xa"), col("__xb")).as(aName),
+        greatest(col("__xa"), col("__xb")).as(bName), col(scoreName))
+    if (!keepIntra) cross
+    else {
+      // within-group pairs: a plain equi-join on the content key — one
+      // shuffle, output-proportional work (these pairs are owed to the
+      // caller either way), no band amplification
+      val intra = eligMembers.select(col("id").as(aName), col("__h"))
+        .join(eligMembers.select(col("id").as(bName), col("__h")), Seq("__h"))
+        .filter(col(aName) < col(bName))
+        .join(eligH.select(col("__h"), col("__self")), Seq("__h"))
+        .select(col(aName), col(bName), col("__self").as(scoreName))
+      cross.unionByName(intra)
+    }
+  }
+
   /** MinHash + LSH banding: k-hash signature, band-bucket join for
     * candidates, exact-jaccard verification of candidates. With r=1 the
     * per-band collision probability equals the jaccard itself, so recall at
     * threshold t is 1-(1-t)^k (≈1 for k=64, t≥0.2); verification removes
-    * all false positives, making the output equal to the exact pipeline. */
+    * all false positives, making the output equal to the exact pipeline.
+    * Exact duplicates are pre-collapsed ([[collapseExactDups]]) so a
+    * boilerplate document repeated d times costs O(d) instead of
+    * O(d²·nBands) in the bucket join. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int, bandRows: Int, threshold: Double): DataFrame = {
+      shingleN: Int, k: Int, bandRows: Int, threshold: Double): DataFrame =
+    collapseExactDups(docs, idCol, col(textCol), "doc_a", "doc_b",
+        "jac", keepIntra = threshold <= 1.0) { reps =>
+      minhashLshRepPairs(reps, shingleN, k, bandRows, threshold)
+    }
+
+  /** The rep-level minhash pipeline: `reps` is (`id`, `__val`=text), output
+    * is (eligible rep ids, verified pairs). */
+  private def minhashLshRepPairs(reps: DataFrame, shingleN: Int, k: Int,
+      bandRows: Int, threshold: Double): (DataFrame, DataFrame) = {
     // shingles are hashed and sorted in ONE O(tokens) kernel pass, then
     // PERSISTED: this projection is the expensive shared subtree of the
     // plan (band explode on both self-join sides + two verification
@@ -293,9 +368,9 @@ object Dedup {
     // cached form is ids + long arrays ≈ 8 B/shingle, MEMORY_AND_DISK so
     // a 100 TB corpus spills instead of evicting. A 64-bit hash
     // collision inside one doc's set is ~n²/2⁶⁵ — negligible.
-    val withSh = lease(docs
-      .select(col(idCol).as("id"),
-        GMisc.hashedShinglesUdf(shingleN)(col(textCol)).as("shh"))
+    val withSh = lease(reps
+      .select(col("id"),
+        GMisc.hashedShinglesUdf(shingleN)(col("__val")).as("shh"))
       .filter(size(col("shh")) > 0))
     // ids only through the nBands-way explode: shingle arrays would be
     // replicated nBands× through the bucket shuffle otherwise. They are
@@ -320,45 +395,53 @@ object Dedup {
     // longs), NOT a Scala UDF: the UDF boundary boxes every element of
     // both arrays per pair — measured 7.0 s vs 1.7 s over the same 495k
     // candidates. One intersect pass; the union size is derived.
-    candidates
+    val pairs = candidates
       .withColumn("common",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jac",
         col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
+    // identical texts ⇒ identical shingle sets ⇒ jaccard exactly 1.0
+    (withSh.select(col("id"), lit(1.0).as("__self")), pairs)
   }
 
   /** SimHash near-dup candidates: 64-bit simhash, pigeonhole banding on
     * 16-bit chunks (hamming ≤ 3 ⇒ some chunk equal), then exact hamming
-    * verification on candidates. */
+    * verification on candidates. Exact duplicates pre-collapsed
+    * ([[collapseExactDups]]): identical texts share one simhash, so a hot
+    * 16-bit chunk bucket would otherwise grow with duplicate multiplicity. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, maxHamming: Int): DataFrame = {
-    // same materialization discipline as minhashLshPairs: one fused
-    // hash kernel per doc (bit-identical signatures to the string form —
-    // both vote on stringHash64(gram, 0)), persisted so the self-join
-    // branches don't re-shingle the corpus
-    val withSig = lease(docs
-      .select(col(idCol).as("id"),
-        GMisc.hashedShinglesUdf(shingleN)(col(textCol)).as("shh"))
-      .filter(size(col("shh")) > 0)
-      .withColumn("sig", GMisc.simhash64FromHashesUdf(col("shh"))))
-    val banded = withSig.select(
-      col("id"), col("sig"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk"),
-          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*))
-        .as("band"))
-      .select(col("id"), col("sig"), col("band.chunk"), col("band.bits"))
-    val l = banded.select(col("id").as("doc_a"), col("sig").as("sig_a"), col("chunk"), col("bits"))
-    val r = banded.select(col("id").as("doc_b"), col("sig").as("sig_b"), col("chunk"), col("bits"))
-    l.join(r, Seq("chunk", "bits"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("ham", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("ham") <= maxHamming)
-      .select("doc_a", "doc_b", "ham")
-  }
+      shingleN: Int, maxHamming: Int): DataFrame =
+    collapseExactDups(docs, idCol, col(textCol), "doc_a", "doc_b",
+        "ham", keepIntra = maxHamming >= 0) { reps =>
+      // same materialization discipline as minhashLshPairs: one fused
+      // hash kernel per doc (bit-identical signatures to the string form —
+      // both vote on stringHash64(gram, 0)), persisted so the self-join
+      // branches don't re-shingle the corpus
+      val withSig = lease(reps
+        .select(col("id"),
+          GMisc.hashedShinglesUdf(shingleN)(col("__val")).as("shh"))
+        .filter(size(col("shh")) > 0)
+        .withColumn("sig", GMisc.simhash64FromHashesUdf(col("shh"))))
+      val banded = withSig.select(
+        col("id"), col("sig"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("chunk"),
+            shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*))
+          .as("band"))
+        .select(col("id"), col("sig"), col("band.chunk"), col("band.bits"))
+      val l = banded.select(col("id").as("doc_a"), col("sig").as("sig_a"), col("chunk"), col("bits"))
+      val r = banded.select(col("id").as("doc_b"), col("sig").as("sig_b"), col("chunk"), col("bits"))
+      val pairs = l.join(r, Seq("chunk", "bits"))
+        .filter(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("ham", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("ham") <= maxHamming)
+        .select("doc_a", "doc_b", "ham")
+      // identical texts ⇒ identical simhash ⇒ hamming exactly 0
+      (withSig.select(col("id"), lit(0).as("__self")), pairs)
+    }
 
   /** Embedding cosine near-dup, exact: block-matrix (tiled) self-join.
     *
@@ -480,26 +563,39 @@ object Dedup {
     }
     val nBands = k / bandRows
     val mask = (1L << bandRows) - 1
-    val sigs = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", signBits(col("v")))
-    // ids-only through the band explode; vectors re-attached post-candidate
-    val banded = sigs.select(
-        col("id"),
-        explode(array((0 until nBands).map(bIdx =>
-          struct(lit(bIdx).as("band"),
-            shiftrightunsigned(col("sig"), bIdx * bandRows)
-              .bitwiseAND(lit(mask)).as("bits"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bits"))
-    val candidates = banded.as("l").join(banded.as("r"), Seq("band", "bits"))
-      .filter(col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val va = sigs.select(col("id").as("id_a"), col("v").as("va"))
-    val vb = sigs.select(col("id").as("id_b"), col("v").as("vb"))
-    candidates.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cos_sim", GDist.cosineSimilarityNative(col("va"), col("vb")))
-      .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
+    // exact-dup collapse: identical vectors share every sign pattern, so a
+    // hot embedding (cluster of byte-identical vectors) floods its buckets
+    collapseExactDups(vecs, idCol, col(vecCol), "id_a", "id_b",
+        "cos_sim", keepIntra = threshold <= 1.0) { reps =>
+      val sigs = reps.select(col("id"), col("__val").as("v"))
+        .withColumn("sig", signBits(col("v")))
+      // ids-only through the band explode; vectors re-attached post-candidate
+      val banded = sigs.select(
+          col("id"),
+          explode(array((0 until nBands).map(bIdx =>
+            struct(lit(bIdx).as("band"),
+              shiftrightunsigned(col("sig"), bIdx * bandRows)
+                .bitwiseAND(lit(mask)).as("bits"))): _*)).as("bb"))
+        .select(col("id"), col("bb.band"), col("bb.bits"))
+      val candidates = banded.as("l").join(banded.as("r"), Seq("band", "bits"))
+        .filter(col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val va = sigs.select(col("id").as("id_a"), col("v").as("va"))
+      val vb = sigs.select(col("id").as("id_b"), col("v").as("vb"))
+      val pairs = candidates.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos_sim", GDist.cosineSimilarityNative(col("va"), col("vb")))
+        .filter(col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+      // every rep is eligible (the un-collapsed pipeline banded every
+      // vector); __self = exact self-cosine, which is NaN for a zero
+      // vector — and Spark's NaN-is-greatest comparison lets NaN pass
+      // `>= threshold`, matching the pre-collapse pipeline's emission of
+      // NaN-scored pairs for degenerate vectors
+      (reps.select(col("id"),
+        GDist.cosineSimilarityNative(col("__val"), col("__val")).as("__self")),
+        pairs)
+    }
   }
 
   /** Duplicate-cluster assignment: connected components over candidate

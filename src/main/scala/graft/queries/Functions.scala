@@ -821,7 +821,30 @@ object Functions {
       |  true AS bucket_in_range
       |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
 
+  /** metrics() (ref `dataframe.py:247` — per-plan-node runtime stats after
+    * materialization): run a bounded aggregation through
+    * [[graft.ops.ExecMetrics.collectWithMetrics]] and read the scan/result
+    * stats off the executed plan's SQLMetrics. The oracle pins the scan's
+    * numOutputRows to the table row count (no filter, so pushdown can't
+    * shrink it) and the result cardinality to the group count. */
+  def fn_exec_metrics(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir).orders
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val (rows, m) = graft.ops.ExecMetrics.collectWithMetrics(q)
+    val scanRows = graft.ops.ExecMetrics.metricSum(m, "Scan", "numOutputRows")
+    import s.implicits._
+    Seq((scanRows, rows.length.toLong, rows.map(_.getLong(1)).sum))
+      .toDF("scan_rows", "result_rows", "total_n")
+  }
+
+  val fnExecMetricsSql =
+    """SELECT CAST(count(*) AS BIGINT) AS scan_rows,
+      |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS result_rows,
+      |  CAST(count(*) AS BIGINT) AS total_n
+      |FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fn_exec_metrics" -> (fn_exec_metrics _),
     "fn_partitioning" -> (fn_partitioning _),
     "fn_struct_map" -> (fn_struct_map _),
     "fn_url" -> (fn_url _),
@@ -848,6 +871,7 @@ object Functions {
     "fn_minhash_simhash" -> (fn_minhash_simhash _))
 
   val oracle: Map[String, String] = Map(
+    "fn_exec_metrics" -> fnExecMetricsSql,
     "fn_partitioning" -> fnPartitioningSql,
     "fn_struct_map" -> fnStructMapSql,
     "fn_url" -> fnUrlSql,

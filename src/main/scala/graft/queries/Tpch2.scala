@@ -149,15 +149,18 @@ object Tpch2 {
   /** Q15: top supplier(s) by quarterly revenue (revenue = max revenue). */
   def q15(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    // revenue feeds both the max scalar and the final filter — the two
-    // consumers share one canonicalized shuffle subtree and runtime
-    // exchange reuse dedups it (verified on q11, the same shape: the
-    // shuffle is written once and read from both branches)
-    val revenue = tt.lineitem
+    // revenue feeds both the max scalar and the final filter. LEASED: the
+    // r12 executed-plan audit showed runtime exchange reuse does NOT fire
+    // here — the join branch pushes an extra isnotnull(l_suppkey) into its
+    // scan, so the two exchanges stop canonicalizing equal and the
+    // lineitem scan + partial agg ran TWICE every execution. The cache is
+    // one row per active supplier (dim-sized however large lineitem
+    // grows); both consumers read it.
+    val revenue = graft.ops.Caches.lease(tt.lineitem
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey").as("supplier_no"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue")))
     val maxRev = revenue.agg(max("total_revenue").as("mr"))
     revenue.crossJoin(broadcast(maxRev))
       .filter(col("total_revenue") === col("mr"))
@@ -257,14 +260,25 @@ object Tpch2 {
     // set is a fact broadcast that dies at 100 TB. Bloom-prune lineitem at
     // the scan instead (bounded ~MB bitmap), then shuffle-merge the exact
     // join. brandParts leased: bloom count/build + join = one part scan.
+    //
+    // r12 executed-plan audit: the old shape computed `li ⋈ part` TWICE
+    // (avgQty branch + final branch — two full bloomed-lineitem scans,
+    // sorts, and part joins per run). Two fixes: (a) the per-partkey
+    // average doesn't need the part join at all — bloom false-positive
+    // partkeys compute an avg nobody joins with, and a true key's average
+    // is over its own rows regardless of other keys; (b) the bloomed
+    // 3-column sliver (~1/25 of lineitem for one brand) is LEASED so the
+    // average pass and the exact join read one materialization.
     val brandParts = graft.ops.Caches.lease(
       tt.part.filter(col("p_brand") === "Brand#5").select("p_partkey"))
-    val li = graft.ops.Prune.bloomSemiPrefilter(
-        tt.lineitem, "l_partkey", brandParts, "p_partkey")
-      .join(brandParts.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
-    val avgQty = li.groupBy(col("l_partkey").as("ap"))
+    val liPruned = graft.ops.Caches.lease(graft.ops.Prune.bloomSemiPrefilter(
+      tt.lineitem.select("l_partkey", "l_quantity", "l_extendedprice"),
+      "l_partkey", brandParts, "p_partkey"))
+    val avgQty = liPruned.groupBy(col("l_partkey").as("ap"))
       .agg((avg("l_quantity") * 0.5).as("half_avg"))
-    li.join(avgQty, col("l_partkey") === col("ap"))
+    liPruned
+      .join(brandParts.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap"))
       .filter(col("l_quantity") < col("half_avg"))
       .agg((sum("l_extendedprice") / 7.0).as("avg_yearly"))
   }

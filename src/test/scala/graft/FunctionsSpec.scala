@@ -171,6 +171,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("resilient udf 'log' is bounded: 10k-failure column logs first-N then counts") {
+    import graft.functions.ResilientUdf
+    // drive the wrapped function directly on one thread (one task's view):
+    // Spark would spread rows over tasks, hiding the per-task counter
+    ResilientUdf.resetLogCounters()
+    val g = ResilientUdf.resilient((_: Long) => {
+      throw new RuntimeException("always"); 0L }, onError = "log")
+    val n = 10000
+    (0 until n).foreach(i => assert(g(i.toLong).isEmpty))
+    val (logged, suppressed) = ResilientUdf.logCounters()
+    assert(logged == ResilientUdf.MaxLoggedPerTask.toLong,
+      s"full log lines capped at the per-task limit, got $logged")
+    assert(suppressed == (n - ResilientUdf.MaxLoggedPerTask).toLong,
+      s"every further failure counted, got $suppressed")
+    ResilientUdf.resetLogCounters()
+  }
+
   test("native cosine expression is bit-identical to the HOF formulation") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),

@@ -152,6 +152,41 @@ class ScaledPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q15 computes the revenue aggregate once (leased, no second lineitem scan)") {
+    // r12: the pre-lease shape relied on runtime exchange reuse, which
+    // silently stopped firing (one branch pushes an extra isnotnull into
+    // its scan, breaking canonical equality) — lineitem was scanned and
+    // aggregated TWICE per run, measured 11.0 s vs 5.9 s at k=1000. The
+    // pin: every lineitem read in the query body comes from the leased
+    // cache; the raw scan exists only in the cache-fill subtree.
+    // (plan toString inlines each InMemoryRelation's cache-FILL subtree, so
+    // the lineitem FileScan text still appears — the pin is that BOTH
+    // consumers read InMemoryTableScan over the one cached relation)
+    val p = plan("q15")
+    val cacheReads = p.linesIterator.count(l =>
+      l.contains("InMemoryTableScan [") && l.contains("total_revenue"))
+    assert(cacheReads >= 2,
+      s"q15: both the max scalar and the filter must read the leased revenue " +
+        s"cache, saw $cacheReads InMemoryTableScan reads:\n$p")
+  }
+
+  test("q17 joins part once and reads the bloomed sliver from one lease") {
+    // r12: the old shape computed li⋈part twice (avgQty branch + final
+    // branch): two bloomed-lineitem scans, two sorts, two part joins —
+    // 27.8 s vs 14.3 s at k=1000. The per-partkey average needs no part
+    // join (bloom false-positive keys drop out in the final exact join).
+    val p = plan("q17")
+    val partJoins = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("[p_partkey#")).toSeq
+    assert(partJoins.size == 1,
+      s"q17: exactly one part join expected, got ${partJoins.size}:\n${partJoins.mkString("\n")}")
+    val sliverReads = p.linesIterator.count(l =>
+      l.contains("InMemoryTableScan [l_partkey"))
+    assert(sliverReads >= 2,
+      s"q17: the avg pass and the exact join must both read the leased " +
+        s"bloomed sliver, saw $sliverReads InMemoryTableScan reads:\n$p")
+  }
+
   test("q19 pushes derived bounds to both scans and bloom-prunes lineitem") {
     // r8 regression (3.6×): unfiltered lineitem⋈part with the disjunction
     // applied after the join, and q19 was absent from every pin list.
