@@ -201,6 +201,20 @@ object Bench {
       case _ => 0L
     }
 
+  /** Host-level (steal_ms, iowait_ms) from /proc/stat — the discriminator
+    * for the r11 "byte-identical stages, 2-3× the wall" reps: CPU STEAL
+    * means the hypervisor gave our vCPUs away (host oversubscription),
+    * IOWAIT means the shared virtual disk stalled us. Both are invisible
+    * to JVM metrics; per-rep deltas land in the stage dump. USER_HZ=100
+    * on linux, so jiffies × 10 = ms (aggregated across all cpus). */
+  private def hostStat(): (Long, Long) =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = line.trim.split("\\s+") // cpu user nice system idle iowait irq softirq steal
+      ((if (f.length > 8) f(8).toLong else 0L) * 10L,
+       (if (f.length > 5) f(5).toLong else 0L) * 10L)
+    } catch { case _: Throwable => (0L, 0L) }
+
   /** Total over SUCCEEDED queries only — a query that dies (e.g. OOM at a
     * scaled tier) must not report its time-to-failure as a result. */
   private def okTotal(results: Seq[QRes]): Double =
@@ -319,6 +333,7 @@ object Bench {
       agg.foreach(spark.sparkContext.addSparkListener)
       val fn = SparkEntry.queries(name)
       val (jit0, gc0, cpu0) = (jitMs(), gcMs(), processCpuMs())
+      val (steal0, iow0) = hostStat()
       val t0 = System.nanoTime()
       val ok =
         try { drain(fn(spark, dir)); true }
@@ -336,7 +351,8 @@ object Bench {
         // reps = plan flip; same fp + swung sec = host/JVM, and the
         // jit/gc/cpu deltas say which
         planCap.maybeDump(name, sec)
-        val line = f"""{"q":"$name","dir":"$dir","sec":$sec%.2f,"ok":$ok,"fp":"${planCap.fingerprint()}","jit_ms":${jitMs() - jit0},"gc_ms":${gcMs() - gc0},"cpu_ms":${processCpuMs() - cpu0},"top_stages":${a.jsonTopStages(8)}}"""
+        val (steal1, iow1) = hostStat()
+        val line = f"""{"q":"$name","dir":"$dir","sec":$sec%.2f,"ok":$ok,"fp":"${planCap.fingerprint()}","jit_ms":${jitMs() - jit0},"gc_ms":${gcMs() - gc0},"cpu_ms":${processCpuMs() - cpu0},"steal_ms":${steal1 - steal0},"iowait_ms":${iow1 - iow0},"top_stages":${a.jsonTopStages(8)}}"""
         val w = new java.io.FileWriter(stageDumpFile, true)
         try w.write(line + "\n") finally w.close()
       }
@@ -482,8 +498,14 @@ object Bench {
     val contended = loadStart > math.max(2.0, cpus.toInt * 0.25) ||
       allRes.exists(_.unstable)
     val overJson = deepestOverBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // local_dir self-identification (r12): a session that silently fell
+    // back from the RAM-backed dirs to the shared virtual /tmp disk is a
+    // stable-slow session on every shuffle-heavy query — the artifact must
+    // say which medium it measured
+    val localDir = spark.conf.get("spark.local.dir", "?")
+    val shmFreeGb = new java.io.File("/dev/shm").getUsableSpace / 1e9
     println(
-      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"spread":${jsonSpread(results)},"unstable":${jsonUnstable(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"contended":$contended,"over_budget":$overJson$scaledPart}""")
+      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"spread":${jsonSpread(results)},"unstable":${jsonUnstable(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"contended":$contended,"local_dir":"$localDir","shm_free_gb":$shmFreeGb%.1f,"over_budget":$overJson$scaledPart}""")
     spark.stop()
   }
 }

@@ -154,7 +154,12 @@ object Dt {
     * — an instant input combined with an explicit `fromTz` is
     * re-interpreted in that zone, not preserved. */
   def convertTimeZone(c: Column, toTz: String, fromTz: Option[String] = None): Column =
-    convert_timezone(lit(fromTz.getOrElse("UTC")), lit(toTz),
+    // default fromTz = the SESSION zone (ADVICE r11): a TIMESTAMP input's
+    // cast-to-ntz wall-clock is rendered in the session zone, so
+    // re-interpreting it in that same zone preserves the instant under ANY
+    // session timezone — a hardcoded "UTC" was only correct because graft
+    // pins spark.sql.session.timeZone=UTC
+    convert_timezone(fromTz.map(lit).getOrElse(current_timezone()), lit(toTz),
       c.cast("timestamp_ntz"))
   /** Wall-clock-preserving zone relabel (ref datetime.py:1160): the result
     * is the instant whose wall-clock in `tz` equals the input's wall-clock.
@@ -214,10 +219,16 @@ object Lists {
 object Columnar {
   private def valid(cols: Seq[Column]): Column =
     filter(array(cols: _*), x => x.isNotNull)
+  /** Sum in the inputs' COMMON type (ADVICE r11: the reference's
+    * to_list().list_sum() keeps integer dtype for integer inputs): the
+    * fold zero is element_at(v,1)*0 — typed by the array's element type —
+    * so all-int columns sum as ints while any double input coerces the
+    * array (and the sum) to double. The when-guard keeps the zero
+    * expression unevaluated on empty arrays. */
   def columnsSum(cols: Column*): Column = {
     val v = valid(cols)
     when(size(v) > 0,
-      aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double")))
+      aggregate(v, element_at(v, lit(1)) * lit(0), (acc, x) => acc + x))
   }
   def columnsMean(cols: Column*): Column = {
     val v = valid(cols)

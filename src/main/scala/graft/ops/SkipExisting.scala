@@ -58,9 +58,15 @@ object SkipExisting {
       path.getFileSystem(hadoopConf).exists(path)
     }
     if (present.isEmpty) return df
-    if (present.size < existingPaths.size)
-      spark.sparkContext.setLocalProperty("graft.skipExisting.partialPaths",
-        s"${present.size}/${existingPaths.size}")
+    if (present.size < existingPaths.size) {
+      // a WARNING like the reference's (ADVICE r11: the previous
+      // SparkContext local property was never cleared and leaked to every
+      // later job on the thread)
+      System.err.println(
+        s"[graft] skip_existing: only ${present.size}/${existingPaths.size} " +
+          s"existing paths found; missing: " +
+          existingPaths.filterNot(present.toSet).mkString(", "))
+    }
 
     val existing = spark.read.format(fmt).options(readerOptions).load(present: _*)
     keyColumns.foreach { k =>

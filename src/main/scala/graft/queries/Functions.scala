@@ -329,7 +329,11 @@ object Functions {
         round(C.columnsSum(q, col("maybe_tax")), 4).as("h_sum_null"),
         round(C.columnsMean(q, col("maybe_tax")), 4).as("h_mean_null"),
         C.columnsSum(lit(null).cast("double"), lit(null).cast("double"))
-          .as("h_all_null"))
+          .as("h_all_null"),
+        // dtype-parity pin (ADVICE r11): all-int inputs sum as ints, like
+        // the reference's to_list().list_sum()
+        C.columnsSum(col("l_orderkey"), col("l_linenumber").cast("bigint"))
+          .as("h_sum_int"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -341,7 +345,8 @@ object Functions {
       |  greatest(l_quantity, l_extendedprice, l_discount) AS h_max,
       |  round(l_quantity + CASE WHEN l_linenumber % 2 = 0 THEN l_tax ELSE 0 END, 4) AS h_sum_null,
       |  round(CASE WHEN l_linenumber % 2 = 0 THEN (l_quantity + l_tax) / 2.0 ELSE l_quantity END, 4) AS h_mean_null,
-      |  CAST(NULL AS DOUBLE) AS h_all_null
+      |  CAST(NULL AS DOUBLE) AS h_all_null,
+      |  CAST(l_orderkey + l_linenumber AS BIGINT) AS h_sum_int
       |FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Magic-byte MIME sniffing (ref file_.py:134 / file.rs:441-495): each

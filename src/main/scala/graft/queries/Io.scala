@@ -1036,8 +1036,14 @@ object Io {
     * (not broadcast placement) is what's proven. */
   def sql_cbo_reorder(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    val tt = t(s, dir)
-    val sess = new graft.GraftSession(s)
+    // ISOLATED child session (ADVICE r11): the CBO/broadcast confs live in
+    // this session's own SessionState, so a concurrently-running query on
+    // the parent session can never be planned under them. SharedState
+    // (catalog, warehouse) is shared, which is exactly what the persistent
+    // ANALYZE'd tables need.
+    val iso = s.newSession()
+    val tt = t(iso, dir)
+    val sess = new graft.GraftSession(iso)
     val suffix = math.abs(dir.hashCode).toString
     val (nT, cT, oT) = (s"cbo_nation_$suffix", s"cbo_customer_$suffix", s"cbo_orders_$suffix")
     sess.createTable(nT, tt.nation)
@@ -1046,17 +1052,14 @@ object Io {
     sess.analyzeTable(nT, Seq("n_nationkey", "n_name"))
     sess.analyzeTable(cT, Seq("c_custkey", "c_nationkey"))
     sess.analyzeTable(oT, Seq("o_custkey"))
-    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val oldCbo = s.conf.get("spark.sql.cbo.enabled")
-    val oldReorder = s.conf.get("spark.sql.cbo.joinReorder.enabled")
     try {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // CBO is scoped to the analyzed tables (see Engine.session: the
       // global default stays off because the cbo stats visitor changes
       // estimates on stat-less path reads too)
-      s.conf.set("spark.sql.cbo.enabled", "true")
-      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-      val df = s.sql(
+      iso.conf.set("spark.sql.cbo.enabled", "true")
+      iso.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val df = iso.sql(
         s"""SELECT n_name, count(*) AS n_orders,
            |  round(sum(o_totalprice), 2) AS total
            |FROM $oT JOIN $cT ON o_custkey = c_custkey
@@ -1071,9 +1074,8 @@ object Io {
       import scala.jdk.CollectionConverters._
       s.createDataFrame(df.collect().toSeq.asJava, df.schema)
     } finally {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
-      s.conf.set("spark.sql.cbo.enabled", oldCbo)
-      s.conf.set("spark.sql.cbo.joinReorder.enabled", oldReorder)
+      // the child session's confs die with it; only the shared-catalog
+      // tables need cleanup
       Seq(nT, cT, oT).foreach(sess.dropTable)
     }
   }

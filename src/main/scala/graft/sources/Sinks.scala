@@ -32,6 +32,10 @@ trait DataSink extends Serializable {
   def finish(results: Seq[WriteResult]): Unit = ()
 }
 
+/** One partition's write outcome. `bytesWritten` is the SERIALIZED-TEXT
+  * size: exact UTF-8 bytes for strings, raw length for binary, and the
+  * rendered decimal text for numerics/timestamps (an estimate of the wire
+  * payload, not of the backend's storage encoding — ADVICE r11). */
 case class WriteResult(partitionId: Int, rowsWritten: Long, bytesWritten: Long, detail: String)
 
 object Sinks {

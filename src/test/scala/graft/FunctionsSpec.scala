@@ -138,6 +138,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq("01:59", "03:01"))
   }
 
+  test("convertTimeZone preserves the instant under a NON-UTC session zone") {
+    // ADVICE r11: the default fromTz was a hardcoded 'UTC', only correct
+    // because graft pins the session zone to UTC — it now derives from
+    // current_timezone(), so a Tokyo session still converts instants right
+    import graft.functions.{Dt => D}
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // Tokyo wall-clocks parsed in the Tokyo session = instants
+      // 06:59Z / 07:01Z — the same pair as the DST test above
+      val got = Seq("2024-03-10 15:59:00", "2024-03-10 16:01:00").toDF("s")
+        .select(D.convertTimeZone(to_timestamp($"s"), "America/New_York").as("ny"))
+        .select(date_format($"ny", "HH:mm"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq("01:59", "03:01"),
+        s"instant must survive a non-UTC session zone, got $got")
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+  }
+
   test("resilient udf: retries recover transients, error policies hold") {
     import graft.functions.ResilientUdf
     val attempts = scala.collection.concurrent.TrieMap.empty[Long, Int]
