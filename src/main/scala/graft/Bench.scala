@@ -168,6 +168,9 @@ object Bench {
       .replaceAll("\\(\\d+\\)", "(n)") // WholeStageCodegen (i) ids
       .replaceAll("dpp#\\d+", "dpp#")
       .replaceAll("cachedrdd-\\d+", "cachedrdd-")
+      // stage NUMBERS depend on runtime materialization order — two
+      // identical plans can number stages differently rep-to-rep
+      .replaceAll("QueryStage \\d+", "QueryStage")
       // DataFilters renders under truncatedString: the `...` cut point
       // shifts with expression-id digit WIDTH, flipping the hash with no
       // shape change. PushedFilters/ReadSchema carry the pushdown signal.

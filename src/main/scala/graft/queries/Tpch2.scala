@@ -232,10 +232,18 @@ object Tpch2 {
       // plans cannot collapse anything — it just builds a scan-task-sized
       // hash map (6M+ entries/task at the SF100-equivalent tier) that
       // spills 44 GB. Shuffling raw rows first moves BOTH dedup hash maps
-      // behind the exchange onto AQE-coalesced (advisory-sized) partitions:
-      // same exchange count, same bytes, zero-spill maps. 82.9 -> 51.3 s
-      // at k=1000.
-      .repartition(col("gk"))
+      // behind the exchange onto advisory-sized partitions: same exchange
+      // count, same bytes, zero-spill maps. 82.9 -> 51.3 s at k=1000.
+      //
+      // WIDE fan-out (r12): at cores-count partitions each dedup map held
+      // ~19M primitive-long entries (~300 MB — every probe an L3 miss; the
+      // r12 stage dump put 1.25M cpu-ms on this one stage). 32× the
+      // parallelism shrinks a task's map to ~600k entries (~10 MB,
+      // cache-resident): measured 64.5 -> 48.7 s at k=1000 (4096 was
+      // WORSE, 83 s — 32 mappers x 4096 sort buckets dominates). Explicit
+      // N (not AQE): an explicit repartition is never re-split, and the
+      // cluster posture wants dedup maps sized to cache, not to core count.
+      .repartition(32 * s.sparkContext.defaultParallelism, col("gk"))
       .distinct()
       .select(expr(s"gk div $packBase").cast("int").as("gid")) // integer div: exact unpack
       .groupBy("gid").agg(count(lit(1)).as("supplier_cnt"))
