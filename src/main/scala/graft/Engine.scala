@@ -24,9 +24,29 @@ object Engine {
     * override is present. */
   def preferShmLocalDir(minFreeBytes: Long = 64L << 30): Unit = {
     val shm = new java.io.File("/dev/shm")
-    if (!sys.env.contains("SPARK_GRAFT_LOCAL_DIR") &&
-        shm.isDirectory && shm.getUsableSpace >= minFreeBytes)
-      System.setProperty("graft.local.dir", "/dev/shm")
+    if (!sys.env.contains("SPARK_GRAFT_LOCAL_DIR") && shm.isDirectory) {
+      // a SIGKILL'd bench never runs Spark's shutdown cleanup, so its
+      // spark-*/blockmgr-* dirs stay in tmpfs and can silently push free
+      // space under the threshold — flipping every LATER session to the
+      // shared virtual /tmp disk (a stable-slow regime with no evidence).
+      // Reclaim dirs idle > 2h before the free-space check.
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      Option(shm.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.lastModified < cutoff &&
+          (f.getName.startsWith("spark-") || f.getName.startsWith("blockmgr-")))
+        .foreach { dir =>
+          try {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete(); ()
+            }
+            rm(dir)
+            System.err.println(s"[graft] reclaimed stale shm dir: $dir")
+          } catch { case _: Throwable => () }
+        }
+      if (shm.getUsableSpace >= minFreeBytes)
+        System.setProperty("graft.local.dir", "/dev/shm")
+    }
   }
 
   /** Build a tuned local session. On a cluster the same config block applies
