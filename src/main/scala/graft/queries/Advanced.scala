@@ -620,15 +620,24 @@ object Advanced {
       .orderBy("doc_id")
   }
 
+  // `cand` is an inverted-index candidate join (pairs sharing >=1 shingle):
+  // jaccard >= 0.5 implies a nonempty intersection, so the result set is
+  // IDENTICAL to the unconditioned pair join — but the old O(n^2)
+  // all-pairs × list_intersect shape needed hours of DuckDB time at sf0.1
+  // (18M pairs), while candidates stay ~linear.
   val streamingNeardupSql =
     """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t WHERE len(w) >= 3),
+      |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
       |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |  SELECT doc_a, doc_b
+      |  FROM cand JOIN s sa ON sa.doc_id = cand.doc_a
+      |            JOIN s sb ON sb.doc_id = cand.doc_b
+      |  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+      |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(a, b) AS (SELECT a, b FROM edges
