@@ -29,11 +29,20 @@ object Engine {
       // spark-*/blockmgr-* dirs stay in tmpfs and can silently push free
       // space under the threshold — flipping every LATER session to the
       // shared virtual /tmp disk (a stable-slow regime with no evidence).
-      // Reclaim dirs idle > 2h before the free-space check.
+      // Reclaim dirs idle > 2h before the free-space check. "Idle" is the
+      // NEWEST mtime anywhere in the tree, not the top-level dir's (ADVICE
+      // r12: a dir's mtime only moves when direct children change, so a
+      // >2h-old but STILL-RUNNING job writing inside nested blockmgr
+      // subdirs looked stale and could lose live shuffle data).
       val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      def newestMtime(f: java.io.File): Long = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.foldLeft(f.lastModified)((m, k) => math.max(m, newestMtime(k)))
+      }
       Option(shm.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.lastModified < cutoff &&
+        .filter(f => f.isDirectory &&
           (f.getName.startsWith("spark-") || f.getName.startsWith("blockmgr-")))
+        .filter(f => try newestMtime(f) < cutoff catch { case _: Throwable => false })
         .foreach { dir =>
           try {
             def rm(f: java.io.File): Unit = {

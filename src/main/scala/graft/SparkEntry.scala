@@ -16,6 +16,7 @@ object SparkEntry {
   def queries: Map[String, Q] =
     graft.queries.Tpch.queries ++
     graft.queries.Tpch2.queries ++
+    graft.queries.Tpcds.queries ++
     graft.queries.ClickBench.queries ++
     graft.queries.Relational.queries ++
     graft.queries.Aggregates.queries ++
@@ -24,6 +25,7 @@ object SparkEntry {
     graft.queries.AsofQueries.queries ++
     graft.queries.Pipeline.queries ++
     graft.queries.Io.queries ++
+    graft.queries.DatasetsQ.queries ++
     graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Tpch.oracle ++
     graft.queries.Tpch2.oracle ++
+    graft.queries.Tpcds.oracle ++
     graft.queries.ClickBench.oracle ++
     graft.queries.Relational.oracle ++
     graft.queries.Aggregates.oracle ++
@@ -39,5 +42,6 @@ object SparkEntry {
     graft.queries.AsofQueries.oracle ++
     graft.queries.Pipeline.oracle ++
     graft.queries.Io.oracle ++
+    graft.queries.DatasetsQ.oracle ++
     graft.queries.Advanced.oracle
 }

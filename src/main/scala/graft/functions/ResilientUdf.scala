@@ -24,18 +24,32 @@ object ResilientUdf {
     * when it next crosses a power-of-two (cheap, unsynchronized-per-row,
     * and the final magnitude is always visible in the log). */
   private[graft] val MaxLoggedPerTask = 10
+  // (logged, suppressed, owningTaskAttemptId) — executor threads are POOLED
+  // across tasks, so a bare ThreadLocal would bound per-thread-LIFETIME,
+  // not per-task (ADVICE r12: after 10 lifetime failures every later task
+  // on the thread logged only suppression summaries). The counters reset
+  // whenever the thread's current task attempt differs from the owner.
   private val loggedThisTask = new ThreadLocal[Array[Long]] {
-    override def initialValue(): Array[Long] = Array(0L, 0L) // (logged, suppressed)
+    override def initialValue(): Array[Long] = Array(0L, 0L, Long.MinValue)
+  }
+  private def currentTaskId(): Long =
+    Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId()).getOrElse(-1L)
+  /** Counters for the CURRENT task attempt (resetting stale ones). */
+  private def counters(): Array[Long] = {
+    val c = loggedThisTask.get()
+    val tid = currentTaskId()
+    if (c(2) != tid) { c(0) = 0L; c(1) = 0L; c(2) = tid }
+    c
   }
   /** Test hook: reset the current thread's counters. */
   private[graft] def resetLogCounters(): Unit = { loggedThisTask.remove() }
   /** Test hook: (logged, suppressed) for the current thread. */
   private[graft] def logCounters(): (Long, Long) = {
-    val c = loggedThisTask.get(); (c(0), c(1))
+    val c = counters(); (c(0), c(1))
   }
 
   private def logBounded(msg: => String): Unit = {
-    val c = loggedThisTask.get()
+    val c = counters()
     if (c(0) < MaxLoggedPerTask) {
       c(0) += 1
       System.err.println(msg)

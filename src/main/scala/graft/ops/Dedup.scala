@@ -1,6 +1,7 @@
 package graft.ops
 
-import graft.functions.{Distance => GDist, Misc => GMisc}
+import graft.expressions.{DedupKernelExprs => GKern}
+import graft.functions.{Distance => GDist}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -238,7 +239,7 @@ object Dedup {
     // unchanged; 64-bit in-doc collisions are ~n²/2⁶⁵). Persisted: both
     // self-join branches and the df-cap aggregation reuse it.
     val withSh = lease(docs.select(col(idCol).as("id"),
-        GMisc.hashedShinglesUdf(n)(col(textCol)).as("sh"))
+        GKern.hashedShingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0))
     val inv = withSh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
@@ -280,9 +281,16 @@ object Dedup {
   /** 128-bit content key (two independently-seeded 64-bit hashes): false
     * merge needs a simultaneous collision in both — ~n²/2¹²⁸, negligible
     * at any corpus size, where a single 64-bit key would reach ~5% odds of
-    * ONE false exact-dup group at n=10⁹ docs. */
-  private def contentKey(c: org.apache.spark.sql.Column) =
-    struct(xxhash64(c), xxhash64(c, lit(1)))
+    * ONE false exact-dup group at n=10⁹ docs.
+    *
+    * Seed independence (ADVICE r12): Spark's multi-arg xxhash64 CHAINS —
+    * `xxhash64(c, lit(1))` hashes lit(1) with the previous result as seed,
+    * so a collision on component 1 propagated to component 2 and the real
+    * bound was ~n²/2⁶⁵. Putting the constant FIRST (`xxhash64(lit(1), c)`)
+    * hashes c under seed XXH64(1, 42) ≠ 42, making the components
+    * independent (LshHotBucketSpec pins the expression shape). */
+  private[graft] def contentKey(c: org.apache.spark.sql.Column) =
+    struct(xxhash64(c), xxhash64(lit(1), c))
 
   /** Hot-bucket guard for the LSH family (r12, VERDICT r11 #4): exact
     * duplicates all share one signature, so d copies of one document put d
@@ -370,7 +378,7 @@ object Dedup {
     // collision inside one doc's set is ~n²/2⁶⁵ — negligible.
     val withSh = lease(reps
       .select(col("id"),
-        GMisc.hashedShinglesUdf(shingleN)(col("__val")).as("shh"))
+        GKern.hashedShingles(col("__val"), shingleN).as("shh"))
       .filter(size(col("shh")) > 0))
     // ids only through the nBands-way explode: shingle arrays would be
     // replicated nBands× through the bucket shuffle otherwise. They are
@@ -380,7 +388,7 @@ object Dedup {
     // re-evaluates the kernel per band after CollapseProject inlining.
     val banded = withSh.select(
         col("id"),
-        posexplode(GMisc.minhashBandsFromHashesUdf(k, bandRows, 1L)(col("shh"))))
+        posexplode(GKern.minhashBands(col("shh"), k, bandRows, 1L)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val l = banded.select(col("id").as("doc_a"), col("band"), col("bucket"))
     val r = banded.select(col("id").as("doc_b"), col("band"), col("bucket"))
@@ -421,9 +429,9 @@ object Dedup {
       // branches don't re-shingle the corpus
       val withSig = lease(reps
         .select(col("id"),
-          GMisc.hashedShinglesUdf(shingleN)(col("__val")).as("shh"))
+          GKern.hashedShingles(col("__val"), shingleN).as("shh"))
         .filter(size(col("shh")) > 0)
-        .withColumn("sig", GMisc.simhash64FromHashesUdf(col("shh"))))
+        .withColumn("sig", GKern.simhash64(col("shh"))))
       val banded = withSig.select(
         col("id"), col("sig"),
         explode(array((0 until 4).map(i =>
@@ -567,7 +575,11 @@ object Dedup {
     // hot embedding (cluster of byte-identical vectors) floods its buckets
     collapseExactDups(vecs, idCol, col(vecCol), "id_a", "id_b",
         "cos_sim", keepIntra = threshold <= 1.0) { reps =>
-      val sigs = reps.select(col("id"), col("__val").as("v"))
+      // null vectors are ineligible (mirrors the eligibility frame below):
+      // they never banded pre-collapse, and the sign-bit kernel can't
+      // evaluate them anyway
+      val sigs = reps.filter(col("__val").isNotNull)
+        .select(col("id"), col("__val").as("v"))
         .withColumn("sig", signBits(col("v")))
       // ids-only through the band explode; vectors re-attached post-candidate
       val banded = sigs.select(
@@ -587,12 +599,16 @@ object Dedup {
         .withColumn("cos_sim", GDist.cosineSimilarityNative(col("va"), col("vb")))
         .filter(col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
-      // every rep is eligible (the un-collapsed pipeline banded every
-      // vector); __self = exact self-cosine, which is NaN for a zero
-      // vector — and Spark's NaN-is-greatest comparison lets NaN pass
-      // `>= threshold`, matching the pre-collapse pipeline's emission of
-      // NaN-scored pairs for degenerate vectors
-      (reps.select(col("id"),
+      // eligibility mirrors the banding input: NULL vectors never banded
+      // in the pre-collapse pipeline (null band bits fail the equi-join),
+      // so null-embedding groups must expand to nothing here too (ADVICE
+      // r12 — declaring every rep eligible fabricated NULL-scored intra
+      // pairs for identical-null groups). __self = exact self-cosine,
+      // which is NaN for a zero vector — and Spark's NaN-is-greatest
+      // comparison lets NaN pass `>= threshold`, matching the
+      // pre-collapse pipeline's emission of NaN-scored pairs for
+      // degenerate (but non-null) vectors.
+      (reps.filter(col("__val").isNotNull).select(col("id"),
         GDist.cosineSimilarityNative(col("__val"), col("__val")).as("__self")),
         pairs)
     }

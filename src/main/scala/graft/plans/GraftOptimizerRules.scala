@@ -47,6 +47,29 @@ object FactBroadcastGuard extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Fact provenance THROUGH a cache lease (VERDICT r12 #4): a persisted
+    * subtree reaches the optimizer as an `InMemoryRelation` LEAF, hiding
+    * the fact scan underneath — the r10 q18 incident where AQE broadcast
+    * a leased fact sliver. The cached PHYSICAL plan is available on the
+    * relation, so walk it with the same bounded-by-construction rules
+    * (limits / group-less aggregates stop the scan from scaling). */
+  private def cachedPlanScales(p: org.apache.spark.sql.execution.SparkPlan,
+      facts: Set[String]): Boolean = {
+    import org.apache.spark.sql.execution._
+    p match {
+      case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
+          _: TakeOrderedAndProjectExec => false
+      case a: aggregate.BaseAggregateExec if a.groupingExpressions.isEmpty => false
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.headOption
+          .exists(rp => facts.contains(rp.getName.takeWhile(_ != '.').toLowerCase))
+      case i: columnar.InMemoryTableScanExec =>
+        cachedPlanScales(i.relation.cacheBuilder.cachedPlan, facts)
+      case a: adaptive.AdaptiveSparkPlanExec => cachedPlanScales(a.inputPlan, facts)
+      case other => other.children.exists(cachedPlanScales(_, facts))
+    }
+  }
+
   /** Whether `plan`'s OUTPUT cardinality scales with a fact table. Bounded
     * by construction: Limit, and global (group-less) aggregates — exactly
     * one row. A GROUPED aggregate over a fact is treated as scaling (its
@@ -59,6 +82,8 @@ object FactBroadcastGuard extends Rule[LogicalPlan] {
     def walk(p: LogicalPlan): Boolean = p match {
       case _: GlobalLimit | _: LocalLimit => false
       case a: Aggregate if a.groupingExpressions.isEmpty => false
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        cachedPlanScales(imr.cacheBuilder.cachedPlan, facts)
       case l: LeafNode => leafTableName(l).exists(facts.contains)
       case other => other.children.exists(walk)
     }

@@ -13,6 +13,25 @@ object Tpch2 {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** On-disk parquet bytes of one table under `dir` (file or directory). */
+  private def tableBytes(dir: String, table: String): Long = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    if (f.isFile) f.length
+    else if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty).filter(_.isFile).map(_.length).sum
+    else 0L
+  }
+
+  /** q16's dedup-map fan-out: ~10 MB of lineitem parquet per task keeps
+    * each task's primitive-long distinct map cache-resident (~600k
+    * entries), clamped to [parallelism, 32×parallelism]. See the q16
+    * repartition comment for the tier-by-tier A/B record. */
+  private[queries] def dedupWidth(s: SparkSession, dir: String): Int = {
+    val p = s.sparkContext.defaultParallelism
+    val byWork = (tableBytes(dir, "lineitem") / (10L << 20)).toInt + 1
+    math.max(p, math.min(32 * p, byWork))
+  }
+
   /** Q11 (adapted): high-value parts supplied by NATION_5 suppliers —
     * value > 0.1% of that nation's total (scalar subquery over the same
     * aggregate). */
@@ -198,10 +217,17 @@ object Tpch2 {
     val part = tt.part.filter(col("p_brand") =!= "Brand#3")
       .select(col("p_partkey"), col("p_brand"), col("p_type"),
         floor(col("p_size") / 10).cast("int").as("size_band"))
+    // dense gid WITHOUT an unpartitioned window (VERDICT r12 #7: the
+    // Window.orderBy here is bounded-domain — ~900 rows however large part
+    // grows — but it spammed WindowExec single-partition warnings into
+    // every bench log). A 1-partition sort + monotonic id is the same
+    // 900-row shuffle with no warning; gid only needs to be unique and
+    // small enough for the pack invariant below, which 0..n-1 is.
     val dim = graft.ops.Caches.lease(
       part.select("p_brand", "p_type", "size_band").distinct()
-        .withColumn("gid", row_number().over(
-          Window.orderBy("p_brand", "p_type", "size_band"))))
+        .repartition(1)
+        .sortWithinPartitions("p_brand", "p_type", "size_band")
+        .withColumn("gid", (monotonically_increasing_id() + 1).cast("int")))
     val partG = part.join(broadcast(dim), Seq("p_brand", "p_type", "size_band"))
       .select("p_partkey", "gid")
     // single-long dedup key: gid (≤ ~2k dense) and suppkey (≤ ~1.1e11
@@ -235,15 +261,24 @@ object Tpch2 {
       // behind the exchange onto advisory-sized partitions: same exchange
       // count, same bytes, zero-spill maps. 82.9 -> 51.3 s at k=1000.
       //
-      // WIDE fan-out (r12): at cores-count partitions each dedup map held
-      // ~19M primitive-long entries (~300 MB — every probe an L3 miss; the
-      // r12 stage dump put 1.25M cpu-ms on this one stage). 32× the
-      // parallelism shrinks a task's map to ~600k entries (~10 MB,
-      // cache-resident): measured 64.5 -> 48.7 s at k=1000 (4096 was
-      // WORSE, 83 s — 32 mappers x 4096 sort buckets dominates). Explicit
-      // N (not AQE): an explicit repartition is never re-split, and the
-      // cluster posture wants dedup maps sized to cache, not to core count.
-      .repartition(32 * s.sparkContext.defaultParallelism, col("gk"))
+      // WIDE fan-out, input-proportional (r12→r13): at cores-count
+      // partitions each dedup map held ~19M primitive-long entries
+      // (~300 MB — every probe an L3 miss; the r12 stage dump put 1.25M
+      // cpu-ms on this one stage). Shrinking a task's map to ~600k
+      // entries (~10 MB, cache-resident) measured 64.5 -> 48.7 s at
+      // k=1000 (4096 partitions was WORSE, 83 s — 32 mappers x 4096 sort
+      // buckets dominates). But a FIXED 32× multiplier is the wrong
+      // shape: it regressed k=100 3× (7.7 -> 24.6 s official — 1024
+      // near-empty sort buckets over 1 GB; VERDICT r12 #1). The width
+      // that sizes maps to cache is proportional to the post-join row
+      // count ≈ lineitem rows ≈ lineitem file bytes: ~10 MB of parquet
+      // per task reproduces the measured optimum at both tiers (k=1000
+      // ~11 GB -> 1024 after the clamp; k=100 ~1.1 GB -> ~110), clamped
+      // to [parallelism, 32×parallelism] so both ends scale with cluster
+      // cores at 100 TB. Explicit N (not AQE): an explicit repartition
+      // is never re-split, and the posture wants dedup maps sized to
+      // cache, not to core count.
+      .repartition(dedupWidth(s, dir), col("gk"))
       .distinct()
       .select(expr(s"gk div $packBase").cast("int").as("gid")) // integer div: exact unpack
       .groupBy("gid").agg(count(lit(1)).as("supplier_cnt"))

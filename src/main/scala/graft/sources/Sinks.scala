@@ -93,18 +93,28 @@ object Sinks {
     * only if absent, "fail" errors when the table already exists.
     *
     * EXACTLY-ONCE under task retry (the cluster posture — a task attempt
-    * can die after some batches committed and be re-run): each partition
-    * writes to its own staging table via `CREATE OR REPLACE`, so a retried
-    * attempt wipes its predecessor's partial rows, and `finish` promotes
-    * every staging table into the target in ONE driver-side transaction
-    * after all partitions succeeded. No partial or duplicated rows are
-    * ever visible in the target table. */
+    * can die after some batches committed and be re-run): each ATTEMPT
+    * writes to its own staging table keyed by (partition, taskAttemptId) —
+    * not partition alone, because a zombie or speculative attempt can still
+    * be RUNNING concurrently with the winning attempt, and a shared
+    * per-partition table would interleave two attempts' inserts (ADVICE
+    * r12). `finish` promotes exactly the winning attempts' tables (their
+    * names ride back in WriteResult.detail) in ONE driver-side transaction
+    * after all partitions succeeded, then drops any loser-attempt leftovers.
+    * No partial or duplicated rows are ever visible in the target table. */
   class JdbcSink(url: String, table: String, batchSize: Int = 500,
       writeMode: String = "overwrite") extends DataSink {
     def name = s"jdbc:$table"
     // driver-only (start/finish both run on the driver; not serialized out)
     @transient private var driverSchema: StructType = _
-    private def stage(pid: Int) = s"${table}__graft_stage_$pid"
+    private def stagePrefix = s"${table}__graft_stage_"
+    private def stage(pid: Int, attempt: Long) = s"$stagePrefix${pid}_a$attempt"
+    /** Attempt-unique staging key: Spark task attempt ids are unique per
+      * application, so two LIVE attempts of one partition (zombie or
+      * speculative vs winner) can never share a staging table. -1 =
+      * driver-side invocation (unit tests); overridable for fence tests. */
+    protected def currentAttemptId(): Long =
+      Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId()).getOrElse(-1L)
     private def colsDdl(schema: StructType): String =
       schema.fields.map { f =>
         val t = f.dataType.typeName match {
@@ -141,12 +151,12 @@ object Sinks {
       val conn = DriverManager.getConnection(url)
       var n = 0L
       var bytes = 0L
+      val stg = stage(pid, currentAttemptId())
       try {
         val st0 = conn.createStatement()
-        // CREATE OR REPLACE is the idempotence point: a second attempt of
-        // this partition starts from an empty staging table no matter how
-        // far the first attempt got.
-        st0.execute(s"""CREATE OR REPLACE TABLE "${stage(pid)}" (${colsDdl(schema)})""")
+        // CREATE OR REPLACE still guards a same-attempt restart (it cannot
+        // happen on a cluster, but keeps driver-side re-invocation clean)
+        st0.execute(s"""CREATE OR REPLACE TABLE "$stg" (${colsDdl(schema)})""")
         st0.close()
         val ph = schema.fields.map(_ => "?").mkString(", ")
         // name the columns: appending to a pre-existing table with a
@@ -154,7 +164,7 @@ object Sinks {
         // insert would silently swap coercible columns)
         val colList = schema.fields.map(f => s""""${f.name}"""").mkString(", ")
         val st = conn.prepareStatement(
-          s"""INSERT INTO "${stage(pid)}" ($colList) VALUES ($ph)""")
+          s"""INSERT INTO "$stg" ($colList) VALUES ($ph)""")
         var inBatch = 0
         rows.foreach { r =>
           var i = 0
@@ -178,7 +188,7 @@ object Sinks {
         if (inBatch > 0) st.executeBatch()
         st.close()
       } finally conn.close()
-      WriteResult(pid, n, bytes, stage(pid))
+      WriteResult(pid, n, bytes, stg)
     }
     override def finish(results: Seq[WriteResult]): Unit = {
       Class.forName(Sql.DuckDbDriver)
@@ -197,6 +207,18 @@ object Sinks {
                |SELECT $colList FROM "${r.detail}"""".stripMargin)
           st.execute(s"""DROP TABLE "${r.detail}"""")
         }
+        // fence cleanup: loser/zombie attempts left their own staging
+        // tables behind — enumerate and drop them (never promoted)
+        val winners = results.map(_.detail).toSet
+        val rs = st.executeQuery(
+          s"""SELECT table_name FROM information_schema.tables
+             |WHERE table_name LIKE '$stagePrefix%'""".stripMargin)
+        val leftovers = scala.collection.mutable.Buffer[String]()
+        while (rs.next()) {
+          val t = rs.getString(1)
+          if (!winners.contains(t)) leftovers += t
+        }
+        leftovers.foreach(t => st.execute(s"""DROP TABLE "$t""""))
         st.close()
         conn.commit()
       } finally conn.close()

@@ -39,10 +39,16 @@ object Warc {
     StructField("warc_headers", StringType)))
 
   /** Read WARC file(s) (glob supported) into the reference-shaped frame. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame = read(spark, Seq(path))
+
+  /** Multi-path variant (the `daft.datasets.common_crawl` loader resolves
+    * a crawl manifest into an explicit file list — ref
+    * `common_crawl.py:36-75`). */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "read_warc: empty path list")
     // listing via the binaryFile source (glob/dir semantics for free);
     // column pruning keeps the file CONTENT out of the listing pass
-    val files = spark.read.format("binaryFile").load(path)
+    val files = spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"))
     val enc = Encoders.row(schema)
     files.flatMap { fileRow =>

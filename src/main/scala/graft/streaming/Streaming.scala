@@ -397,14 +397,15 @@ object Streaming {
     // to a neighbor) while shingle sets are near-disjoint. Fused
     // kernels: shingle-hash once per doc, then signature + band buckets
     // in one call (see Misc.minhashBands on lambda re-evaluation).
-    val shinglesUdf = graft.functions.Misc.hashedShinglesUdf(3)
-    val bandsUdf = graft.functions.Misc.minhashBandsFromHashesUdf(128, 16, 7L)
+    import graft.expressions.{DedupKernelExprs => GKern}
+    def shingles(c: org.apache.spark.sql.Column) = GKern.hashedShingles(c, 3)
+    def bands(c: org.apache.spark.sql.Column) = GKern.minhashBands(c, 128, 16, 7L)
     val claims = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1") // oldest file first → batch order
       .parquet(stagedDir)
       .select(col("doc_id"), col("ts"),
-        posexplode(bandsUdf(shinglesUdf(col("text")))).as(Seq("band", "bucket")))
+        posexplode(bands(shingles(col("text")))).as(Seq("band", "bucket")))
       .select(col("doc_id"),
         concat_ws(":", col("band"), col("bucket")).as("band_key"),
         col("ts"))

@@ -91,6 +91,32 @@ class GraftOptimizerRulesSpec extends AnyFunSuite {
       s"nation (a true dim) should still broadcast:\n$plan")
   }
 
+  test("guard sees fact provenance through a cache lease (r10 q18 hole)") {
+    // VERDICT r12 #4: a leased (persisted) fact sliver reaches the
+    // optimizer as an InMemoryRelation LEAF — without the cached-plan walk
+    // the guard was blind and AQE would broadcast the fact-scaled sliver
+    // (the sliver is small HERE, but at 100 TB the same un-hinted shape
+    // broadcasts a corpus-scaled side into executor OOM).
+    val t = Tables(spark, dir)
+    val sliver = graft.ops.Caches.lease(
+      t.lineitem.filter(col("l_quantity") > 45).select("l_orderkey", "l_quantity"))
+    try {
+      sliver.count() // materialize so the substituted plan is a live cache
+      val joined = t.orders.join(sliver, col("o_orderkey") === col("l_orderkey"))
+      val plan = executed(joined)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"a LEASED fact sliver must not broadcast without a hint:\n$plan")
+      // a leased DIM sliver stays broadcast-able (provenance, not cache
+      // state, is what the guard keys on)
+      val dimSliver = graft.ops.Caches.lease(
+        t.supplier.filter(col("s_nationkey") =!= 99).select("s_suppkey", "s_name"))
+      dimSliver.count()
+      val dimJoin = t.orders.join(dimSliver, col("o_custkey") === col("s_suppkey"))
+      assert(executed(dimJoin).contains("BroadcastHashJoin"),
+        "a leased non-fact sliver should still broadcast")
+    } finally graft.ops.Caches.releaseAll(blocking = true)
+  }
+
   test("explicit user broadcast hint overrides the fact guard") {
     val t = Tables(spark, dir)
     val df = t.lineitem.join(broadcast(t.orders.limit(50).filter(col("o_orderkey") > 0)),

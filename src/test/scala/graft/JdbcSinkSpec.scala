@@ -72,8 +72,9 @@ class JdbcSinkSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       sink.writePartition(0, parts(0).iterator, schema)
     }
-    // staging table holds attempt-0's partial prefix right now
-    val stagedPartial = tableRows(url, "t__graft_stage_0")
+    // staging table (driver-side attempt id -1) holds attempt-0's partial
+    // prefix right now
+    val stagedPartial = tableRows(url, "t__graft_stage_0_a-1")
     assert(stagedPartial.nonEmpty && stagedPartial.size < parts(0).size,
       s"fault must land a PARTIAL prefix, got ${stagedPartial.size}/${parts(0).size}")
     val results = parts.zipWithIndex.map { case (rows, pid) =>
@@ -100,6 +101,44 @@ class JdbcSinkSpec extends AnyFunSuite {
       "writes are staged: nothing lands in the target until the driver commit")
     sink.finish(results)
     assert(tableRows(url, "t2").map(_._1).sorted == (0L until 8L))
+  }
+
+  test("a zombie attempt running concurrently with the winner cannot corrupt the commit") {
+    // ADVICE r12: staging keyed by partition id alone let a still-running
+    // zombie/speculative attempt CREATE OR REPLACE the winner's staging
+    // table and interleave inserts. Attempt-keyed staging isolates them;
+    // finish promotes only the winner's table and drops the zombie's.
+    val url = freshDb("zombie")
+    val schema = Seq((1L, "x")).toDF("id", "s").schema
+    class AttemptSink(attempt: Long) extends Sinks.JdbcSink(url, "tz",
+        batchSize = 2, writeMode = "overwrite") {
+      override protected def currentAttemptId(): Long = attempt
+    }
+    val rows = (0L until 6L).map(i => Row(i, s"r$i"))
+    // start/finish run on ONE driver-side instance (the real lifecycle);
+    // executor-side writePartition runs on per-attempt deserialized copies
+    val driver = new AttemptSink(0)
+    driver.start(schema)
+    // interleaved execution: the zombie (attempt 7) finishes writing the
+    // SAME partition after the winner (attempt 8) already wrote it — the
+    // exact ordering that corrupted a partition-keyed staging table
+    val winner = new AttemptSink(8).writePartition(0, rows.iterator, schema)
+    val zombieRes = new AttemptSink(7).writePartition(0, rows.iterator, schema)
+    assert(winner.detail != zombieRes.detail,
+      "attempts must stage to distinct tables")
+    driver.finish(Seq(winner))
+    val got = tableRows(url, "tz")
+    assert(got == (0L until 6L).map(i => (i, s"r$i")),
+      s"target must hold the winner's rows exactly once, got $got")
+    // the zombie's staging table is dropped by the finish-side fence sweep
+    Class.forName(Sql.DuckDbDriver)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT count(*) FROM information_schema.tables WHERE table_name LIKE 'tz__graft_stage_%'")
+      rs.next()
+      assert(rs.getLong(1) == 0, "zombie staging tables must be swept at finish")
+    } finally conn.close()
   }
 
   test("append into a pre-existing table with reversed column order routes by name") {

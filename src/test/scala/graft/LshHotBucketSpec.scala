@@ -143,4 +143,45 @@ class LshHotBucketSpec extends AnyFunSuite {
     assert(got.filterKeys { case (a, b) => a == 50L || b == 50L || a == 51L || b == 51L }
       .values.forall(_.isNaN), s"every zero-vector pair is NaN-scored: $got")
   }
+
+  test("embedding LSH: null embeddings expand to nothing") {
+    // ADVICE r12: the pre-collapse pipeline never banded null vectors (null
+    // band bits fail the equi-join), so identical-null groups must not emit
+    // NULL-scored intra pairs from the collapse path either
+    val v = Array(0.6f, 0.8f, 0.0f)
+    val docs = Seq(
+      (1L, v), (2L, v),
+      (70L, null.asInstanceOf[Array[Float]]),
+      (71L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCosineLshPairs(docs, "vec_id", "embedding",
+        threshold = 0.9, k = 16, bandRows = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"null-embedding rows must never pair, got ${got.toSeq}")
+  }
+
+  test("contentKey components are independently seeded (ADVICE r12)") {
+    // Spark's multi-arg xxhash64 CHAINS: xxhash64(c, lit(1)) re-hashes
+    // lit(1) seeded by xxhash64(c), so a 64-bit collision on component 1
+    // propagated to component 2 and the 2^-128 false-merge bound was
+    // really 2^-65. The fixed key hashes c under a DIFFERENT effective
+    // seed (constant first). Crafting a real xxhash64 collision is
+    // infeasible, so pin the expression shape: component 2 must equal
+    // xxhash64(lit(1), c) — i.e. NOT be derivable from component 1 by
+    // hashing a constant under it.
+    val df = Seq("a", "b", "xyz", "").toDF("c").select(
+      Dedup.contentKey(col("c")).as("k"),
+      xxhash64(col("c")).as("h1"),
+      xxhash64(lit(1), col("c")).as("independent"),
+      xxhash64(col("c"), lit(1)).as("chained"))
+    df.collect().foreach { r =>
+      val k = r.getStruct(0)
+      assert(k.getLong(0) == r.getLong(1), "component 1 = xxhash64(c)")
+      assert(k.getLong(1) == r.getLong(2),
+        "component 2 must hash c under an independent seed (constant FIRST)")
+      assert(k.getLong(1) != r.getLong(3),
+        "component 2 must not be the chained xxhash64(c, lit(1)) form")
+    }
+  }
 }
