@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins for the TPC-DS-shaped slice (VERDICT r12 #3: "plan-pinned,
+  * no fact broadcast") at the BENCH k=100 scaled tier — the size where AQE
+  * and file statistics actually influence planning. Every tpcds_* query may
+  * broadcast only bounded-domain frames (nation/region, per-type averages,
+  * per-year totals); anything keyed by a fact join key must shuffle, because
+  * a fact broadcast is the plan that dies at 100 TB.  Reuses Bench's
+  * idempotent fixture, so after first generation this suite costs plan time
+  * only. */
+class TpcdsPlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private lazy val dir = Bench.ensureScaled(spark, "/root/testdata/sf0.1", 100)
+
+  private def plan(name: String): String =
+    try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    finally graft.ops.Caches.releaseAll()
+
+  // part/orders/customer/lineitem all scale with the data; the compressed
+  // fixture slips slim projections of each under the broadcast threshold,
+  // so the guard/hints must hold the line. Precise check (same as
+  // ScaledPlanSpec): no BroadcastHashJoin may involve a FACT join key —
+  // raw BroadcastExchange counts would also see the true-dim joins
+  // (nation/region, bounded aggregate frames), which are fine.
+  private val factKeys = Seq(
+    "o_custkey", "c_custkey", "l_orderkey", "o_orderkey", "l_partkey", "p_partkey")
+
+  for (q <- graft.queries.Tpcds.queries.keys.toSeq.sorted)
+    test(s"$q never broadcasts on a fact join key at bench scale") {
+      val p = plan(q)
+      val offending = p.linesIterator
+        .filter(_.contains("BroadcastHashJoin"))
+        .filter(l => factKeys.exists(k => l.contains(s"[$k#")))
+        .toSeq
+      assert(offending.isEmpty,
+        s"$q: fact-key broadcast join(s):\n${offending.mkString("\n")}\nfull plan:\n$p")
+    }
+
+  test("tpcds_rollup_qoh pre-aggregates below the part join (partials, not rows)") {
+    // the rollup must consume partkey-sized partials — the eager aggregate
+    // below the join is the property that keeps the grouping passes off
+    // corpus-sized input
+    val p = plan("tpcds_rollup_qoh")
+    assert(p.contains("Expand"), s"rollup should plan an Expand:\n$p")
+    val expandIdx = p.indexOf("Expand")
+    val aggBelow = p.indexOf("HashAggregate", expandIdx)
+    assert(aggBelow > 0, s"expected partial aggregate below the Expand:\n$p")
+  }
+
+  test("tpcds_grouping_sets plans ONE Expand pass, not a self-union") {
+    val p = plan("tpcds_grouping_sets")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Expand")) +
+      p.linesIterator.count(_.trim.startsWith("Expand")) <= 2,
+      s"grouping sets should be one Expand, not a union of re-scans:\n$p")
+    assert(!p.contains("Union"), s"no self-union for grouping sets:\n$p")
+  }
+
+  test("tpcds_selective_star pushes the brand filter to the part scan") {
+    val p = plan("tpcds_selective_star")
+    assert(p.contains("PushedFilters"), s"no pushdown at all:\n$p")
+    assert(p.contains("In(p_brand") || p.contains("p_brand#"),
+      s"brand filter should reach the part side:\n$p")
+  }
+}
