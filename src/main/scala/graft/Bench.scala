@@ -76,9 +76,33 @@ object Bench {
     * to a contended machine — single runs misled tuning in r5: quiet-machine
     * 162 s vs driver-run 247 s on the same tier), `spread` is max−min over
     * the reps the stability gate selected. `unstable` = the spread still
-    * exceeds the gate after bounded retries, so the median is suspect. */
+    * exceeds the gate after bounded retries, so the median is suspect.
+    * `calib` = best (lowest) host-calibration reading taken next to this
+    * query's reps — see [[calibSec]]. */
   private case class QRes(name: String, sec: Double, spread: Double, ok: Boolean,
-      unstable: Boolean = false)
+      unstable: Boolean = false, calib: Double = 0.0)
+
+  @volatile private var calibSink = 0L
+  /** Host-speed calibration (r13): a fixed single-threaded integer kernel
+    * timed around each measured rep. The r13 quiet run caught the host in a
+    * stable-slow regime where EVERY k=1000 extended query ran 3-5× its
+    * steady-state CPU on identical plan fingerprints, identical bytes and
+    * zero spill — per-query budgets can't rescue the extended set (only
+    * q1-q10 have published baselines), but an independent instrument can:
+    * if the kernel that always costs X s took 1.4X next to a query's reps,
+    * the host was provably slow REGARDLESS of what the query did. Min of
+    * two runs so a single preemption can't inflate the reading itself. */
+  private def calibSec(): Double = {
+    def once(): Double = {
+      var h = 0x9e3779b97f4a7c15L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < (1 << 26)) { h = h * 0x9e3779b97f4a7c15L + (h >>> 29); i += 1 }
+      calibSink = h // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
 
   /** Stability gate (r5/r6/r7 all shipped contention-garbage medians with
     * `contended:false` — the load-average heuristic alone misses a load
@@ -330,7 +354,11 @@ object Bench {
     val stageDumpFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGE_FILE",
       "bench_stages.jsonl")
 
-    def runOnce(dir: String, name: String): (Double, Boolean) = {
+    // best (lowest) calibration reading seen anywhere in this bench run —
+    // the host's demonstrated clean speed, the denominator of calibRatio
+    var bestCalib = Double.MaxValue
+
+    def runOnce(dir: String, name: String): (Double, Boolean, Double) = {
       ensureAlive()
       val agg = if (stageDumpSet(name)) Some(new StageAgg) else None
       agg.foreach(spark.sparkContext.addSparkListener)
@@ -347,6 +375,10 @@ object Bench {
         }
         finally graft.ops.Caches.releaseAll(blocking = true)
       val sec = (System.nanoTime() - t0) / 1e9
+      // off the timer: host-speed reading taken right next to this rep —
+      // the evidence that says "the HOST was slow here", query-independent
+      val calib = calibSec()
+      bestCalib = math.min(bestCalib, calib)
       agg.foreach { a =>
         Thread.sleep(500) // let the listener bus drain task-end events
         if (!spark.sparkContext.isStopped) spark.sparkContext.removeSparkListener(a)
@@ -355,7 +387,7 @@ object Bench {
         // jit/gc/cpu deltas say which
         planCap.maybeDump(name, sec)
         val (steal1, iow1) = hostStat()
-        val line = f"""{"q":"$name","dir":"$dir","sec":$sec%.2f,"ok":$ok,"fp":"${planCap.fingerprint()}","jit_ms":${jitMs() - jit0},"gc_ms":${gcMs() - gc0},"cpu_ms":${processCpuMs() - cpu0},"steal_ms":${steal1 - steal0},"iowait_ms":${iow1 - iow0},"top_stages":${a.jsonTopStages(8)}}"""
+        val line = f"""{"q":"$name","dir":"$dir","sec":$sec%.2f,"ok":$ok,"fp":"${planCap.fingerprint()}","jit_ms":${jitMs() - jit0},"gc_ms":${gcMs() - gc0},"cpu_ms":${processCpuMs() - cpu0},"steal_ms":${steal1 - steal0},"iowait_ms":${iow1 - iow0},"calib_sec":$calib%.3f,"top_stages":${a.jsonTopStages(8)}}"""
         val w = new java.io.FileWriter(stageDumpFile, true)
         try w.write(line + "\n") finally w.close()
       }
@@ -364,7 +396,7 @@ object Bench {
       // periodic GC is 30 min apart — far too slow to keep RAM-backed
       // local dirs bounded across a 40-execution tier)
       System.gc()
-      (sec, ok)
+      (sec, ok, calib)
     }
 
     /** Reps closest to the pool median — retries ADD reps, selection drops
@@ -381,7 +413,7 @@ object Bench {
     def run(dir: String, names: Seq[String] = headline, nReps: Int = reps): Seq[QRes] =
       names.map { name =>
         var runs = (1 to nReps).map(_ => runOnce(dir, name)).toVector
-        def okSecs = runs.collect { case (s, true) => s }
+        def okSecs = runs.collect { case (s, true, _) => s }
         def chosen = selectReps(okSecs, nReps)
         def unstable = {
           val c = chosen
@@ -395,11 +427,13 @@ object Bench {
           runs :+= runOnce(dir, name)
           extra += 1
         }
+        val qCalib = runs.map(_._3).min
         val res =
-          if (okSecs.isEmpty) QRes(name, runs.map(_._1).min, 0.0, ok = false)
+          if (okSecs.isEmpty) QRes(name, runs.map(_._1).min, 0.0, ok = false, calib = qCalib)
           else {
             val c = chosen
-            QRes(name, median(c), c.max - c.min, ok = true, unstable = unstable)
+            QRes(name, median(c), c.max - c.min, ok = true, unstable = unstable,
+              calib = qCalib)
           }
         allRes += res
         res
@@ -447,6 +481,37 @@ object Bench {
       res
     }
 
+    /** Calibration rescue for the EXTENDED set (r13): q11-q22 have no
+      * published per-query baselines, so the budget rescue can't see a
+      * weather-inflated extended number — and the r13 quiet run shipped a
+      * k=1000 extended leg measured entirely inside a stable-slow host
+      * regime (every query 3-5× its steady state, identical plan
+      * fingerprints, zero spill). The calibration kernel is the
+      * query-independent witness: a query whose adjacent calib reading ran
+      * >1.35× the run's best host speed was measured on a provably slow
+      * host and gets ONE re-measure from a fresh session (bounded to one
+      * round; better sec wins — a genuine plan regression reproduces when
+      * the calib is clean, so this cannot hide one). */
+    def rescueByCalib(dir: String, res0: Seq[QRes], runFn: (String, Seq[String]) => Seq[QRes]): Seq[QRes] = {
+      val gb = inputBytes(dir, tpchTables) / 1e9
+      if (gb < 5.0) return res0
+      val slow = res0.filter(r => r.ok && bestCalib < Double.MaxValue &&
+        r.calib > 1.35 * bestCalib).map(_.name)
+      if (slow.isEmpty) return res0
+      System.err.println(
+        s"[bench] calib-slow at ${f"$gb%.1f"} GB: ${slow.mkString(",")} " +
+          f"(bestCalib=$bestCalib%.3f) — re-measuring from a fresh session")
+      freshTier()
+      warm(dir)
+      res0.map { r =>
+        if (!slow.contains(r.name)) r
+        else {
+          val again = runFn(dir, Seq(r.name)).head
+          if (again.ok && (!r.ok || again.sec < r.sec)) again else r
+        }
+      }
+    }
+
     def tierJson(label: String, k: Int, dir: String, res: Seq[QRes],
         ext: Seq[QRes] = Nil): String = {
       val gb = inputBytes(dir, tpchTables) / 1e9
@@ -476,6 +541,9 @@ object Bench {
       // (a later releaseAll across a freshTier boundary cannot)
       graft.ops.Caches.releaseAll()
     }
+    // JIT-warm the calibration kernel so the first measured query's
+    // reading reflects host speed, not interpreter-mode bytecode
+    (1 to 3).foreach(_ => calibSec())
     warm(sfDir) // page-cache touch: measure execution, not first read
 
     val results = run(sfDir)
@@ -497,9 +565,15 @@ object Bench {
         def runExtended(dir: String): Seq[QRes] = {
           val res = run(dir, extended.filterNot(extendedNoisy), nReps = 1) ++
             run(dir, extended.filter(extendedNoisy), nReps = 2)
-          extended.flatMap(n => res.find(_.name == n)) // report in q-order
+          // noisy queries keep 2 reps on the rescue pass too
+          def reRun(d: String, names: Seq[String]): Seq[QRes] =
+            names.flatMap(n => run(d, Seq(n), if (extendedNoisy(n)) 2 else 1))
+          val rescued = rescueByCalib(dir, res, reRun)
+          extended.flatMap(n => rescued.find(_.name == n)) // report in q-order
         }
-        val t1Head = runRescued(sdir)
+        def reRunHead(d: String, names: Seq[String]): Seq[QRes] =
+          names.flatMap(n => run(d, Seq(n)))
+        val t1Head = rescueByCalib(sdir, runRescued(sdir), reRunHead)
         val t1Ext =
           if (extOn) { freshTier(); warm(sdir); runExtended(sdir) }
           else Nil
@@ -517,7 +591,7 @@ object Bench {
             val sdir2 = ensureScaled(spark, sfDir, k2)
             freshTier()
             warm(sdir2)
-            val t2Head = runRescued(sdir2)
+            val t2Head = rescueByCalib(sdir2, runRescued(sdir2), reRunHead)
             val t2Ext =
               if (extOn) { freshTier(); warm(sdir2); runExtended(sdir2) }
               else Nil
@@ -542,8 +616,17 @@ object Bench {
     // say which medium it measured
     val localDir = spark.conf.get("spark.local.dir", "?")
     val shmFreeGb = new java.io.File("/dev/shm").getUsableSpace / 1e9
+    // calibration summary: best = the host's demonstrated clean speed,
+    // worst = the slowest reading any query was measured next to; a
+    // worst/best ratio near 1 certifies the whole artifact was measured on
+    // a steady host, a big ratio says which medians to distrust (per-query
+    // readings are in bench_stages.jsonl as calib_sec)
+    val calibs = allRes.filter(_.calib > 0).map(_.calib)
+    val calibPart =
+      if (calibs.isEmpty) ""
+      else f""","calib_best":${calibs.min}%.3f,"calib_worst":${calibs.max}%.3f"""
     println(
-      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"spread":${jsonSpread(results)},"unstable":${jsonUnstable(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"contended":$contended,"local_dir":"$localDir","shm_free_gb":$shmFreeGb%.1f,"over_budget":$overJson$scaledPart}""")
+      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"spread":${jsonSpread(results)},"unstable":${jsonUnstable(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"contended":$contended,"local_dir":"$localDir","shm_free_gb":$shmFreeGb%.1f$calibPart,"over_budget":$overJson$scaledPart}""")
     spark.stop()
   }
 }

@@ -359,6 +359,48 @@ object Tpcds {
       |WHERE p_brand IN ('Brand#1', 'Brand#2') AND r_name <> 'REGION_0'
       |GROUP BY r_name, p_brand""".stripMargin
 
+  /** q51-class cumulative-window comparison: per-segment monthly revenue,
+    * running total within segment, then segments whose running total beats
+    * 1.05× the month's cross-segment average. The orders fact pre-aggregates
+    * by (custkey, month) BEFORE the customer join; both window passes run
+    * on the (segment × month)-domain aggregate — bounded however large the
+    * corpus. The 1.05 factor keeps the float filter off the knife edge
+    * (Spark and DuckDB sum doubles in different orders). */
+  def cumulativeChannels(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val perCustMonth = tt.orders
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+        col("o_totalprice"))
+      .groupBy("o_custkey", "mon").agg(sum("o_totalprice").as("__r"))
+    val segMonth = perCustMonth
+      .join(tt.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "mon").agg(sum("__r").as("rev"))
+    val cum = segMonth.withColumn("cum_rev",
+      sum("rev").over(Window.partitionBy("c_mktsegment").orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.withColumn("avg_cum", avg("cum_rev").over(Window.partitionBy("mon")))
+      .filter(col("cum_rev") > col("avg_cum") * 1.05)
+      .select("c_mktsegment", "mon", "cum_rev")
+  }
+
+  val cumulativeChannelsSql =
+    """WITH seg_month AS (
+      |  SELECT c_mktsegment, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+      |    sum(o_totalprice) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT c_mktsegment, mon,
+      |    sum(rev) OVER (PARTITION BY c_mktsegment ORDER BY mon
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      |  FROM seg_month)
+      |SELECT c_mktsegment, mon, cum_rev
+      |FROM (SELECT *, avg(cum_rev) OVER (PARTITION BY mon) AS avg_cum
+      |      FROM cum) flagged
+      |WHERE cum_rev > avg_cum * 1.05""".stripMargin
+
   /** q34/q73-class frequent-buyer histogram: order-count buckets per
     * customer, then a histogram of bucket sizes — two chained aggregates,
     * each collapsing by orders of magnitude. */
@@ -388,6 +430,7 @@ object Tpcds {
     "tpcds_avg_exceeds" -> avgExceeds _,
     "tpcds_rollup_time" -> rollupTime _,
     "tpcds_selective_star" -> selectiveStar _,
+    "tpcds_cumulative_channels" -> cumulativeChannels _,
     "tpcds_buyer_histogram" -> buyerHistogram _
   )
 
@@ -404,6 +447,7 @@ object Tpcds {
     "tpcds_avg_exceeds" -> avgExceedsSql,
     "tpcds_rollup_time" -> rollupTimeSql,
     "tpcds_selective_star" -> selectiveStarSql,
+    "tpcds_cumulative_channels" -> cumulativeChannelsSql,
     "tpcds_buyer_histogram" -> buyerHistogramSql
   )
 }

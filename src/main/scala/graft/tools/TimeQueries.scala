@@ -1,0 +1,43 @@
+package graft.tools
+
+/** Time an arbitrary subset of `SparkEntry.queries` at a Bench scaled tier
+  * (VERDICT r12 #3: the TPC-DS slice must be "timed at the scaled tiers").
+  * Prints one JSON line per tier, same shape as Bench's per-query maps, so
+  * the numbers can be recorded in SURVEY / quiet artifacts.
+  *
+  *   TIME_PREFIX=tpcds_ TIME_K=100,1000 sbt "runMain graft.tools.TimeQueries"
+  */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val prefix = sys.env.getOrElse("TIME_PREFIX", "tpcds_")
+    val ks = sys.env.getOrElse("TIME_K", "100,1000")
+      .split(",").map(_.trim.toInt).toSeq
+    val reps = sys.env.getOrElse("TIME_REPS", "2").toInt
+    graft.Engine.preferShmLocalDir()
+    val spark = graft.Engine.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val names = graft.SparkEntry.queries.keys.filter(_.startsWith(prefix)).toSeq.sorted
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // codegen/JIT warmup on the smallest fixture (same rationale as Bench)
+    names.foreach { n =>
+      try drain(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => () }
+    }
+    graft.ops.Caches.releaseAll()
+    for (k <- ks) {
+      val dir = graft.Bench.ensureScaled(spark, "/root/testdata/sf0.1", k)
+      val times = names.map { n =>
+        val secs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try drain(graft.SparkEntry.queries(n)(spark, dir))
+          finally graft.ops.Caches.releaseAll(blocking = true)
+          (System.nanoTime() - t0) / 1e9
+        }
+        n -> secs.min
+      }
+      val total = times.map(_._2).sum
+      println(f"""{"metric":"time_$prefix","k":$k,"total_sec":$total%.3f,"queries":{${times.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")}}}""")
+    }
+    spark.stop()
+  }
+}
