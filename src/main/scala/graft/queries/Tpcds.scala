@@ -173,14 +173,28 @@ object Tpcds {
       .groupBy("o_custkey").agg(sum("__r").as("__lirev"))
     val ordPerCust = tt.orders.groupBy("o_custkey")
       .agg(sum("o_totalprice").as("__ordrev"))
-    val custNation = tt.customer.select("c_custkey", "c_nationkey")
-    def toNation(perCust: DataFrame, key: String, out: String): DataFrame =
-      perCust.join(custNation, col(key) === col("c_custkey"))
-        .join(broadcast(tt.nation.select("n_nationkey", "n_name")),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy("n_name").agg(sum(col(if (out == "li_rev") "__lirev" else "__ordrev")).as(out))
-    toNation(liPerCust, "o_custkey", "li_rev")
-      .join(toNation(ordPerCust, "o_custkey", "ord_rev"), Seq("n_name"))
+    // merge the channels per custkey FIRST: both aggregates are already
+    // custkey-partitioned, so this join adds no exchange — then customer/
+    // nation are walked ONCE instead of once per channel (the r13 first
+    // cut ran toNation twice: two 15M-row customer joins + two nation
+    // aggregates for the same answer). RIGHT outer, not full: liPerCust
+    // derives from a join WITH orders, so its custkeys are a subset of
+    // ordPerCust's — semantically identical, and a USING full-outer would
+    // emit a coalesce() key that breaks the hash partitioning and forces
+    // an extra exchange of the merged frame (measured: the coalesce plan
+    // re-shuffled 15M rows it already had in place).
+    val perCust = liPerCust.join(ordPerCust, Seq("o_custkey"), "right_outer")
+    perCust
+      .join(tt.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tt.nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("__lirev").as("li_rev"), sum("__ordrev").as("ord_rev"))
+      // oracle parity: its per-channel CTEs INNER-join on n_name, so a
+      // nation present in only one channel (impossible here, but cheap to
+      // pin on 25 rows) must drop
+      .filter(col("li_rev").isNotNull && col("ord_rev").isNotNull)
       .select("n_name", "li_rev", "ord_rev")
   }
 
@@ -361,22 +375,24 @@ object Tpcds {
 
   /** q51-class cumulative-window comparison: per-segment monthly revenue,
     * running total within segment, then segments whose running total beats
-    * 1.05× the month's cross-segment average. The orders fact pre-aggregates
-    * by (custkey, month) BEFORE the customer join; both window passes run
-    * on the (segment × month)-domain aggregate — bounded however large the
-    * corpus. The 1.05 factor keeps the float filter off the knife edge
-    * (Spark and DuckDB sum doubles in different orders). */
+    * 1.05× the month's cross-segment average. Both window passes run on
+    * the (segment × month)-domain aggregate — bounded however large the
+    * corpus. The orders fact deliberately joins customer RAW (one custkey
+    * exchange each side): a hand pre-aggregate by (custkey, month) was
+    * measured a pessimization — ~1.1 orders per customer-month here, so
+    * it collapsed nothing and cost a second full-fact exchange (the
+    * (custkey, mon) hash can't serve the custkey join). The 1.05 factor
+    * keeps the float filter off the knife edge (Spark and DuckDB sum
+    * doubles in different orders). */
   def cumulativeChannels(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    val perCustMonth = tt.orders
+    val segMonth = tt.orders
       .select(col("o_custkey"),
         date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
         col("o_totalprice"))
-      .groupBy("o_custkey", "mon").agg(sum("o_totalprice").as("__r"))
-    val segMonth = perCustMonth
       .join(tt.customer.select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
-      .groupBy("c_mktsegment", "mon").agg(sum("__r").as("rev"))
+      .groupBy("c_mktsegment", "mon").agg(sum("o_totalprice").as("rev"))
     val cum = segMonth.withColumn("cum_rev",
       sum("rev").over(Window.partitionBy("c_mktsegment").orderBy("mon")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

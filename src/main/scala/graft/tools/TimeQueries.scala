@@ -29,8 +29,13 @@ object TimeQueries {
       val times = names.map { n =>
         val secs = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try drain(graft.SparkEntry.queries(n)(spark, dir))
-          finally graft.ops.Caches.releaseAll(blocking = true)
+          try {
+            val df = graft.SparkEntry.queries(n)(spark, dir)
+            drain(df)
+            if (sys.env.contains("TIME_EXPLAIN"))
+              println(s"=== $n (k=$k) ===\n" +
+                df.queryExecution.executedPlan.toString.take(14000))
+          } finally graft.ops.Caches.releaseAll(blocking = true)
           (System.nanoTime() - t0) / 1e9
         }
         n -> secs.min
