@@ -26,11 +26,14 @@ object Tpch2 {
     * each task's primitive-long distinct map cache-resident (~600k
     * entries), clamped to [parallelism, 32×parallelism]. See the q16
     * repartition comment for the tier-by-tier A/B record. */
-  private[queries] def dedupWidth(s: SparkSession, dir: String): Int = {
-    val p = s.sparkContext.defaultParallelism
-    val byWork = (tableBytes(dir, "lineitem") / (10L << 20)).toInt + 1
-    math.max(p, math.min(32 * p, byWork))
-  }
+  private[queries] def dedupWidth(s: SparkSession, dir: String): Int =
+    // profiling override only (A/B-ing the width without a recompile);
+    // never set by the driver — the input-proportional formula is the shape
+    sys.env.get("SPARK_GRAFT_DEDUP_WIDTH").filter(_.nonEmpty).map(_.toInt).getOrElse {
+      val p = s.sparkContext.defaultParallelism
+      val byWork = (tableBytes(dir, "lineitem") / (10L << 20)).toInt + 1
+      math.max(p, math.min(32 * p, byWork))
+    }
 
   /** Q11 (adapted): high-value parts supplied by NATION_5 suppliers —
     * value > 0.1% of that nation's total (scalar subquery over the same
