@@ -57,6 +57,32 @@ class TpcdsPlanSpec extends AnyFunSuite {
     assert(!p.contains("Union"), s"no self-union for grouping sets:\n$p")
   }
 
+  test("tpcds_multi_fact_star merges its channels without re-shuffling them") {
+    // both per-custkey aggregates are custkey-partitioned; the right-outer
+    // merge must ride that partitioning (a USING full-outer coalesces the
+    // key and re-shuffles the merged frame — the r13 defect this pins).
+    // Budget: lineitem(orderkey), orders(orderkey), lineitem-agg(custkey),
+    // orders-agg(custkey), customer, and the final tiny n_name agg = 6 hash
+    // exchanges; the merge itself adds NONE (no coalesce'd custkey).
+    val p = plan("tpcds_multi_fact_star")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 6, s"merge join re-shuffled a custkey frame:\n$p")
+    assert(!p.contains("coalesce(o_custkey"),
+      s"USING-join coalesce key broke custkey partitioning:\n$p")
+  }
+
+  test("tpcds_cumulative_channels exchanges the orders fact exactly once") {
+    // the hand (custkey, month) pre-aggregate this query shipped with first
+    // cost a SECOND full-orders exchange for a ~1.1:1 collapse; the natural
+    // form moves orders exactly once (the custkey join) — the remaining
+    // exchanges (segment-month agg, two window passes) are bounded-domain.
+    val p = plan("tpcds_cumulative_channels")
+    val ordersExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(o_custkey"))
+    assert(ordersExchanges == 1,
+      s"orders fact must shuffle exactly once, saw $ordersExchanges:\n$p")
+  }
+
   test("tpcds_selective_star pushes the brand filter to the part scan") {
     val p = plan("tpcds_selective_star")
     assert(p.contains("PushedFilters"), s"no pushdown at all:\n$p")
