@@ -119,11 +119,110 @@ object DatasetsQ {
       |WHERE event_id < 800 AND event_id % 2 = 0
       |ORDER BY sequence""".stripMargin
 
+  /** LeRobot v3 (ref `daft/datasets/lerobot.py`): builds the FULL v3 layout
+    * from the events table — `meta/info.json`, sharded `meta/episodes`
+    * parquet (with `meta/ *`, `stats/ *` and `videos/{k}/ *` families to
+    * exercise the exclusion contract), `data/chunk-NNN/file-NNN.parquet`
+    * frame shards, `meta/tasks.parquet`, and two MJPEG shards under
+    * `videos/observation.image/` packing 3 episodes each — then reads it
+    * back with `lerobotRead(loadVideoFrames)` and verifies the DECODED,
+    * timestamp-aligned frame's actual pixels per row (global frame number
+    * = episode_index×50 + frame_index = the original event_id, so a wrong
+    * shard, a wrong from_timestamp offset, or off-by-one alignment flips
+    * `frame_ok`). Oracle = the same events slice with frame_ok TRUE. */
+  def datasets_lerobot(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Images, Video}
+    val fps = 10
+    val epLen = 50 // frames per episode; 3 episodes per shard
+    val root = s"/tmp/graft_datasets_lerobot_${math.abs(dir.hashCode)}"
+    val done = new java.io.File(s"$root/_DONE")
+    if (!done.exists) {
+      val evs = t(s, dir).events.filter(col("event_id") < 6L * epLen)
+        .select(
+          (col("event_id") / epLen).cast("long").as("episode_index"),
+          (col("event_id") % epLen).cast("long").as("frame_index"),
+          ((col("event_id") % epLen) / lit(fps.toDouble)).as("timestamp"),
+          col("event_type").as("action"))
+      (0 to 1).foreach { f =>
+        evs.filter(col("episode_index") >= 3L * f && col("episode_index") < 3L * (f + 1))
+          .withColumn("data/chunk_index", lit(0))
+          .withColumn("data/file_index", lit(f))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/data/chunk-000/file-00$f.parquet")
+      }
+      s.range(0, 6).toDF("episode_index")
+        .select(col("episode_index"),
+          lit(epLen).as("length"),
+          concat(lit("task_"), (col("episode_index") % 2).cast("string")).as("tasks"),
+          lit(0).as("meta/episodes/chunk_index"),
+          lit(0).as("meta/episodes/file_index"),
+          lit(1.5).as("stats/action/mean"),
+          lit(0).as("videos/observation.image/chunk_index"),
+          (col("episode_index") / 3).cast("int").as("videos/observation.image/file_index"),
+          ((col("episode_index") % 3) * lit(epLen.toDouble / fps))
+            .as("videos/observation.image/from_timestamp"),
+          ((col("episode_index") % 3 + 1) * lit(epLen.toDouble / fps))
+            .as("videos/observation.image/to_timestamp"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/meta/episodes/chunk-000/file-000.parquet")
+      s.range(0, 2).toDF("task_index")
+        .select(col("task_index"),
+          concat(lit("task_"), col("task_index").cast("string")).as("task"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/meta/tasks.parquet")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/meta/info.json"),
+        ("""{"codebase_version":"v3.0",""" +
+          """"data_path":"data/chunk-{chunk_index:03d}/file-{file_index:03d}.parquet",""" +
+          """"video_path":"videos/{video_key}/chunk-{chunk_index:03d}/file-{file_index:03d}.mp4",""" +
+          s""""fps":$fps,""" +
+          """"features":{"action":{"dtype":"string"},"timestamp":{"dtype":"float64"},""" +
+          """"observation.image":{"dtype":"video"}}}""").getBytes("UTF-8"))
+      (0 to 1).foreach { f =>
+        val frames = (0 until 3 * epLen).map { i =>
+          val g = f * 3 * epLen + i
+          Images.encode(Images.decode(Images.solidPng(16, 16,
+            20 + (g * 3) % 160, 30 + (g * 7) % 150, 40 + (g * 11) % 160)).get, "jpg")
+        }
+        val p = java.nio.file.Paths.get(
+          s"$root/videos/observation.image/chunk-000/file-00$f.mp4")
+        java.nio.file.Files.createDirectories(p.getParent)
+        val out = java.nio.file.Files.newOutputStream(p)
+        try Video.writeMjpegAvi(frames, 16, 16, fps, out) finally out.close()
+      }
+      done.createNewFile()
+    }
+    val meanCh = udf { (bytes: Array[Byte], ch: Int) =>
+      Images.decode(bytes).map { img =>
+        var sum = 0L
+        var i = ch
+        while (i < img.data.length) { sum += img.data(i) & 0xff; i += img.channels }
+        sum.toDouble / (img.width * img.height)
+      }
+    }
+    val eid = (col("episode_index") * epLen + col("frame_index")).cast("int")
+    val frame = col("`observation.image`")
+    Datasets.lerobotRead(s, root, loadVideoFrames = Seq("observation.image"))
+      .select(col("episode_index"), col("frame_index"), col("tasks"),
+        col("timestamp").as("ts"),
+        (abs(meanCh(frame, lit(0)) - (lit(20) + (eid * 3) % 160)) <= 6 &&
+          abs(meanCh(frame, lit(1)) - (lit(30) + (eid * 7) % 150)) <= 6 &&
+          abs(meanCh(frame, lit(2)) - (lit(40) + (eid * 11) % 160)) <= 6).as("frame_ok"))
+      .orderBy("episode_index", "frame_index")
+  }
+
+  val datasetsLerobotSql =
+    """SELECT event_id // 50 AS episode_index, event_id % 50 AS frame_index,
+      |  'task_' || CAST((event_id // 50) % 2 AS VARCHAR) AS tasks,
+      |  CAST(event_id % 50 AS DOUBLE) / 10 AS ts, true AS frame_ok
+      |FROM events WHERE event_id < 300
+      |ORDER BY episode_index, frame_index""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "datasets_common_crawl" -> (datasets_common_crawl _),
-    "datasets_robot_episodes" -> (datasets_robot_episodes _))
+    "datasets_robot_episodes" -> (datasets_robot_episodes _),
+    "datasets_lerobot" -> (datasets_lerobot _))
 
   val oracle: Map[String, String] = Map(
     "datasets_common_crawl" -> datasetsCommonCrawlSql,
-    "datasets_robot_episodes" -> datasetsRobotEpisodesSql)
+    "datasets_robot_episodes" -> datasetsRobotEpisodesSql,
+    "datasets_lerobot" -> datasetsLerobotSql)
 }
