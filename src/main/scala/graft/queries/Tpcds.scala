@@ -433,6 +433,70 @@ object Tpcds {
       |      FROM orders GROUP BY o_custkey) per_cust
       |GROUP BY n_orders""".stripMargin
 
+  /** q47/q57-class moving-average deviation: months whose brand revenue
+    * deviates >10% from the centered 3-month moving average. Eager
+    * (partkey, month) partials below the part join — the join and every
+    * window pass run on |parts|×|months| rows, never lineitem-sized; the
+    * moving-average window partitions by brand (bounded domain, dense
+    * partitions — no single-partition WindowExec). */
+  def movingDeviation(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val partials = tt.lineitem
+      .groupBy(col("l_partkey"), trunc(col("l_shipdate"), "mon").as("mo"))
+      .agg(sum(rev).as("__r"))
+    val monthly = partials
+      .join(tt.part.select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "mo")
+      .agg(sum("__r").as("brand_rev"))
+    val w = Window.partitionBy("p_brand").orderBy("mo").rowsBetween(-1, 1)
+    monthly.withColumn("avg_rev", avg("brand_rev").over(w))
+      .filter(abs(col("brand_rev") - col("avg_rev")) > col("avg_rev") * 0.1)
+      .select("p_brand", "mo", "brand_rev", "avg_rev")
+  }
+
+  val movingDeviationSql =
+    """WITH monthly AS (
+      |  SELECT p_brand, CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+      |    sum(l_extendedprice * (1 - l_discount)) AS brand_rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2)
+      |SELECT p_brand, mo, brand_rev, avg_rev
+      |FROM (SELECT p_brand, mo, brand_rev,
+      |        avg(brand_rev) OVER (PARTITION BY p_brand ORDER BY mo
+      |          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS avg_rev
+      |      FROM monthly) m
+      |WHERE abs(brand_rev - avg_rev) > avg_rev * 0.1""".stripMargin
+
+  /** q88-class multi-band counts: eight independent predicate bands
+    * answered by ONE fact scan — each band a conditional partial sum, so
+    * the plan is scan → partial agg → single final row (no Expand, no
+    * self-union of eight scans, no join). The TPC-DS original runs eight
+    * subqueries over store_sales; fusing them is the scale move. */
+  def multiBandCounts(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    def band(lo: Int, hi: Int, dLo: Double, dHi: Double): Column =
+      sum(when(col("l_quantity") >= lo && col("l_quantity") < hi &&
+        col("l_discount") >= dLo && col("l_discount") < dHi, 1L).otherwise(0L))
+    tt.lineitem.agg(
+      band(0, 13, 0.0, 0.03).as("h1"), band(0, 13, 0.03, 0.11).as("h2"),
+      band(13, 26, 0.0, 0.03).as("h3"), band(13, 26, 0.03, 0.11).as("h4"),
+      band(26, 38, 0.0, 0.03).as("h5"), band(26, 38, 0.03, 0.11).as("h6"),
+      band(38, 51, 0.0, 0.03).as("h7"), band(38, 51, 0.03, 0.11).as("h8"))
+  }
+
+  val multiBandCountsSql =
+    """SELECT
+      |  CAST(sum(CASE WHEN l_quantity >= 0 AND l_quantity < 13 AND l_discount >= 0.0 AND l_discount < 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+      |  CAST(sum(CASE WHEN l_quantity >= 0 AND l_quantity < 13 AND l_discount >= 0.03 AND l_discount < 0.11 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+      |  CAST(sum(CASE WHEN l_quantity >= 13 AND l_quantity < 26 AND l_discount >= 0.0 AND l_discount < 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+      |  CAST(sum(CASE WHEN l_quantity >= 13 AND l_quantity < 26 AND l_discount >= 0.03 AND l_discount < 0.11 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+      |  CAST(sum(CASE WHEN l_quantity >= 26 AND l_quantity < 38 AND l_discount >= 0.0 AND l_discount < 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+      |  CAST(sum(CASE WHEN l_quantity >= 26 AND l_quantity < 38 AND l_discount >= 0.03 AND l_discount < 0.11 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+      |  CAST(sum(CASE WHEN l_quantity >= 38 AND l_quantity < 51 AND l_discount >= 0.0 AND l_discount < 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS h7,
+      |  CAST(sum(CASE WHEN l_quantity >= 38 AND l_quantity < 51 AND l_discount >= 0.03 AND l_discount < 0.11 THEN 1 ELSE 0 END) AS BIGINT) AS h8
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tpcds_rollup_qoh" -> rollupQoh _,
     "tpcds_channel_rollup" -> channelRollup _,
@@ -447,7 +511,9 @@ object Tpcds {
     "tpcds_rollup_time" -> rollupTime _,
     "tpcds_selective_star" -> selectiveStar _,
     "tpcds_cumulative_channels" -> cumulativeChannels _,
-    "tpcds_buyer_histogram" -> buyerHistogram _
+    "tpcds_buyer_histogram" -> buyerHistogram _,
+    "tpcds_moving_deviation" -> movingDeviation _,
+    "tpcds_multi_band_counts" -> multiBandCounts _
   )
 
   val oracle: Map[String, String] = Map(
@@ -464,6 +530,8 @@ object Tpcds {
     "tpcds_rollup_time" -> rollupTimeSql,
     "tpcds_selective_star" -> selectiveStarSql,
     "tpcds_cumulative_channels" -> cumulativeChannelsSql,
-    "tpcds_buyer_histogram" -> buyerHistogramSql
+    "tpcds_buyer_histogram" -> buyerHistogramSql,
+    "tpcds_moving_deviation" -> movingDeviationSql,
+    "tpcds_multi_band_counts" -> multiBandCountsSql
   )
 }

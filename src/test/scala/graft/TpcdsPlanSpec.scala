@@ -83,6 +83,42 @@ class TpcdsPlanSpec extends AnyFunSuite {
       s"orders fact must shuffle exactly once, saw $ordersExchanges:\n$p")
   }
 
+  test("tpcds_moving_deviation windows over partials, never lineitem rows") {
+    // the moving-average window must consume the (brand, month) aggregate,
+    // which itself consumes (partkey, month) partials from below the part
+    // join — so lineitem contributes exactly ONE exchange (its partial
+    // agg); everything above is parts- or domain-sized
+    val p = plan("tpcds_moving_deviation")
+    // raw lineitem rows must never shuffle: a map-side partial aggregate
+    // sits between the scan and the first exchange, so every exchange in
+    // the lineitem branch moves (partkey, month)-bounded partials
+    val lines = p.linesIterator.toVector
+    val scanIdx = lines.indexWhere(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scanIdx > 0, s"no lineitem scan found:\n$p")
+    val above = lines.slice(0, scanIdx).reverse
+    val firstExchange = above.indexWhere(_.contains("Exchange"))
+    val firstPartial = above.indexWhere(_.contains("partial_sum"))
+    assert(firstPartial >= 0 && firstPartial < firstExchange,
+      s"expected a partial aggregate below the first lineitem exchange:\n$p")
+    assert(p.contains("Window"), s"expected a window pass:\n$p")
+    // no single-partition window: the window partitions by brand
+    assert(!p.contains("SinglePartition"),
+      s"window must not run on a single partition:\n$p")
+  }
+
+  test("tpcds_multi_band_counts answers all eight bands in ONE fact scan") {
+    // the TPC-DS original is eight subqueries over the fact; the fused
+    // plan must be scan → partial agg → single final row: one lineitem
+    // scan, no Expand, no join
+    val p = plan("tpcds_multi_band_counts")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"expected exactly one lineitem scan, saw $scans:\n$p")
+    assert(!p.contains("Expand") && !p.contains("Join"),
+      s"multi-band counts must not expand or join:\n$p")
+  }
+
   test("tpcds_selective_star pushes the brand filter to the part scan") {
     val p = plan("tpcds_selective_star")
     assert(p.contains("PushedFilters"), s"no pushdown at all:\n$p")
