@@ -80,7 +80,7 @@ object Bench {
     * `calib` = best (lowest) host-calibration reading taken next to this
     * query's reps — see [[calibSec]]. */
   private case class QRes(name: String, sec: Double, spread: Double, ok: Boolean,
-      unstable: Boolean = false, calib: Double = 0.0)
+      unstable: Boolean = false, calib: Double = 0.0, bw: Double = 0.0)
 
   @volatile private var calibSink = 0L
   /** Host-speed calibration (r13): a fixed single-threaded integer kernel
@@ -102,6 +102,41 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     math.min(once(), once())
+  }
+
+  /** Memory-BANDWIDTH calibration (r13): the integer kernel above is
+    * register-resident, so it certifies cpu frequency/steal but is BLIND to
+    * memory-bandwidth contention — a hypervisor neighbor saturating the
+    * memory controller inflates every shuffle-heavy stage 2-3× with
+    * identical plan fingerprints, identical bytes, zero spill and a CLEAN
+    * cpu calib (the r13 q16 signature: 98-105 s reps, calib 0.084, 2.9M
+    * cpu-ms vs the same plan's 1.4M steady state). This kernel streams a
+    * 256 MB array with 8 threads at one load per cache line — its GB/s
+    * collapses exactly when the memory controller is the contended
+    * resource. Max of two runs (a single preemption can only slow it). */
+  private lazy val bwArray: Array[Long] = new Array[Long](32 << 20) // 256 MB
+  private def bwGbps(): Double = {
+    val threads = 8
+    val n = bwArray.length
+    def once(): Double = {
+      val sums = new Array[Long](threads)
+      val t0 = System.nanoTime()
+      val ths = (0 until threads).map { t =>
+        val th = new Thread(() => {
+          var s = 0L
+          var i = t * (n / threads)
+          val end = (t + 1) * (n / threads)
+          while (i < end) { s += bwArray(i); i += 8 } // 64 B stride: one load/line
+          sums(t) = s
+        })
+        th.start(); th
+      }
+      ths.foreach(_.join())
+      calibSink += sums.sum // defeat dead-code elimination
+      val sec = (System.nanoTime() - t0) / 1e9
+      (n * 8L) / sec / 1e9 // every cache line of the array moves once
+    }
+    math.max(once(), once())
   }
 
   /** Stability gate (r5/r6/r7 all shipped contention-garbage medians with
@@ -357,8 +392,10 @@ object Bench {
     // best (lowest) calibration reading seen anywhere in this bench run —
     // the host's demonstrated clean speed, the denominator of calibRatio
     var bestCalib = Double.MaxValue
+    // best (highest) memory bandwidth seen anywhere in this run
+    var bestBw = 0.0
 
-    def runOnce(dir: String, name: String): (Double, Boolean, Double) = {
+    def runOnce(dir: String, name: String): (Double, Boolean, Double, Double) = {
       ensureAlive()
       val agg = if (stageDumpSet(name)) Some(new StageAgg) else None
       agg.foreach(spark.sparkContext.addSparkListener)
@@ -375,10 +412,13 @@ object Bench {
         }
         finally graft.ops.Caches.releaseAll(blocking = true)
       val sec = (System.nanoTime() - t0) / 1e9
-      // off the timer: host-speed reading taken right next to this rep —
+      // off the timer: host-speed readings taken right next to this rep —
       // the evidence that says "the HOST was slow here", query-independent
+      // (cpu kernel = frequency/steal; bandwidth kernel = memory controller)
       val calib = calibSec()
       bestCalib = math.min(bestCalib, calib)
+      val bw = bwGbps()
+      bestBw = math.max(bestBw, bw)
       agg.foreach { a =>
         Thread.sleep(500) // let the listener bus drain task-end events
         if (!spark.sparkContext.isStopped) spark.sparkContext.removeSparkListener(a)
@@ -387,7 +427,7 @@ object Bench {
         // jit/gc/cpu deltas say which
         planCap.maybeDump(name, sec)
         val (steal1, iow1) = hostStat()
-        val line = f"""{"q":"$name","dir":"$dir","sec":$sec%.2f,"ok":$ok,"fp":"${planCap.fingerprint()}","jit_ms":${jitMs() - jit0},"gc_ms":${gcMs() - gc0},"cpu_ms":${processCpuMs() - cpu0},"steal_ms":${steal1 - steal0},"iowait_ms":${iow1 - iow0},"calib_sec":$calib%.3f,"top_stages":${a.jsonTopStages(8)}}"""
+        val line = f"""{"q":"$name","dir":"$dir","sec":$sec%.2f,"ok":$ok,"fp":"${planCap.fingerprint()}","jit_ms":${jitMs() - jit0},"gc_ms":${gcMs() - gc0},"cpu_ms":${processCpuMs() - cpu0},"steal_ms":${steal1 - steal0},"iowait_ms":${iow1 - iow0},"calib_sec":$calib%.3f,"bw_gbps":$bw%.1f,"top_stages":${a.jsonTopStages(8)}}"""
         val w = new java.io.FileWriter(stageDumpFile, true)
         try w.write(line + "\n") finally w.close()
       }
@@ -396,7 +436,7 @@ object Bench {
       // periodic GC is 30 min apart — far too slow to keep RAM-backed
       // local dirs bounded across a 40-execution tier)
       System.gc()
-      (sec, ok, calib)
+      (sec, ok, calib, bw)
     }
 
     /** Reps closest to the pool median — retries ADD reps, selection drops
@@ -413,7 +453,7 @@ object Bench {
     def run(dir: String, names: Seq[String] = headline, nReps: Int = reps): Seq[QRes] =
       names.map { name =>
         var runs = (1 to nReps).map(_ => runOnce(dir, name)).toVector
-        def okSecs = runs.collect { case (s, true, _) => s }
+        def okSecs = runs.collect { case (s, true, _, _) => s }
         def chosen = selectReps(okSecs, nReps)
         def unstable = {
           val c = chosen
@@ -428,12 +468,14 @@ object Bench {
           extra += 1
         }
         val qCalib = runs.map(_._3).min
+        val qBw = runs.map(_._4).max
         val res =
-          if (okSecs.isEmpty) QRes(name, runs.map(_._1).min, 0.0, ok = false, calib = qCalib)
+          if (okSecs.isEmpty) QRes(name, runs.map(_._1).min, 0.0, ok = false,
+            calib = qCalib, bw = qBw)
           else {
             val c = chosen
             QRes(name, median(c), c.max - c.min, ok = true, unstable = unstable,
-              calib = qCalib)
+              calib = qCalib, bw = qBw)
           }
         allRes += res
         res
@@ -495,12 +537,17 @@ object Bench {
     def rescueByCalib(dir: String, res0: Seq[QRes], runFn: (String, Seq[String]) => Seq[QRes]): Seq[QRes] = {
       val gb = inputBytes(dir, tpchTables) / 1e9
       if (gb < 5.0) return res0
-      val slow = res0.filter(r => r.ok && bestCalib < Double.MaxValue &&
-        r.calib > 1.35 * bestCalib).map(_.name)
+      // slow on EITHER instrument: cpu kernel (frequency/steal) or
+      // bandwidth kernel (memory controller — the r13 q16 blind spot:
+      // clean cpu calib, 2x wall on identical plans and bytes)
+      val slow = res0.filter(r => r.ok &&
+        ((bestCalib < Double.MaxValue && r.calib > 1.35 * bestCalib) ||
+         (bestBw > 0.0 && r.bw < 0.65 * bestBw))).map(_.name)
       if (slow.isEmpty) return res0
       System.err.println(
         s"[bench] calib-slow at ${f"$gb%.1f"} GB: ${slow.mkString(",")} " +
-          f"(bestCalib=$bestCalib%.3f) — re-measuring from a fresh session")
+          f"(bestCalib=$bestCalib%.3f, bestBw=$bestBw%.1f GB/s) — " +
+          "re-measuring from a fresh session")
       freshTier()
       warm(dir)
       res0.map { r =>
@@ -541,9 +588,11 @@ object Bench {
       // (a later releaseAll across a freshTier boundary cannot)
       graft.ops.Caches.releaseAll()
     }
-    // JIT-warm the calibration kernel so the first measured query's
-    // reading reflects host speed, not interpreter-mode bytecode
+    // JIT-warm the calibration kernels so the first measured query's
+    // readings reflect host speed, not interpreter-mode bytecode (the bw
+    // warm also pays the 256 MB allocation + page-fault cost up front)
     (1 to 3).foreach(_ => calibSec())
+    (1 to 2).foreach(_ => bwGbps())
     warm(sfDir) // page-cache touch: measure execution, not first read
 
     val results = run(sfDir)
@@ -622,9 +671,12 @@ object Bench {
     // a steady host, a big ratio says which medians to distrust (per-query
     // readings are in bench_stages.jsonl as calib_sec)
     val calibs = allRes.filter(_.calib > 0).map(_.calib)
+    val bws = allRes.filter(_.bw > 0).map(_.bw)
     val calibPart =
-      if (calibs.isEmpty) ""
-      else f""","calib_best":${calibs.min}%.3f,"calib_worst":${calibs.max}%.3f"""
+      (if (calibs.isEmpty) ""
+       else f""","calib_best":${calibs.min}%.3f,"calib_worst":${calibs.max}%.3f""") +
+      (if (bws.isEmpty) ""
+       else f""","bw_best_gbps":${bws.max}%.1f,"bw_worst_gbps":${bws.min}%.1f""")
     println(
       f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"spread":${jsonSpread(results)},"unstable":${jsonUnstable(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"contended":$contended,"local_dir":"$localDir","shm_free_gb":$shmFreeGb%.1f$calibPart,"over_budget":$overJson$scaledPart}""")
     spark.stop()
