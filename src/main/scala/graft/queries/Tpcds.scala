@@ -434,18 +434,27 @@ object Tpcds {
       |GROUP BY n_orders""".stripMargin
 
   /** q47/q57-class moving-average deviation: months whose brand revenue
-    * deviates >10% from the centered 3-month moving average. Eager
-    * (partkey, month) partials below the part join — the join and every
-    * window pass run on |parts|×|months| rows, never lineitem-sized; the
-    * moving-average window partitions by brand (bounded domain, dense
-    * partitions — no single-partition WindowExec). */
+    * deviates >10% from the centered 3-month moving average.
+    *
+    * Shape (r13 A/B): an eager (partkey, month) pre-aggregate below the
+    * part join was timed FIRST and measured 86 s at the 13 GB tier — with
+    * ~30 lineitem rows per part spread over ~84 months it collapses almost
+    * nothing, yet adds a full-fact exchange on a 12-byte composite key
+    * (the same lesson q16's comments record: pre-aggregation pays only
+    * when it collapses). The shipped shape joins the slim fact projections
+    * directly (one lineitem exchange, SHUFFLE_HASH — part is a fact, never
+    * broadcast) and aggregates straight to (brand, month): ≤ ~2k groups,
+    * so the map-side partial collapses ~10⁵× and the final exchange is
+    * domain-sized. Measured (TimeQueries, same session): 86.5 → 26.3 s at
+    * k=1000, 26.1 → 6.8 s at k=100. The moving-average window then
+    * partitions by brand (bounded domain — no single-partition
+    * WindowExec). */
   def movingDeviation(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    val partials = tt.lineitem
-      .groupBy(col("l_partkey"), trunc(col("l_shipdate"), "mon").as("mo"))
-      .agg(sum(rev).as("__r"))
-    val monthly = partials
-      .join(tt.part.select("p_partkey", "p_brand"),
+    val monthly = tt.lineitem
+      .select(col("l_partkey"), trunc(col("l_shipdate"), "mon").as("mo"),
+        rev.as("__r"))
+      .join(tt.part.select("p_partkey", "p_brand").hint("shuffle_hash"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "mo")
       .agg(sum("__r").as("brand_rev"))
