@@ -167,10 +167,18 @@ object Tpcds {
     * the final nation-level join is on a 25-row domain. */
   def multiFactStar(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    val liPerCust = tt.lineitem.select(col("l_orderkey"), rev.as("__r"))
+    // eager per-ORDER aggregate before the orders join (r13, measured):
+    // unlike the (partkey, month) pre-agg this round removed elsewhere,
+    // this one genuinely collapses (~4 lineitems per order) — the map-side
+    // partial shrinks the lineitem exchange ~4x, and the aggregate's
+    // orderkey partitioning is exactly the join's requirement, so the
+    // pre-agg adds NO exchange of its own
+    val liPerOrder = tt.lineitem.select(col("l_orderkey"), rev.as("__r"))
+      .groupBy("l_orderkey").agg(sum("__r").as("__or"))
+    val liPerCust = liPerOrder
       .join(tt.orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_custkey").agg(sum("__r").as("__lirev"))
+      .groupBy("o_custkey").agg(sum("__or").as("__lirev"))
     val ordPerCust = tt.orders.groupBy("o_custkey")
       .agg(sum("o_totalprice").as("__ordrev"))
     // merge the channels per custkey FIRST: both aggregates are already
