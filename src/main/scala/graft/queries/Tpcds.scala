@@ -56,14 +56,20 @@ object Tpcds {
     * input is customer-sized. */
   def channelRollup(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
+    // eager per-ORDER aggregate before the orders join (r13, same A/B'd
+    // pattern as multiFactStar: ~4 lineitems per order genuinely collapse,
+    // the map-side partial shrinks the lineitem exchange ~4x, and the
+    // orderkey partitioning serves the join — no added exchange)
     val channel = tt.lineitem.select(col("l_orderkey"),
         when(col("l_returnflag") === "R", lit(0.0)).otherwise(rev).as("sales"),
         when(col("l_returnflag") === "R", rev).otherwise(lit(0.0)).as("returns"))
+      .groupBy("l_orderkey")
+      .agg(sum("sales").as("__os"), sum("returns").as("__orr"))
     val perCust = channel
       .join(tt.orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey")
-      .agg(sum("sales").as("__s"), sum("returns").as("__r"))
+      .agg(sum("__os").as("__s"), sum("__orr").as("__r"))
     perCust
       .join(tt.customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
