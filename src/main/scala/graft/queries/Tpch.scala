@@ -124,6 +124,15 @@ object Tpch {
     // vs SMJ 13.8 s interleaved same-session at k=1000 — within spread.
     // Unlike q9, the eager aggregate has already collapsed the sort
     // inputs ~4x here, so the SMJ sorts are cheap and the pin stands.
+    //
+    // MUTUAL bloom A/B'd and REJECTED (r13): only ~10% of the surviving
+    // orders have a post-cutoff lineitem, so pruning oF by a bloom built
+    // from liAgg's keys (liAgg leased to avoid re-scanning lineitem for
+    // the sizing count + build) looked like a 90% cut of the SMJ's order
+    // side. Measured same-day same-weather at k=1000: old 7.7-12.7 s vs
+    // new 9.7-12.7 s — a wash-to-worse. The lease materialization plus
+    // two extra actions cost more than the 30M-row sort they save; the
+    // SMJ order-side sort is NOT the dominant stage post-eager-agg.
     oF.hint("shuffle_merge")
       .join(liAgg, col("o_orderkey") === col("l_orderkey"))
       .join(cF.hint("shuffle_merge"),
@@ -475,6 +484,15 @@ object Tpch {
     // vs 34.6/36.2 s with the post-join fold): downstream reads only the
     // year, and the exchange compresses ~7 distinct year values to almost
     // nothing where raw microsecond timestamps are incompressible entropy
+    // MUTUAL bloom A/B'd and REJECTED (r13): only ~22% of orders have a
+    // red-part lineitem, so pruning the 150M-row orders stream by a bloom
+    // over li's orderkeys (li leased so the sizing count + build read a
+    // cache instead of re-scanning lineitem) looked like a 78% cut of the
+    // orderkey exchange. Measured same-day same-weather at k=1000:
+    // 56.9/68.3 s vs 19.5 s baseline at equal bw — ~3× the CPU. The 36M-row
+    // 5-column cache materialization plus the 54 MB filter build/merge
+    // dwarf the orders-shuffle saving; the un-leased streaming pipeline
+    // (scan → probe → SHJ build) is what keeps q9 cheap.
     val perSupp = liPart.hint("shuffle_hash")
       .join(tt.orders.select(col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("o_year")),
