@@ -304,6 +304,207 @@ object Curate {
       .drop("__rank")
   }
 
+  /** Integer value of the first 8 hex digits of an md5 hex string — the
+    * cross-engine uniform-hash primitive shared with [[prioritySample]]:
+    * md5 and hex-digit arithmetic agree between Spark and any SQL oracle,
+    * so selections derived from it replay bit-identically. */
+  private def hexIv32(h: Column): Column =
+    conv(substring(h, 1, 8), 16, 10).cast("long")
+
+  /** Hashed n-gram features: unigrams + adjacent bigrams of the
+    * lowercased whitespace tokens. Pure columnar (split/slice/zip_with)
+    * so featurization stays inside whole-stage codegen. */
+  private def hashedGrams(text: Column): Column = {
+    val toks = array_remove(lmTokens(text), "")
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bi = zip_with(
+      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    concat(toks, bi)
+  }
+
+  /** Per-bucket gram counts of a corpus: ≤ `buckets` rows whatever the
+    * corpus size — the dimensionality bound that makes every model frame
+    * here broadcastable. */
+  private def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
+      out: String): DataFrame =
+    df.select(explode(hashedGrams(col(textCol))).as("_g"))
+      .select((hexIv32(md5(col("_g"))) % buckets).as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as(out))
+
+  /** Jelinek–Mercer smoothed bucket probability: (1−λ)·c/N + λ/B. Unlike
+    * add-one smoothing this scores a gram with equal relative frequency
+    * in two corpora identically REGARDLESS of the corpus-size ratio — the
+    * property that keeps log-likelihood ratios length-unbiased when the
+    * reference corpus is small. */
+  private def jmProb(c: Column, n: Column, buckets: Int,
+      smoothing: Double): Column =
+    lit(1 - smoothing) * coalesce(c, lit(0L)).cast("double") /
+      greatest(n, lit(1L)) + lit(smoothing / buckets)
+
+  /** Leased per-(doc, bucket) gram counts — ONE featurization pass over
+    * the corpus shared by model building and scoring. */
+  private def docBucketCounts(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    Caches.lease(docs
+      .select(col(idCol), explode(hashedGrams(col(textCol))).as("_g"))
+      .select(col(idCol), (hexIv32(md5(col("_g"))) % buckets).as("_b"))
+      .groupBy(idCol, "_b").agg(count(lit(1)).as("_n")))
+
+  /** The exact dyadic uniform u ∈ (0, 1) from md5(id<sep>salt) — every
+    * operation reproducible bit-identically in a SQL oracle. */
+  private def dyadicU(idc: Column, salt: String): Column =
+    (hexIv32(md5(concat(idc.cast("string"), lit(salt))))
+      .cast("double") + 0.5) / 4294967296.0
+
+  /** DSIR — Data Selection with Importance Resampling (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): keep the k documents of `raw` whose hashed-n-gram
+    * distribution looks most like a (small) TARGET corpus. Importance
+    * weight per doc is the log-likelihood ratio of two smoothed
+    * bag-of-hashed-grams models, log p_target(doc) − log p_raw(doc).
+    * Smoothing is Jelinek–Mercer interpolation with the uniform bucket
+    * distribution, p_b = (1−λ)·c_b/N + λ/B — NOT add-one: additive
+    * smoothing is swamped by the bucket count when the target corpus is
+    * small (N_target ≪ B collapses p_target toward uniform, which
+    * length-biases the ratio toward SHORT off-target docs); under
+    * interpolation a gram with equal relative frequency in both corpora
+    * scores exactly 0 whatever the two corpus sizes.
+    * Selection is Gumbel top-k on the log weights, i.e. sampling without
+    * replacement proportional to the importance weight, deterministic in
+    * (id, seed) so reruns pick bit-identical documents.
+    *
+    * Scale shape:
+    *  - both gram models live in `buckets` rows (hashing is the method's
+    *    dimensionality bound) → broadcast joins, never a corpus-keyed
+    *    shuffle of text;
+    *  - the corpus is featurized ONCE into per-(doc, bucket) counts (a
+    *    leased frame bounded by tokens, collapsed by bucket reuse) that
+    *    feeds both the raw model and the per-doc scores;
+    *  - the final top-k is [[Global.withGlobalRank]]'s two-pass
+    *    range-partitioned rank — no single-task window, no driver heap.
+    *
+    * The md5-prefix bucket hash is chosen for cross-engine oracle
+    * exactness; at production scale swap in xxhash64 by passing a custom
+    * frame — the estimator only needs ANY uniform hash.
+    *
+    * Returns (idCol, dsir_logw, dsir_key), the k highest keys. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Long, buckets: Int = 4096,
+      seed: Long = 7L, smoothing: Double = 0.1): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    require(smoothing > 0 && smoothing < 1,
+      s"smoothing must be in (0, 1), got $smoothing")
+
+    // target model: ≤ `buckets` rows whatever the target corpus size
+    val tgtCounts = bucketCounts(target, textCol, buckets, "_cp")
+    // one featurization pass over the corpus, shared (via lease) by the
+    // raw model and the scoring join
+    val docBuckets = docBucketCounts(raw, idCol, textCol, buckets)
+    val rawCounts = docBuckets.groupBy("_b").agg(sum("_n").as("_cq"))
+
+    val totals = broadcast(
+      tgtCounts.agg(coalesce(sum("_cp"), lit(0L)).as("_np"))
+        .crossJoin(rawCounts.agg(coalesce(sum("_cq"), lit(0L)).as("_nq"))))
+
+    val scored = docBuckets
+      .join(broadcast(tgtCounts), Seq("_b"), "left")
+      .join(broadcast(rawCounts), Seq("_b"), "left")
+      .crossJoin(totals)
+      .withColumn("_lr",
+        log(jmProb(col("_cp"), col("_np"), buckets, smoothing)) -
+        log(jmProb(col("_cq"), col("_nq"), buckets, smoothing)))
+      .groupBy(idCol)
+      .agg(sum(col("_n") * col("_lr")).as("dsir_logw"))
+
+    // Gumbel top-k: key = logw + Gumbel(u), u the exact dyadic rational
+    // (iv + 0.5) / 2^32 from md5(id:seed) — u ∈ (0, 1) strictly, every
+    // operation exactly reproducible in a SQL oracle
+    val keyed = scored
+      .withColumn("_u", dyadicU(col(idCol), ":" + seed))
+      .withColumn("dsir_key", col("dsir_logw") - log(-log(col("_u"))))
+      .drop("_u")
+    Global.withGlobalRank(keyed,
+        Seq(col("dsir_key").desc, col(idCol).asc), "__rank")
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** GPT-3-style quality classification + Pareto acceptance sampling
+    * (Brown et al. 2020, appendix A: a classifier scores documents
+    * against a high-quality reference; a document is kept when
+    * `score > 1 − pareto(α=9)` so low-scoring docs still enter the
+    * corpus occasionally — a hard threshold would skew the distribution).
+    * The classifier here is hashed-bigram Naive Bayes (the same model
+    * family as fastText's linear classifier, closed-form trainable in
+    * ONE aggregation pass per class): per-doc log-odds = Σ n_b·(ln
+    * p_pos(b) − ln p_neg(b)), Jelinek–Mercer smoothed ([[jmProb]]),
+    * LENGTH-NORMALIZED to the per-gram mean so long documents don't
+    * saturate, squashed to (0,1) by a sigmoid. The Pareto draw is
+    * deterministic in (id, seed) via the dyadic md5 uniform —
+    * u^(−1/α) − 1 is exactly the Lomax draw `numpy.random.pareto`
+    * produces — so reruns keep bit-identical rows.
+    *
+    * Scale shape: both class models are ≤ `buckets` rows (broadcast);
+    * the corpus featurizes once into the leased per-(doc, bucket) frame;
+    * scoring and acceptance are map-side after the broadcast joins.
+    * Returns (idCol, quality_score, kept) for every scorable doc. */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+      positive: DataFrame, negative: DataFrame, buckets: Int = 4096,
+      alpha: Double = 9.0, seed: Long = 11L,
+      smoothing: Double = 0.1): DataFrame = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    require(alpha > 0, s"pareto alpha must be positive, got $alpha")
+    val posCounts = bucketCounts(positive, textCol, buckets, "_cp")
+    val negCounts = bucketCounts(negative, textCol, buckets, "_cn")
+    val docBuckets = docBucketCounts(docs, idCol, textCol, buckets)
+    val totals = broadcast(
+      posCounts.agg(coalesce(sum("_cp"), lit(0L)).as("_np"))
+        .crossJoin(negCounts.agg(coalesce(sum("_cn"), lit(0L)).as("_nn"))))
+    docBuckets
+      .join(broadcast(posCounts), Seq("_b"), "left")
+      .join(broadcast(negCounts), Seq("_b"), "left")
+      .crossJoin(totals)
+      .withColumn("_lr",
+        log(jmProb(col("_cp"), col("_np"), buckets, smoothing)) -
+        log(jmProb(col("_cn"), col("_nn"), buckets, smoothing)))
+      .groupBy(idCol)
+      .agg((sum(col("_n") * col("_lr")) / sum(col("_n"))).as("_mean_lr"))
+      .withColumn("quality_score",
+        lit(1.0) / (lit(1.0) + exp(-col("_mean_lr"))))
+      .withColumn("kept",
+        col("quality_score") >
+          lit(1.0) - (pow(dyadicU(col(idCol), "~" + seed), lit(-1.0 / alpha)) - 1))
+      .select(col(idCol), col("quality_score"), col("kept"))
+  }
+
+  /** Deterministic epoch shuffle into trainer shards — the "global
+    * shuffle" step every pre-training loader needs: a pseudo-random
+    * permutation of the corpus that (a) changes completely between
+    * epochs, (b) is stable across reruns/repartitions (pure function of
+    * id and epoch — no rand(), no partition-dependent ids), and (c) is
+    * emitted as `numShards` independent shards so the write and the
+    * downstream read parallelize shard-per-task.
+    *
+    * Adds (shard, pos): shard ∈ [0, numShards), pos = 1-based position
+    * within the shard in permuted order. The only non-map operation is
+    * one window per shard — a shard IS the unit one loader task reads,
+    * so its single-task materialization is the intended layout; size
+    * shards via numShards (100 TB → O(100k) shards), never one giant
+    * window. */
+  def epochShuffle(docs: DataFrame, idCol: String, numShards: Int,
+      epoch: Long = 0L): DataFrame = {
+    require(numShards > 0, s"need at least one shard, got $numShards")
+    val iv = hexIv32(md5(concat(col(idCol).cast("string"), lit("#" + epoch))))
+    docs
+      .withColumn("_iv", iv)
+      .withColumn("shard", (col("_iv") % numShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_iv"), col(idCol))))
+      .drop("_iv")
+  }
+
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
     require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,

@@ -617,6 +617,122 @@ object Pipeline {
       |SELECT doc_id, wt, sample_priority FROM p
       |ORDER BY sample_priority DESC, doc_id ASC LIMIT 200""".stripMargin
 
+  /** DuckDB side of Curate.hexIv32: integer value of the first 8 hex
+    * digits of `h` (a column holding an md5 hex string). */
+  private def hexIvSql(h: String): String =
+    (1 to 8).map { i =>
+      s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+    }.mkString("(", " + ", ")")
+
+  // ---- DSIR importance resampling toward an in-domain target corpus ----
+  def curate_dsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documents
+    Curate.dsirSelect(docs,
+        target = docs.filter(col("lang") === "en" && col("doc_id") % 4 === 0),
+        idCol = "doc_id", textCol = "text", k = 150, buckets = 4096, seed = 7L)
+      .orderBy(col("dsir_key").desc, col("doc_id").asc)
+  }
+
+  val curateDsirSql = {
+    val gramIv = hexIvSql("h")
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+      |                x -> x <> '') AS toks
+      |  FROM documents),
+      |uni AS (SELECT doc_id, lang, unnest(toks) AS g FROM tok),
+      |bi AS (
+      |  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS g
+      |  FROM (SELECT doc_id, lang, toks, unnest(generate_series(1, len(toks)-1)) AS i
+      |        FROM tok WHERE len(toks) >= 2)),
+      |gh AS (SELECT doc_id, lang, md5(g) AS h
+      |       FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |gb AS (SELECT doc_id, lang, $gramIv % 4096 AS b FROM gh),
+      |db AS (SELECT doc_id, b, count(*) AS n FROM gb GROUP BY doc_id, b),
+      |tgt AS (SELECT b, count(*) AS cp FROM gb
+      |        WHERE lang = 'en' AND doc_id % 4 = 0 GROUP BY b),
+      |qc AS (SELECT b, sum(n) AS cq FROM db GROUP BY b),
+      |tot AS (SELECT (SELECT coalesce(sum(cp), 0) FROM tgt) AS np,
+      |               (SELECT coalesce(sum(cq), 0) FROM qc) AS nq),
+      |lw AS (
+      |  SELECT doc_id,
+      |    sum(n * (ln(0.9 * coalesce(cp, 0) / CAST(greatest(np, 1) AS DOUBLE)
+      |                 + CAST(0.1 AS DOUBLE) / 4096)
+      |           - ln(0.9 * cq / CAST(greatest(nq, 1) AS DOUBLE)
+      |                 + CAST(0.1 AS DOUBLE) / 4096))) AS dsir_logw
+      |  FROM db LEFT JOIN tgt USING (b) JOIN qc USING (b) CROSS JOIN tot
+      |  GROUP BY doc_id),
+      |kh AS (SELECT doc_id, dsir_logw,
+      |              md5(CAST(doc_id AS VARCHAR) || ':7') AS h FROM lw)
+      |SELECT doc_id, dsir_logw,
+      |  dsir_logw - ln(-ln(($gramIv + 0.5) / 4294967296.0)) AS dsir_key
+      |FROM kh
+      |ORDER BY dsir_key DESC, doc_id ASC LIMIT 150""".stripMargin
+  }
+
+  // ---- GPT-3-style quality classifier + Pareto acceptance sampling ----
+  def curate_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documents
+    Curate.qualityClassifier(docs, "doc_id", "text",
+        positive = docs.filter(col("lang") === "en" && col("doc_id") % 3 === 0),
+        negative = docs.filter(col("lang") =!= "en" && col("doc_id") % 3 === 0),
+        buckets = 4096, alpha = 9.0, seed = 11L)
+      .orderBy("doc_id")
+  }
+
+  val curateQualityClassifierSql = {
+    val ivG = hexIvSql("h")
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+      |                x -> x <> '') AS toks
+      |  FROM documents),
+      |uni AS (SELECT doc_id, lang, unnest(toks) AS g FROM tok),
+      |bi AS (
+      |  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS g
+      |  FROM (SELECT doc_id, lang, toks, unnest(generate_series(1, len(toks)-1)) AS i
+      |        FROM tok WHERE len(toks) >= 2)),
+      |gh AS (SELECT doc_id, lang, md5(g) AS h
+      |       FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |gb AS (SELECT doc_id, lang, $ivG % 4096 AS b FROM gh),
+      |db AS (SELECT doc_id, b, count(*) AS n FROM gb GROUP BY doc_id, b),
+      |pos AS (SELECT b, count(*) AS cp FROM gb
+      |        WHERE lang = 'en' AND doc_id % 3 = 0 GROUP BY b),
+      |neg AS (SELECT b, count(*) AS cn FROM gb
+      |        WHERE lang <> 'en' AND doc_id % 3 = 0 GROUP BY b),
+      |tot AS (SELECT (SELECT coalesce(sum(cp), 0) FROM pos) AS np,
+      |               (SELECT coalesce(sum(cn), 0) FROM neg) AS nn),
+      |ml AS (
+      |  SELECT doc_id,
+      |    sum(n * (ln(0.9 * coalesce(cp, 0) / CAST(greatest(np, 1) AS DOUBLE)
+      |                 + CAST(0.1 AS DOUBLE) / 4096)
+      |           - ln(0.9 * coalesce(cn, 0) / CAST(greatest(nn, 1) AS DOUBLE)
+      |                 + CAST(0.1 AS DOUBLE) / 4096))) / sum(n) AS mean_lr
+      |  FROM db LEFT JOIN pos USING (b) LEFT JOIN neg USING (b) CROSS JOIN tot
+      |  GROUP BY doc_id),
+      |sc AS (SELECT doc_id, 1.0 / (1.0 + exp(-mean_lr)) AS quality_score,
+      |              md5(CAST(doc_id AS VARCHAR) || '~11') AS h
+      |       FROM ml)
+      |SELECT doc_id, quality_score,
+      |  quality_score > 1.0 -
+      |    (power(($ivG + 0.5) / 4294967296.0, CAST(-1 AS DOUBLE) / 9) - 1) AS kept
+      |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- deterministic epoch shuffle into trainer shards ----
+  def curate_epoch_shuffle(s: SparkSession, dir: String): DataFrame =
+    Curate.epochShuffle(t(s, dir).documents, "doc_id", numShards = 8, epoch = 3L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  val curateEpochShuffleSql =
+    s"""WITH h AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#3') AS h FROM documents),
+      |iv AS (SELECT doc_id, ${hexIvSql("h")} AS iv FROM h)
+      |SELECT doc_id, CAST(iv % 8 AS INT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY iv % 8 ORDER BY iv, doc_id) AS INT) AS pos
+      |FROM iv ORDER BY shard, pos""".stripMargin
+
   // ---- RAG chunking: 64-token windows, 16-token overlap ----
   def curate_chunk(s: SparkSession, dir: String): DataFrame =
     Curate.chunkDocuments(t(s, dir).documents.filter(col("doc_id") < 100),
@@ -792,6 +908,9 @@ object Pipeline {
     "curate_split" -> (curate_split _),
     "curate_chunk" -> (curate_chunk _),
     "curate_priority_sample" -> (curate_priority_sample _),
+    "curate_dsir" -> (curate_dsir _),
+    "curate_quality_classifier" -> (curate_quality_classifier _),
+    "curate_epoch_shuffle" -> (curate_epoch_shuffle _),
     "text_fingerprint" -> (text_fingerprint _),
     "shard" -> (shard _),
     "checkpoint_resume" -> (checkpoint_resume _))
@@ -827,6 +946,9 @@ object Pipeline {
     "curate_split" -> curateSplitSql,
     "curate_chunk" -> curateChunkSql,
     "curate_priority_sample" -> curatePrioritySampleSql,
+    "curate_dsir" -> curateDsirSql,
+    "curate_quality_classifier" -> curateQualityClassifierSql,
+    "curate_epoch_shuffle" -> curateEpochShuffleSql,
     "text_fingerprint" -> textFingerprintSql,
     "shard" -> shardSql,
     "checkpoint_resume" -> checkpointResumeSql)

@@ -246,6 +246,131 @@ class CurateSpec extends AnyFunSuite {
     assert(a == naive, "distributed sample must equal the reference computation")
   }
 
+  test("dsirSelect prefers target-like documents, deterministically") {
+    // 30 in-domain docs (science-ish vocabulary) + 30 noise docs with a
+    // disjoint vocabulary; the target corpus samples the in-domain style
+    val raw = (0 until 60).map { i =>
+      val text =
+        if (i < 30) s"quantum spark engine data model tensor shard batch q${i % 5}"
+        else s"zzz${i % 7} yyy${i % 5} xxx${i % 3} www vvv uuu ttt n$i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val target = Seq(
+      (1000L, "quantum data engine tensor model"),
+      (1001L, "spark shard batch tensor data"),
+      (1002L, "engine model quantum spark batch")).toDF("doc_id", "text")
+
+    val sel = Curate.dsirSelect(raw, target, "doc_id", "text", k = 20,
+      buckets = 1024, seed = 3L)
+    val rows = sel.collect()
+    assert(rows.length == 20, "must select exactly k documents")
+    val ids = rows.map(_.getLong(0)).toSet
+    val inDomain = ids.count(_ < 30)
+    assert(inDomain >= 18,
+      s"importance resampling must strongly prefer target-like docs, got $inDomain/20")
+
+    // log-weights separate the classes: every in-domain doc outweighs
+    // every noise doc (disjoint vocabularies, smoothing aside)
+    val logw = Curate.dsirSelect(raw, target, "doc_id", "text", k = 60,
+        buckets = 1024, seed = 3L)
+      .select("doc_id", "dsir_logw").as[(Long, Double)].collect().toMap
+    val minIn = (0L until 30L).map(logw).min
+    val maxOut = (30L until 60L).map(logw).max
+    assert(minIn > maxOut,
+      s"in-domain log-weights must dominate: min-in $minIn vs max-out $maxOut")
+
+    // bit-identical rerun; different seed perturbs the boundary sample
+    val again = Curate.dsirSelect(raw, target, "doc_id", "text", k = 20,
+      buckets = 1024, seed = 3L).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted),
+      "same seed must reproduce the identical selection")
+  }
+
+  test("dsirSelect: empty/degenerate docs drop out; k caps the output") {
+    val raw = Seq((1L, "alpha beta"), (2L, ""), (3L, "   "), (4L, "alpha"))
+      .toDF("doc_id", "text")
+    val target = Seq((9L, "alpha beta")).toDF("doc_id", "text")
+    val got = Curate.dsirSelect(raw, target, "doc_id", "text", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L), "zero-gram docs cannot be scored or sampled")
+  }
+
+  test("qualityClassifier separates classes; Pareto acceptance is monotone in score") {
+    // 40 docs: half share vocabulary with the positive reference, half
+    // with the negative one
+    val docs = (0 until 40).map { i =>
+      val text =
+        if (i % 2 == 0) s"clean prose article reference section cite p${i % 5}"
+        else s"buy now click spam winner free q${i % 5} z$i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val pos = Seq((100L, "clean prose article section reference"),
+      (101L, "article cite reference prose")).toDF("doc_id", "text")
+    val neg = Seq((200L, "buy click spam free winner"),
+      (201L, "spam click buy winner")).toDF("doc_id", "text")
+
+    val out = Curate.qualityClassifier(docs, "doc_id", "text", pos, neg,
+      buckets = 1024, alpha = 9.0, seed = 5L)
+      .select("doc_id", "quality_score", "kept")
+      .as[(Long, Double, Boolean)].collect()
+    assert(out.length == 40, "every scorable doc gets a row")
+    val (hi, lo) = out.partition(_._1 % 2 == 0)
+    assert(hi.map(_._2).min > lo.map(_._2).max,
+      "positive-like docs must outscore negative-like docs")
+    assert(hi.forall(_._2 > 0.5) && lo.forall(_._2 < 0.5),
+      "sigmoid scores must sit on the right sides of 0.5")
+    // acceptance replays EXACTLY from (score, id): kept ⟺ score > 1 − (u^(−1/α) − 1)
+    // — P(keep) = (2−score)^−9 is deliberately aggressive (GPT-3 kept a
+    // minority of Common Crawl), so assert the exact rule + monotonicity,
+    // not absolute keep counts
+    def u(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id~5".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8)
+      (java.lang.Long.parseLong(h, 16).toDouble + 0.5) / 4294967296.0
+    }
+    out.foreach { case (id, s0, kept) =>
+      val expect = s0 > 1.0 - (math.pow(u(id), -1.0 / 9.0) - 1.0)
+      assert(kept == expect, s"doc $id acceptance disagrees with the local replay")
+    }
+    assert(hi.count(_._3).toDouble / hi.length > lo.count(_._3).toDouble / lo.length,
+      "keep-rate must be monotone in score")
+    assert(lo.count(_._3) <= 6, s"low-score docs mostly dropped: ${lo.count(_._3)}/20")
+    // deterministic rerun
+    val again = Curate.qualityClassifier(docs, "doc_id", "text", pos, neg,
+      buckets = 1024, alpha = 9.0, seed = 5L)
+      .select("doc_id", "quality_score", "kept")
+      .as[(Long, Double, Boolean)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("epochShuffle: exact permutation per epoch, stable, epoch-sensitive") {
+    val docs = (0 until 500).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    val e0 = Curate.epochShuffle(docs, "doc_id", numShards = 8, epoch = 0L)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    // every doc exactly once; shards within range
+    assert(e0.length == 500 && e0.map(_._1).toSet.size == 500)
+    assert(e0.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions are contiguous 1..n within each shard
+    e0.groupBy(_._2).foreach { case (s, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.sameElements(1 to rows.length), s"shard $s positions not contiguous")
+    }
+    // rerun identical; a different epoch produces a different permutation
+    val e0b = Curate.epochShuffle(docs, "doc_id", numShards = 8, epoch = 0L)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(e0.sortBy(_._1).sameElements(e0b.sortBy(_._1)))
+    val e1 = Curate.epochShuffle(docs, "doc_id", numShards = 8, epoch = 1L)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(e0.sortBy(_._1).map(r => (r._2, r._3)).toSeq !=
+      e1.sortBy(_._1).map(r => (r._2, r._3)).toSeq,
+      "epoch must reshuffle the corpus")
+    // the shuffle is not the identity order within a shard
+    val firstShard = e0.filter(_._2 == e0.head._2).sortBy(_._3).map(_._1)
+    assert(firstShard.toSeq != firstShard.sorted.toSeq,
+      "within-shard order must be permuted, not id order")
+  }
+
   test("prioritySample drops non-positive weights and honors tiny k") {
     val docs = Seq((1L, 0.0), (2L, -3.0), (3L, 5.0), (4L, 1.0))
       .toDF("doc_id", "w")
