@@ -37,7 +37,6 @@ object Bench {
   private[graft] def ensureScaled(spark: SparkSession, base: String, k: Int): String = {
     val dir = s"/tmp/graft_scaled_${k}x_${math.abs(base.hashCode)}"
     val done = new java.io.File(s"$dir/_DONE")
-    if (done.exists) return dir
     val OFF = 100000000L // far above any base key at these SFs
     val t = Tables(spark, base)
     // many files per table: a 100 TB corpus is thousands of row groups —
@@ -58,6 +57,18 @@ object Bench {
       }.drop("__i")
         .write.mode("overwrite").parquet(s"$dir/$name.parquet")
     }
+    // events joined the fixture in r13 (tpcds_exists_demographics pins its
+    // plan at bench scale); fixtures built before then backfill JUST events
+    // without rebuilding the big tables (user_id remaps alongside c_custkey
+    // so per-copy customer⋈events cardinality matches the base)
+    def writeEvents(): Unit =
+      write(t.events, Seq("event_id", "user_id"), "events",
+        math.max(8, factFiles / 4))
+    if (done.exists) {
+      if (!new java.io.File(s"$dir/events.parquet").exists) writeEvents()
+      return dir
+    }
+    writeEvents()
     write(t.lineitem, Seq("l_orderkey", "l_partkey", "l_suppkey"), "lineitem", factFiles)
     write(t.orders, Seq("o_orderkey", "o_custkey"), "orders", factFiles)
     write(t.customer, Seq("c_custkey"), "customer", math.max(8, factFiles / 4))

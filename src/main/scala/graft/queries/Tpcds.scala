@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Caches
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -520,6 +521,109 @@ object Tpcds {
       |  CAST(sum(CASE WHEN l_quantity >= 38 AND l_quantity < 51 AND l_discount >= 0.03 AND l_discount < 0.11 THEN 1 ELSE 0 END) AS BIGINT) AS h8
       |FROM lineitem""".stripMargin
 
+  /** q95-class: orders served by ≥2 distinct suppliers with at least one
+    * returned line — TPC-DS expresses this as two correlated EXISTS over
+    * the fact; here both collapse into ONE per-order aggregate (distinct
+    * supplier count + returned flag + revenue in the same grouped pass,
+    * ~4:1 genuine collapse), and the orderkey partitioning feeds the
+    * orders join. No broadcast anywhere: both join sides are facts. */
+  def multiSuppReturned(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val po = tt.lineitem.groupBy("l_orderkey").agg(
+        countDistinct(col("l_suppkey")).as("__ns"),
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("__hr"),
+        sum(rev).as("__rev"))
+      .filter(col("__ns") >= 2 && col("__hr") === 1)
+    po.join(tt.orders.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("order_count"), sum("__rev").as("total_rev"))
+  }
+
+  val multiSuppReturnedSql =
+    """WITH po AS (
+      |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+      |         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS hr,
+      |         sum(l_extendedprice * (1 - l_discount)) AS rev
+      |  FROM lineitem GROUP BY 1)
+      |SELECT count(*) AS order_count, sum(rev) AS total_rev
+      |FROM po JOIN orders ON l_orderkey = o_orderkey
+      |WHERE ns >= 2 AND hr = 1 AND o_orderstatus = 'F'""".stripMargin
+
+  /** q23-class composite: revenue from FREQUENT parts bought by BEST
+    * customers. Both gating sets are derived from fact aggregates with a
+    * scalar-subquery threshold (frequent = distinct-order count above
+    * 1.1× the cross-part average — scale-invariant, unlike a fixed
+    * count; best = spend above half the max spender). Each derived
+    * aggregate is leased (it feeds both its threshold scalar and the
+    * probe), thresholds attach as 1-row broadcasts, and the gates apply
+    * as LEFT SEMI shuffle joins — the frequent/best sets are
+    * part/customer-DOMAIN sized, far too big to assume broadcastable at
+    * 100 TB. The custkey semi applies on slim orders BEFORE the
+    * fact-fact join so gated rows never reach the big shuffle. */
+  def bestCustFrequentParts(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val pc = Caches.lease(tt.lineitem.groupBy("l_partkey")
+      .agg(countDistinct(col("l_orderkey")).as("__cnt")))
+    val fp = pc.crossJoin(broadcast(pc.agg(avg("__cnt").as("__avg"))))
+      .filter(col("__cnt") > col("__avg") * 1.1)
+      .select("l_partkey")
+    val cs = Caches.lease(tt.orders.groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("__spend")))
+    val bc = cs.crossJoin(broadcast(cs.agg(max("__spend").as("__max"))))
+      .filter(col("__spend") > col("__max") * 0.5)
+      .select(col("o_custkey").as("__bc"))
+    val ordersBest = tt.orders.select("o_orderkey", "o_custkey")
+      .join(bc.hint("shuffle_hash"), col("o_custkey") === col("__bc"), "left_semi")
+    tt.lineitem.select(col("l_orderkey"), col("l_partkey"), rev.as("__r"))
+      .join(fp.hint("shuffle_hash"), Seq("l_partkey"), "left_semi")
+      .join(ordersBest, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum("__r").as("total_rev"), count(lit(1)).as("n_lines"))
+  }
+
+  val bestCustFrequentPartsSql =
+    """WITH pc AS (
+      |  SELECT l_partkey, count(DISTINCT l_orderkey) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |fp AS (SELECT l_partkey FROM pc WHERE cnt > 1.1 * (SELECT avg(cnt) FROM pc)),
+      |cs AS (SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY 1),
+      |bc AS (SELECT o_custkey FROM cs WHERE spend > 0.5 * (SELECT max(spend) FROM cs))
+      |SELECT sum(l_extendedprice * (1 - l_discount)) AS total_rev,
+      |       count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_partkey IN (SELECT l_partkey FROM fp)
+      |  AND o_custkey IN (SELECT o_custkey FROM bc)""".stripMargin
+
+  /** q10/q35-class demographic rollup gated by multi-DATASET existence:
+    * customers with ≥1 finished order AND ≥1 event (the fixture's
+    * behavioral stream stands in for TPC-DS's web/catalog channels),
+    * broken down by nation × segment with count/avg/max/stddev. Two LEFT
+    * SEMI probes on custkey — existence never materializes rows or
+    * multiplies the customer side; the nation dim broadcasts. */
+  def existsDemographics(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val active = tt.orders.filter(col("o_orderstatus") === "F")
+      .select("o_custkey")
+    val engaged = tt.events.select(col("user_id"))
+    tt.customer
+      .join(active, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(engaged, col("c_custkey") === col("user_id"), "left_semi")
+      .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), avg("c_acctbal").as("avg_bal"),
+        max("c_acctbal").as("max_bal"), stddev_samp("c_acctbal").as("sd_bal"))
+      .select("n_name", "c_mktsegment", "cnt", "avg_bal", "max_bal", "sd_bal")
+  }
+
+  val existsDemographicsSql =
+    """SELECT n_name, c_mktsegment, count(*) AS cnt, avg(c_acctbal) AS avg_bal,
+      |       max(c_acctbal) AS max_bal, stddev_samp(c_acctbal) AS sd_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |  AND EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+      |GROUP BY n_name, c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tpcds_rollup_qoh" -> rollupQoh _,
     "tpcds_channel_rollup" -> channelRollup _,
@@ -536,7 +640,10 @@ object Tpcds {
     "tpcds_cumulative_channels" -> cumulativeChannels _,
     "tpcds_buyer_histogram" -> buyerHistogram _,
     "tpcds_moving_deviation" -> movingDeviation _,
-    "tpcds_multi_band_counts" -> multiBandCounts _
+    "tpcds_multi_band_counts" -> multiBandCounts _,
+    "tpcds_multi_supp_returned" -> multiSuppReturned _,
+    "tpcds_best_cust_frequent_parts" -> bestCustFrequentParts _,
+    "tpcds_exists_demographics" -> existsDemographics _
   )
 
   val oracle: Map[String, String] = Map(
@@ -555,6 +662,9 @@ object Tpcds {
     "tpcds_cumulative_channels" -> cumulativeChannelsSql,
     "tpcds_buyer_histogram" -> buyerHistogramSql,
     "tpcds_moving_deviation" -> movingDeviationSql,
-    "tpcds_multi_band_counts" -> multiBandCountsSql
+    "tpcds_multi_band_counts" -> multiBandCountsSql,
+    "tpcds_multi_supp_returned" -> multiSuppReturnedSql,
+    "tpcds_best_cust_frequent_parts" -> bestCustFrequentPartsSql,
+    "tpcds_exists_demographics" -> existsDemographicsSql
   )
 }

@@ -114,6 +114,41 @@ class TpcdsPlanSpec extends AnyFunSuite {
       s"multi-band counts must not expand or join:\n$p")
   }
 
+  test("tpcds_multi_supp_returned: per-order aggregate below a broadcast-free join") {
+    // both join sides are facts — ANY broadcast here is the plan that dies
+    // at 100 TB; and the distinct-supplier/returned/revenue collapse must
+    // happen in ONE grouped pass below the orders join
+    val p = plan("tpcds_multi_supp_returned")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"fact-fact join must not broadcast either side:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("l_orderkey")),
+      s"expected the per-order aggregate pass:\n$p")
+  }
+
+  test("tpcds_best_cust_frequent_parts gates via LEFT SEMI, never materializing sets") {
+    val p = plan("tpcds_best_cust_frequent_parts")
+    val semis = p.linesIterator.count(_.contains("LeftSemi"))
+    assert(semis >= 2, s"expected two semi gates (frequent parts, best customers):\n$p")
+    // the derived part/customer-domain sets must not broadcast (generic
+    // fact-key test also covers this; assert the positive shuffle form)
+    assert(p.linesIterator.exists(l =>
+      l.contains("ShuffledHashJoin") && l.contains("LeftSemi")),
+      s"semi gates should be shuffle-hash joins:\n$p")
+  }
+
+  test("tpcds_exists_demographics: two semi probes, broadcast only the nation dim") {
+    val p = plan("tpcds_exists_demographics")
+    val semis = p.linesIterator.count(_.contains("LeftSemi"))
+    assert(semis == 2, s"expected exactly two existence probes, saw $semis:\n$p")
+    val badBcast = p.linesIterator
+      .filter(_.contains("BroadcastHashJoin"))
+      .filterNot(_.contains("n_nationkey"))
+      .toSeq
+    assert(badBcast.isEmpty,
+      s"only the nation dim may broadcast:\n${badBcast.mkString("\n")}\n$p")
+  }
+
   test("tpcds_selective_star pushes the brand filter to the part scan") {
     val p = plan("tpcds_selective_star")
     assert(p.contains("PushedFilters"), s"no pushdown at all:\n$p")
