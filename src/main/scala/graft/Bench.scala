@@ -103,7 +103,7 @@ object Bench {
     * if the kernel that always costs X s took 1.4X next to a query's reps,
     * the host was provably slow REGARDLESS of what the query did. Min of
     * two runs so a single preemption can't inflate the reading itself. */
-  private def calibSec(): Double = {
+  private[graft] def calibSec(): Double = {
     def once(): Double = {
       var h = 0x9e3779b97f4a7c15L
       val t0 = System.nanoTime()
@@ -126,7 +126,7 @@ object Bench {
     * collapses exactly when the memory controller is the contended
     * resource. Max of two runs (a single preemption can only slow it). */
   private lazy val bwArray: Array[Long] = new Array[Long](32 << 20) // 256 MB
-  private def bwGbps(): Double = {
+  private[graft] def bwGbps(): Double = {
     val threads = 8
     val n = bwArray.length
     def once(): Double = {

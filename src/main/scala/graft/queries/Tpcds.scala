@@ -526,16 +526,31 @@ object Tpcds {
     * the fact; here both collapse into ONE per-order aggregate (distinct
     * supplier count + returned flag + revenue in the same grouped pass,
     * ~4:1 genuine collapse), and the orderkey partitioning feeds the
-    * orders join. No broadcast anywhere: both join sides are facts. */
+    * orders join. No broadcast anywhere: both join sides are facts.
+    *
+    * k=1000 plan history (all three shapes A/B'd same-session):
+    * (1) `count(distinct suppkey)` mixed with plain aggs plans an Expand
+    * (2× the fact) plus a second full (orderkey, suppkey) exchange —
+    * 218.9 s. (2) REJECTED alternative: pre-repartition by orderkey with
+    * a two-step codegen dedup+rollup (the q16/q18 trick) — 126.3 s; the
+    * explicit repartition forfeits map-side partial aggregation, so the
+    * exchange carries RAW fact rows (the q16/q18 wins pre-repartitioned
+    * already-collapsed frames, not a raw fact). (3) SHIPPED:
+    * `size(collect_set(suppkey))` — identical value, ONE orderkey
+    * exchange WITH map-side combine; the 150M-group pass lands on
+    * ObjectHashAggregate (non-codegen) yet measures 63.5 s — partial
+    * aggregation beats codegen here. The unhinted fact-fact join fell to
+    * SMJ sorting 150M orders — SHUFFLE_HASH on the slim unique-keyed
+    * orders side (q21 lesson). */
   def multiSuppReturned(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
     val po = tt.lineitem.groupBy("l_orderkey").agg(
-        countDistinct(col("l_suppkey")).as("__ns"),
+        size(collect_set(col("l_suppkey"))).as("__ns"),
         max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("__hr"),
         sum(rev).as("__rev"))
       .filter(col("__ns") >= 2 && col("__hr") === 1)
     po.join(tt.orders.filter(col("o_orderstatus") === "F")
-          .select("o_orderkey"),
+          .select("o_orderkey").hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .agg(count(lit(1)).as("order_count"), sum("__rev").as("total_rev"))
   }
@@ -563,8 +578,13 @@ object Tpcds {
     * fact-fact join so gated rows never reach the big shuffle. */
   def bestCustFrequentParts(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
+    // size(collect_set) = exact distinct-order count in ONE partkey
+    // exchange WITH map-side combine (A/B'd at k=1000: count(distinct)'s
+    // second full exchange lost; a partkey pre-repartition + codegen
+    // two-step lost too at 129.9 s vs 120.7 s — raw-fact repartition
+    // forfeits partial aggregation, same lesson as multiSuppReturned)
     val pc = Caches.lease(tt.lineitem.groupBy("l_partkey")
-      .agg(countDistinct(col("l_orderkey")).as("__cnt")))
+      .agg(size(collect_set(col("l_orderkey"))).as("__cnt")))
     val fp = pc.crossJoin(broadcast(pc.agg(avg("__cnt").as("__avg"))))
       .filter(col("__cnt") > col("__avg") * 1.1)
       .select("l_partkey")
@@ -577,7 +597,10 @@ object Tpcds {
       .join(bc.hint("shuffle_hash"), col("o_custkey") === col("__bc"), "left_semi")
     tt.lineitem.select(col("l_orderkey"), col("l_partkey"), rev.as("__r"))
       .join(fp.hint("shuffle_hash"), Seq("l_partkey"), "left_semi")
-      .join(ordersBest, col("l_orderkey") === col("o_orderkey"))
+      // unique-keyed after the semi → SHJ build side (the q21 lesson:
+      // an unhinted fact-fact SMJ sorts both 150M-row streams)
+      .join(ordersBest.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
       .agg(sum("__r").as("total_rev"), count(lit(1)).as("n_lines"))
   }
 

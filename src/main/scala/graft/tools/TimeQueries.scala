@@ -26,7 +26,12 @@ object TimeQueries {
     graft.ops.Caches.releaseAll()
     for (k <- ks) {
       val dir = graft.Bench.ensureScaled(spark, "/root/testdata/sf0.1", k)
+      // host-weather telemetry next to every query (same kernels as Bench):
+      // a number recorded without its bw context is unusable for A/Bs —
+      // this session's q95 shape "A/B" swung 63→116 s on pure host drift
       val times = names.map { n =>
+        val bw = graft.Bench.bwGbps()
+        val calib = graft.Bench.calibSec()
         val secs = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try {
@@ -38,10 +43,11 @@ object TimeQueries {
           } finally graft.ops.Caches.releaseAll(blocking = true)
           (System.nanoTime() - t0) / 1e9
         }
-        n -> secs.min
+        (n, secs.min, bw, calib)
       }
       val total = times.map(_._2).sum
-      println(f"""{"metric":"time_$prefix","k":$k,"total_sec":$total%.3f,"queries":{${times.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")}}}""")
+      val bws = times.map(_._3)
+      println(f"""{"metric":"time_$prefix","k":$k,"total_sec":$total%.3f,"bw_best_gbps":${bws.max}%.1f,"bw_worst_gbps":${bws.min}%.1f,"queries":{${times.map { case (n, s, _, _) => f""""$n":$s%.3f""" }.mkString(",")}},"bw_gbps":{${times.map { case (n, _, b, _) => f""""$n":$b%.1f""" }.mkString(",")}},"calib":{${times.map { case (n, _, _, c) => f""""$n":$c%.3f""" }.mkString(",")}}}""")
     }
     spark.stop()
   }
