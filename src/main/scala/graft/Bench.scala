@@ -65,7 +65,11 @@ object Bench {
       write(t.events, Seq("event_id", "user_id"), "events",
         math.max(8, factFiles / 4))
     if (done.exists) {
-      if (!new java.io.File(s"$dir/events.parquet").exists) writeEvents()
+      // gate on the write's OWN commit marker, not directory existence: a
+      // backfill that crashed mid-write leaves the directory (possibly
+      // only _temporary) while _DONE exists, and every later run would
+      // silently reuse the partial fixture (ADVICE r13)
+      if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists) writeEvents()
       return dir
     }
     writeEvents()
@@ -461,9 +465,24 @@ object Bench {
     // every QRes from every tier, for the artifact-level contended flag
     val allRes = scala.collection.mutable.Buffer[QRes]()
 
-    def run(dir: String, names: Seq[String] = headline, nReps: Int = reps): Seq[QRes] =
+    /** `adapt=true` (extended tier, VERDICT r13 #2): reps scale with the
+      * query's own cost — the first rep decides. Queries over ~10 s get
+      * the full headline treatment (3 reps + median + witness filter +
+      * stability retries: one storm rep can no longer ship as THE number,
+      * as r13's official q16=38.1 s did while four quiet runs sat ≤7 s);
+      * 5-10 s queries get 2 reps; short ones stay single-rep (scheduler
+      * floor dominates, spread gate would only add bench time). */
+    def run(dir: String, names: Seq[String] = headline, nReps: Int = reps,
+        adapt: Boolean = false): Seq[QRes] =
       names.map { name =>
-        var runs = (1 to nReps).map(_ => runOnce(dir, name)).toVector
+        var runs = Vector(runOnce(dir, name))
+        var target = nReps
+        if (adapt && runs.head._2) {
+          if (runs.head._1 > 10.0) target = math.max(target, 3)
+          else if (runs.head._1 > 5.0) target = math.max(target, 2)
+        }
+        runs ++= (runs.size until target).map(_ => runOnce(dir, name))
+        val nSel = target
         def okSecs = runs.collect { case (s, true, _, _) => s }
         // host-witness rep filter (r13): a rep whose adjacent host
         // readings were provably slow is excluded from median selection
@@ -484,7 +503,7 @@ object Bench {
           }
           (if (clean.size >= 2) clean else ok).map(_._1)
         }
-        def chosen = selectReps(witnessedSecs, nReps)
+        def chosen = selectReps(witnessedSecs, nSel)
         def unstable = {
           val c = chosen
           c.nonEmpty && c.max - c.min > spreadBound(median(c))
@@ -493,7 +512,7 @@ object Bench {
         // times (r11 #3 — two retries couldn't converge the tighter gate);
         // only meaningful at nReps >= 2 (a single rep has spread 0)
         var extra = 0
-        while (nReps >= 2 && okSecs.nonEmpty && unstable && extra < 4) {
+        while (nSel >= 2 && okSecs.nonEmpty && unstable && extra < 4) {
           runs :+= runOnce(dir, name)
           extra += 1
         }
@@ -613,9 +632,14 @@ object Bench {
       // slow on EITHER instrument: cpu kernel (frequency/steal) or
       // bandwidth kernel (memory controller — the r13 q16 blind spot:
       // clean cpu calib, 2x wall on identical plans and bytes)
+      // r14: a query whose selected reps STILL disagree after the bounded
+      // retries (unstable) is also rescued — its median is suspect by the
+      // gate's own definition, and the extended tier previously had no
+      // path to a clean-host re-measure for it
       val slow = res0.filter(r => r.ok &&
         ((bestCalib < Double.MaxValue && r.calib > 1.35 * bestCalib) ||
-         (bestBw > 0.0 && r.bw < 0.65 * bestBw))).map(_.name)
+         (bestBw > 0.0 && r.bw < 0.65 * bestBw) ||
+         r.unstable)).map(_.name)
       if (slow.isEmpty) return res0
       System.err.println(
         s"[bench] calib-slow at ${f"$gb%.1f"} GB: ${slow.mkString(",")} " +
@@ -686,11 +710,15 @@ object Bench {
         freshTier()
         warm(sdir)
         def runExtended(dir: String): Seq[QRes] = {
-          val res = run(dir, extended.filterNot(extendedNoisy), nReps = 1) ++
-            run(dir, extended.filter(extendedNoisy), nReps = 2)
+          // adapt=true (r13 #2): expensive extended queries self-select
+          // into the headline rep/median machinery — see run()
+          val res = run(dir, extended.filterNot(extendedNoisy), nReps = 1,
+              adapt = true) ++
+            run(dir, extended.filter(extendedNoisy), nReps = 2, adapt = true)
           // noisy queries keep 2 reps on the rescue pass too
           def reRun(d: String, names: Seq[String]): Seq[QRes] =
-            names.flatMap(n => run(d, Seq(n), if (extendedNoisy(n)) 2 else 1))
+            names.flatMap(n =>
+              run(d, Seq(n), if (extendedNoisy(n)) 2 else 1, adapt = true))
           val rescued = rescueByCalib(dir, res, reRun)
           extended.flatMap(n => rescued.find(_.name == n)) // report in q-order
         }

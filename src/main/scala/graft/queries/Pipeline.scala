@@ -625,6 +625,13 @@ object Pipeline {
     }.mkString("(", " + ", ")")
 
   // ---- DSIR importance resampling toward an in-domain target corpus ----
+  // STRICT-parity caveat (ADVICE r13): the exact-double oracle match here
+  // (and in curate_quality_classifier) rides on JVM Math.log/exp/pow
+  // agreeing with DuckDB's libm to the last ulp AND on per-doc summation
+  // order surviving Spark partial aggregation — green on this host, but
+  // environment-sensitive. The GATING level is the driver's normalized
+  // hash (which absorbs last-ulp drift); the STRICT claim is a local
+  // diagnostic, not a portability guarantee.
   def curate_dsir(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir).documents
     Curate.dsirSelect(docs,

@@ -30,11 +30,45 @@ object Tpcds {
 
   private def rev: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** EXACT monetary arithmetic (VERDICT r13 #1): several queries in this
+    * module decompose a revenue sum through eager pre-aggregates /
+    * rollups / windows while the oracle sums once — double addition is
+    * not associative, so the decomposition drifted ~1e-14 relative on
+    * 1e8-scale totals and failed the driver's hash on three rows
+    * (channel_rollup, rank_rollup, yoy). Decimal addition IS associative:
+    * the fixtures' monetary doubles carry exactly 2 decimal digits, so
+    * the DECIMAL(18,4) casts are exact (no rounding ambiguity between
+    * Spark's HALF_UP and DuckDB's round-away-from-zero — no value sits on
+    * a tie), the product of two scale-4 decimals is exact at scale 8, and
+    * any summation order / plan decomposition produces the identical
+    * decimal. The FINAL column casts back to double; the only residual
+    * freedom is that one cast (DuckDB computes it as two float roundings,
+    * measured ≤1 ulp off Java's correctly-rounded BigDecimal.doubleValue)
+    * — the last-ulp class the driver's normalization has absorbed every
+    * round (q9). Mirrored in each oracle SQL. */
+  private def revD: Column =
+    col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+  private val revDSql =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+  private def priceD: Column = col("o_totalprice").cast("decimal(18,4)")
+
+  /** Final monetary decimal→double cast, routed through scale 4: a
+    * monetary sum carries at most 4 decimal digits (products of two
+    * 2-decimal values), so the downcast is exact — and at scale 4 the
+    * unscaled value fits 2^53 at every verify scale, making BOTH engines'
+    * double conversions correctly rounded (DuckDB's direct
+    * DECIMAL(38,8)→DOUBLE is two float roundings, measured 1 ulp off
+    * Java's BigDecimal.doubleValue on 1e9-scale sums). */
+  private def money(c: Column): Column = c.cast("decimal(28,4)").cast("double")
+
   /** q22-class: ROLLUP over part attributes of avg line quantity.
     * Eager aggregation below the join (sum/count partials by partkey —
     * ~rows-per-part× less data through the part join), rollup re-combines
     * partials so its grouping passes run on part-count rows, not
-    * lineitem-count. */
+    * lineitem-count. Float-sum audit (r14): l_quantity is integer-valued,
+    * so the double sums are EXACT below 2^53 regardless of association —
+    * this decomposition cannot drift (unlike the monetary sums, see revD). */
   def rollupQoh(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
     val partials = tt.lineitem.groupBy("l_partkey")
@@ -61,9 +95,13 @@ object Tpcds {
     // pattern as multiFactStar: ~4 lineitems per order genuinely collapse,
     // the map-side partial shrinks the lineitem exchange ~4x, and the
     // orderkey partitioning serves the join — no added exchange)
+    // decimal through the whole decomposition (see revD): the per-order /
+    // per-cust partials and the rollup re-sum in exact arithmetic, so the
+    // three-level decomposition is bit-equal to the oracle's single sum
+    val zeroD = lit(0).cast("decimal(38,8)")
     val channel = tt.lineitem.select(col("l_orderkey"),
-        when(col("l_returnflag") === "R", lit(0.0)).otherwise(rev).as("sales"),
-        when(col("l_returnflag") === "R", rev).otherwise(lit(0.0)).as("returns"))
+        when(col("l_returnflag") === "R", zeroD).otherwise(revD).as("sales"),
+        when(col("l_returnflag") === "R", revD).otherwise(zeroD).as("returns"))
       .groupBy("l_orderkey")
       .agg(sum("sales").as("__os"), sum("returns").as("__orr"))
     val perCust = channel
@@ -77,16 +115,18 @@ object Tpcds {
       .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(tt.region), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(sum("__s").as("sales"), sum("__r").as("returns"))
-      .select("r_name", "n_name", "sales", "returns")
+      .agg(sum("__s").as("__sales"), sum("__r").as("__returns"))
+      .select(col("r_name"), col("n_name"),
+        money(col("__sales")).as("sales"),
+        money(col("__returns")).as("returns"))
   }
 
   val channelRollupSql =
-    """SELECT r_name, n_name,
-      |  sum(CASE WHEN l_returnflag = 'R' THEN 0.0
-      |           ELSE l_extendedprice * (1 - l_discount) END) AS sales,
-      |  sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount)
-      |           ELSE 0.0 END) AS returns
+    s"""SELECT r_name, n_name,
+      |  CAST(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0
+      |    ELSE $revDSql END) AS DECIMAL(28,4)) AS DOUBLE) AS sales,
+      |  CAST(CAST(sum(CASE WHEN l_returnflag = 'R' THEN $revDSql
+      |    ELSE 0 END) AS DECIMAL(28,4)) AS DOUBLE) AS returns
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -124,16 +164,19 @@ object Tpcds {
     val tt = t(s, dir)
     tt.customer.createOrReplaceTempView("__tpcds_customer")
     tt.nation.createOrReplaceTempView("__tpcds_nation")
+    // exact decimal balance sums (see revD — same 2-decimal fixture
+    // property holds for c_acctbal), so the grouping-sets Expand's
+    // summation order can't drift vs the oracle
     s.sql(
       """SELECT n_name, c_mktsegment, count(*) AS n,
-        |  CAST(sum(c_acctbal) AS DOUBLE) AS bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
         |FROM __tpcds_customer JOIN __tpcds_nation ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin)
   }
 
   val groupingSetsSqlOracle =
     """SELECT n_name, c_mktsegment, count(*) AS n,
-      |  CAST(sum(c_acctbal) AS DOUBLE) AS bal
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin
 
@@ -143,26 +186,32 @@ object Tpcds {
     * corpus-scaled sort; ties keep rank() deterministic as a SET. */
   def rankRollup(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    val partials = tt.lineitem.groupBy("l_partkey").agg(sum(rev).as("__s"))
+    // decimal partials (see revD): the per-partkey pre-agg + rollup re-sum
+    // are exact, so the rank's ORDER BY keys are bit-equal to the oracle's
+    // (a drifted double could flip a near-tie and change rk); double-cast
+    // only in the final projection
+    val partials = tt.lineitem.groupBy("l_partkey").agg(sum(revD).as("__s"))
     val rolled = partials
       .join(tt.part.select("p_partkey", "p_brand", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .rollup(col("p_brand"), col("p_type"))
-      .agg(sum("__s").as("sumsales"))
+      .agg(sum("__s").as("__sumsales"))
     rolled
       .withColumn("rk", rank().over(
-        Window.partitionBy("p_brand").orderBy(col("sumsales").desc)))
+        Window.partitionBy("p_brand").orderBy(col("__sumsales").desc)))
       .filter(col("rk") <= 3)
-      .select("p_brand", "p_type", "sumsales", "rk")
+      .select(col("p_brand"), col("p_type"),
+        money(col("__sumsales")).as("sumsales"), col("rk"))
   }
 
   val rankRollupSql =
-    """SELECT p_brand, p_type, sumsales, rk FROM (
+    s"""SELECT p_brand, p_type,
+      |  CAST(CAST(sumsales AS DECIMAL(28,4)) AS DOUBLE) AS sumsales, rk FROM (
       |  SELECT p_brand, p_type, sumsales,
       |    rank() OVER (PARTITION BY p_brand ORDER BY sumsales DESC) AS rk
       |  FROM (
       |    SELECT p_brand, p_type,
-      |      sum(l_extendedprice * (1 - l_discount)) AS sumsales
+      |      sum($revDSql) AS sumsales
       |    FROM lineitem JOIN part ON l_partkey = p_partkey
       |    GROUP BY ROLLUP(p_brand, p_type)) agg) ranked
       |WHERE rk <= 3""".stripMargin
@@ -180,14 +229,17 @@ object Tpcds {
     // partial shrinks the lineitem exchange ~4x, and the aggregate's
     // orderkey partitioning is exactly the join's requirement, so the
     // pre-agg adds NO exchange of its own
-    val liPerOrder = tt.lineitem.select(col("l_orderkey"), rev.as("__r"))
+    // decimal through the order→cust→nation decomposition (see revD):
+    // the oracle's CTEs sum once per channel, this plan sums three times —
+    // exact arithmetic makes the two bit-equal
+    val liPerOrder = tt.lineitem.select(col("l_orderkey"), revD.as("__r"))
       .groupBy("l_orderkey").agg(sum("__r").as("__or"))
     val liPerCust = liPerOrder
       .join(tt.orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey").agg(sum("__or").as("__lirev"))
     val ordPerCust = tt.orders.groupBy("o_custkey")
-      .agg(sum("o_totalprice").as("__ordrev"))
+      .agg(sum(priceD).as("__ordrev"))
     // merge the channels per custkey FIRST: both aggregates are already
     // custkey-partitioned, so this join adds no exchange — then customer/
     // nation are walked ONCE instead of once per channel (the r13 first
@@ -205,7 +257,8 @@ object Tpcds {
       .join(broadcast(tt.nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum("__lirev").as("li_rev"), sum("__ordrev").as("ord_rev"))
+      .agg(money(sum("__lirev")).as("li_rev"),
+        money(sum("__ordrev")).as("ord_rev"))
       // oracle parity: its per-channel CTEs INNER-join on n_name, so a
       // nation present in only one channel (impossible here, but cheap to
       // pin on 25 rows) must drop
@@ -214,15 +267,16 @@ object Tpcds {
   }
 
   val multiFactStarSql =
-    """WITH li AS (
-      |  SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS li_rev
+    s"""WITH li AS (
+      |  SELECT n_name, CAST(CAST(sum($revDSql) AS DECIMAL(28,4)) AS DOUBLE) AS li_rev
       |  FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
       |  GROUP BY n_name),
       |ord AS (
-      |  SELECT n_name, sum(o_totalprice) AS ord_rev
+      |  SELECT n_name, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    AS DECIMAL(28,4)) AS DOUBLE) AS ord_rev
       |  FROM orders
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
@@ -235,12 +289,16 @@ object Tpcds {
     * the fact is read ONCE. */
   def yoy(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
+    // decimal per-year sums (see revD); both sides cast to double FIRST
+    // and the ratio divides the doubles — one deterministic fp division on
+    // bit-identical inputs, instead of Spark/DuckDB's differing
+    // decimal-division scale rules
     val perYear = tt.lineitem
-      .select(col("l_orderkey"), rev.as("__r"))
+      .select(col("l_orderkey"), revD.as("__r"))
       .join(tt.orders.select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).as("yr"))
-      .agg(sum("__r").as("__rev"))
+      .agg(money(sum("__r")).as("__rev"))
     val cur = perYear.select(col("yr"), col("__rev").as("cur_rev"))
     val prev = perYear.select((col("yr") + 1).as("yr"), col("__rev").as("prev_rev"))
     cur.join(broadcast(prev), Seq("yr"))
@@ -249,9 +307,9 @@ object Tpcds {
   }
 
   val yoySql =
-    """WITH per_year AS (
+    s"""WITH per_year AS (
       |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
-      |    sum(l_extendedprice * (1 - l_discount)) AS r
+      |    CAST(CAST(sum($revDSql) AS DECIMAL(28,4)) AS DOUBLE) AS r
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1)
       |SELECT cur.yr AS yr, cur.r AS cur_rev, prev.r AS prev_rev,
@@ -264,21 +322,31 @@ object Tpcds {
     * aggregate underneath). */
   def shareWithinType(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    val agg = tt.lineitem.groupBy("l_partkey").agg(sum(rev).as("__s"))
+    // decimal partials + decimal window sum (see revD): both numerator and
+    // denominator are exact and cast to double before the one division,
+    // so the share matches the oracle bit-for-bit (a double window sum
+    // would re-associate in partition data order — non-deterministic)
+    val agg = tt.lineitem.groupBy("l_partkey").agg(sum(revD).as("__s"))
       .join(tt.part.select("p_partkey", "p_brand", "p_type"),
         col("l_partkey") === col("p_partkey"))
-      .groupBy("p_type", "p_brand").agg(sum("__s").as("brand_rev"))
-    agg.withColumn("share",
-        col("brand_rev") / sum("brand_rev").over(Window.partitionBy("p_type")))
-      .select("p_type", "p_brand", "brand_rev", "share")
+      .groupBy("p_type", "p_brand").agg(sum("__s").as("__brand_rev"))
+    agg
+      .withColumn("__type_rev",
+        sum("__brand_rev").over(Window.partitionBy("p_type")))
+      .select(col("p_type"), col("p_brand"),
+        money(col("__brand_rev")).as("brand_rev"),
+        (money(col("__brand_rev")) / money(col("__type_rev"))).as("share"))
   }
 
   val shareWithinTypeSql =
-    """SELECT p_type, p_brand, brand_rev,
-      |  brand_rev / sum(brand_rev) OVER (PARTITION BY p_type) AS share
+    s"""SELECT p_type, p_brand,
+      |  CAST(CAST(brand_rev AS DECIMAL(28,4)) AS DOUBLE) AS brand_rev,
+      |  CAST(CAST(brand_rev AS DECIMAL(28,4)) AS DOUBLE) /
+      |    CAST(CAST(sum(brand_rev) OVER (PARTITION BY p_type)
+      |      AS DECIMAL(28,4)) AS DOUBLE) AS share
       |FROM (
       |  SELECT p_type, p_brand,
-      |    sum(l_extendedprice * (1 - l_discount)) AS brand_rev
+      |    sum($revDSql) AS brand_rev
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY p_type, p_brand) agg""".stripMargin
 
@@ -345,14 +413,17 @@ object Tpcds {
         quarter(col("o_orderdate")).cast("int").as("qtr"),
         col("o_totalprice"))
       .rollup(col("yr"), col("qtr"))
-      .agg(sum("o_totalprice").as("total"), count(lit(1)).as("n_orders"))
+      // exact decimal sums through the rollup (see revD)
+      .agg(money(sum(priceD)).as("total"), count(lit(1)).as("n_orders"))
       .select("yr", "qtr", "total", "n_orders")
   }
 
   val rollupTimeSql =
     """SELECT CAST(year(o_orderdate) AS INT) AS yr,
       |  CAST(quarter(o_orderdate) AS INT) AS qtr,
-      |  sum(o_totalprice) AS total, count(*) AS n_orders
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    AS DECIMAL(28,4)) AS DOUBLE) AS total,
+      |  count(*) AS n_orders
       |FROM orders
       |GROUP BY ROLLUP(1, 2)""".stripMargin
 
@@ -368,17 +439,19 @@ object Tpcds {
       .join(broadcast(tt.region.filter(col("r_name") =!= "REGION_0")),
         col("n_regionkey") === col("r_regionkey"))
       .select("c_custkey", "r_name")
-    tt.lineitem.select(col("l_orderkey"), col("l_partkey"), rev.as("__r"))
+    tt.lineitem.select(col("l_orderkey"), col("l_partkey"), revD.as("__r"))
       .join(partF.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
       .join(tt.orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(geo, col("o_custkey") === col("c_custkey"))
-      .groupBy("r_name", "p_brand").agg(sum("__r").as("revenue"))
+      .groupBy("r_name", "p_brand")
+      .agg(money(sum("__r")).as("revenue"))
       .select("r_name", "p_brand", "revenue")
   }
 
   val selectiveStarSql =
-    """SELECT r_name, p_brand, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    s"""SELECT r_name, p_brand,
+      |  CAST(CAST(sum($revDSql) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |JOIN orders ON l_orderkey = o_orderkey
@@ -407,7 +480,11 @@ object Tpcds {
         col("o_totalprice"))
       .join(tt.customer.select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
-      .groupBy("c_mktsegment", "mon").agg(sum("o_totalprice").as("rev"))
+      // exact decimal group sums cast to double (see revD): the running
+      // window then accumulates bit-identical doubles in deterministic
+      // ORDER BY mon order on both sides
+      .groupBy("c_mktsegment", "mon")
+      .agg(money(sum(priceD)).as("rev"))
     val cum = segMonth.withColumn("cum_rev",
       sum("rev").over(Window.partitionBy("c_mktsegment").orderBy("mon")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -419,7 +496,8 @@ object Tpcds {
   val cumulativeChannelsSql =
     """WITH seg_month AS (
       |  SELECT c_mktsegment, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
-      |    sum(o_totalprice) AS rev
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+      |      AS DECIMAL(28,4)) AS DOUBLE) AS rev
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |  GROUP BY 1, 2),
       |cum AS (
@@ -466,13 +544,17 @@ object Tpcds {
     * WindowExec). */
   def movingDeviation(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
+    // decimal group sums cast to double IMMEDIATELY (see revD): the window
+    // avg then runs over bit-identical doubles in deterministic ORDER BY mo
+    // frame order on both sides, so the >10% deviation filter can't flip a
+    // knife-edge row
     val monthly = tt.lineitem
       .select(col("l_partkey"), trunc(col("l_shipdate"), "mon").as("mo"),
-        rev.as("__r"))
+        revD.as("__r"))
       .join(tt.part.select("p_partkey", "p_brand").hint("shuffle_hash"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "mo")
-      .agg(sum("__r").as("brand_rev"))
+      .agg(money(sum("__r")).as("brand_rev"))
     val w = Window.partitionBy("p_brand").orderBy("mo").rowsBetween(-1, 1)
     monthly.withColumn("avg_rev", avg("brand_rev").over(w))
       .filter(abs(col("brand_rev") - col("avg_rev")) > col("avg_rev") * 0.1)
@@ -480,9 +562,9 @@ object Tpcds {
   }
 
   val movingDeviationSql =
-    """WITH monthly AS (
+    s"""WITH monthly AS (
       |  SELECT p_brand, CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
-      |    sum(l_extendedprice * (1 - l_discount)) AS brand_rev
+      |    CAST(CAST(sum($revDSql) AS DECIMAL(28,4)) AS DOUBLE) AS brand_rev
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY 1, 2)
       |SELECT p_brand, mo, brand_rev, avg_rev
@@ -544,24 +626,27 @@ object Tpcds {
     * orders side (q21 lesson). */
   def multiSuppReturned(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
+    // decimal through the per-order → grand-total decomposition (see revD)
     val po = tt.lineitem.groupBy("l_orderkey").agg(
         size(collect_set(col("l_suppkey"))).as("__ns"),
         max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("__hr"),
-        sum(rev).as("__rev"))
+        sum(revD).as("__rev"))
       .filter(col("__ns") >= 2 && col("__hr") === 1)
     po.join(tt.orders.filter(col("o_orderstatus") === "F")
           .select("o_orderkey").hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
-      .agg(count(lit(1)).as("order_count"), sum("__rev").as("total_rev"))
+      .agg(count(lit(1)).as("order_count"),
+        money(sum("__rev")).as("total_rev"))
   }
 
   val multiSuppReturnedSql =
-    """WITH po AS (
+    s"""WITH po AS (
       |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
       |         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS hr,
-      |         sum(l_extendedprice * (1 - l_discount)) AS rev
+      |         sum($revDSql) AS rev
       |  FROM lineitem GROUP BY 1)
-      |SELECT count(*) AS order_count, sum(rev) AS total_rev
+      |SELECT count(*) AS order_count,
+      |  CAST(CAST(sum(rev) AS DECIMAL(28,4)) AS DOUBLE) AS total_rev
       |FROM po JOIN orders ON l_orderkey = o_orderkey
       |WHERE ns >= 2 AND hr = 1 AND o_orderstatus = 'F'""".stripMargin
 
@@ -588,30 +673,36 @@ object Tpcds {
     val fp = pc.crossJoin(broadcast(pc.agg(avg("__cnt").as("__avg"))))
       .filter(col("__cnt") > col("__avg") * 1.1)
       .select("l_partkey")
+    // exact per-cust spend (decimal sum, double-cast — see revD): the
+    // 0.5×max threshold compare then runs on bit-identical doubles, so a
+    // knife-edge customer can't flip membership vs the oracle
     val cs = Caches.lease(tt.orders.groupBy("o_custkey")
-      .agg(sum("o_totalprice").as("__spend")))
+      .agg(money(sum(priceD)).as("__spend")))
     val bc = cs.crossJoin(broadcast(cs.agg(max("__spend").as("__max"))))
       .filter(col("__spend") > col("__max") * 0.5)
       .select(col("o_custkey").as("__bc"))
     val ordersBest = tt.orders.select("o_orderkey", "o_custkey")
       .join(bc.hint("shuffle_hash"), col("o_custkey") === col("__bc"), "left_semi")
-    tt.lineitem.select(col("l_orderkey"), col("l_partkey"), rev.as("__r"))
+    tt.lineitem.select(col("l_orderkey"), col("l_partkey"), revD.as("__r"))
       .join(fp.hint("shuffle_hash"), Seq("l_partkey"), "left_semi")
       // unique-keyed after the semi → SHJ build side (the q21 lesson:
       // an unhinted fact-fact SMJ sorts both 150M-row streams)
       .join(ordersBest.hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
-      .agg(sum("__r").as("total_rev"), count(lit(1)).as("n_lines"))
+      .agg(money(sum("__r")).as("total_rev"), count(lit(1)).as("n_lines"))
   }
 
   val bestCustFrequentPartsSql =
-    """WITH pc AS (
+    s"""WITH pc AS (
       |  SELECT l_partkey, count(DISTINCT l_orderkey) AS cnt
       |  FROM lineitem GROUP BY 1),
       |fp AS (SELECT l_partkey FROM pc WHERE cnt > 1.1 * (SELECT avg(cnt) FROM pc)),
-      |cs AS (SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY 1),
+      |cs AS (SELECT o_custkey,
+      |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+      |           AS DECIMAL(28,4)) AS DOUBLE) AS spend
+      |       FROM orders GROUP BY 1),
       |bc AS (SELECT o_custkey FROM cs WHERE spend > 0.5 * (SELECT max(spend) FROM cs))
-      |SELECT sum(l_extendedprice * (1 - l_discount)) AS total_rev,
+      |SELECT CAST(CAST(sum($revDSql) AS DECIMAL(28,4)) AS DOUBLE) AS total_rev,
       |       count(*) AS n_lines
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_partkey IN (SELECT l_partkey FROM fp)
@@ -628,24 +719,52 @@ object Tpcds {
     val active = tt.orders.filter(col("o_orderstatus") === "F")
       .select("o_custkey")
     val engaged = tt.events.select(col("user_id"))
+    // avg/stddev from EXACT decimal moments (see revD): native
+    // stddev_samp accumulates doubles in partition data order (measured
+    // 23-ulp drift vs DuckDB at sf0.01 — near the driver's normalization
+    // boundary). sum(x) and sum(x²) are exact decimals (x has 2 decimal
+    // digits, x² exactly 4), cast to double once, and both engines then
+    // evaluate the IDENTICAL closed-form expression on bit-identical
+    // inputs. n=1 groups → explicit NULL (stddev_samp semantics);
+    // greatest(…, 0) guards the cancellation term going −ε.
+    val balD = col("c_acctbal").cast("decimal(18,4)")
     tt.customer
       .join(active, col("c_custkey") === col("o_custkey"), "left_semi")
       .join(engaged, col("c_custkey") === col("user_id"), "left_semi")
       .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name", "c_mktsegment")
-      .agg(count(lit(1)).as("cnt"), avg("c_acctbal").as("avg_bal"),
-        max("c_acctbal").as("max_bal"), stddev_samp("c_acctbal").as("sd_bal"))
-      .select("n_name", "c_mktsegment", "cnt", "avg_bal", "max_bal", "sd_bal")
+      .agg(count(lit(1)).as("cnt"),
+        money(sum(balD)).as("__s"),
+        money(sum(balD * balD)).as("__ss"),
+        max("c_acctbal").as("max_bal"))
+      .select(col("n_name"), col("c_mktsegment"), col("cnt"),
+        (col("__s") / col("cnt")).as("avg_bal"), col("max_bal"),
+        when(col("cnt") > 1,
+          sqrt(greatest(
+            (col("__ss") - col("__s") * col("__s") / col("cnt")) /
+              (col("cnt") - 1), lit(0.0))))
+          .as("sd_bal"))
   }
 
   val existsDemographicsSql =
-    """SELECT n_name, c_mktsegment, count(*) AS cnt, avg(c_acctbal) AS avg_bal,
-      |       max(c_acctbal) AS max_bal, stddev_samp(c_acctbal) AS sd_bal
-      |FROM customer JOIN nation ON c_nationkey = n_nationkey
-      |WHERE EXISTS (SELECT 1 FROM orders
-      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-      |  AND EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
-      |GROUP BY n_name, c_mktsegment""".stripMargin
+    """WITH g AS (
+      |  SELECT n_name, c_mktsegment, count(*) AS cnt,
+      |         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+      |           AS DECIMAL(28,4)) AS DOUBLE) AS s,
+      |         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)) *
+      |                       CAST(c_acctbal AS DECIMAL(18,4)))
+      |           AS DECIMAL(28,4)) AS DOUBLE) AS ss,
+      |         max(c_acctbal) AS max_bal
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE EXISTS (SELECT 1 FROM orders
+      |                WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |    AND EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+      |  GROUP BY n_name, c_mktsegment)
+      |SELECT n_name, c_mktsegment, cnt, s / cnt AS avg_bal, max_bal,
+      |       CASE WHEN cnt > 1
+      |            THEN sqrt(greatest((ss - s * s / cnt) / (cnt - 1), 0))
+      |            ELSE NULL END AS sd_bal
+      |FROM g""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "tpcds_rollup_qoh" -> rollupQoh _,

@@ -253,7 +253,7 @@ object Tpch2 {
     require(sb.isNullAt(0) || (sb.getLong(0) >= 0L && sb.getLong(1) < packBase),
       s"q16 pack invariant: s_suppkey domain [${sb.get(0)}, ${sb.get(1)}] " +
         s"outside [0, $packBase)")
-    tt.lineitem.select("l_partkey", "l_suppkey")
+    val packed = tt.lineitem.select("l_partkey", "l_suppkey")
       .join(partG.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
       .select((col("gid").cast("long") * packBase + col("l_suppkey")).as("gk"))
       // pre-repartition on the dedup key: (gid, suppkey) pairs are ~98%
@@ -281,8 +281,27 @@ object Tpch2 {
       // cores at 100 TB. Explicit N (not AQE): an explicit repartition
       // is never re-split, and the posture wants dedup maps sized to
       // cache, not to core count.
-      .repartition(dedupWidth(s, dir), col("gk"))
-      .distinct()
+    // A/B variant (VERDICT r13 #3): the residual 2× quiet-run swing is the
+    // distinct's hash maps chasing pointers under memory-bandwidth
+    // contention. Sort-based dedup inside the already-repartitioned
+    // partitions — Tungsten radix sort on primitive longs (sequential
+    // access) + a streaming adjacent-equal filter — trades the hash probes
+    // for sorts. Toggle: SPARK_GRAFT_Q16_SORTDEDUP=1.
+    val deduped =
+      if (sys.env.get("SPARK_GRAFT_Q16_SORTDEDUP").contains("1")) {
+        import s.implicits._
+        packed.repartition(dedupWidth(s, dir), col("gk"))
+          .sortWithinPartitions("gk")
+          .as[Long]
+          .mapPartitions { it =>
+            var prev = -1L // gk ≥ packBase > 0, so -1 is a safe sentinel
+            it.filter { x => val keep = x != prev; prev = x; keep }
+          }
+          .toDF("gk")
+      } else {
+        packed.repartition(dedupWidth(s, dir), col("gk")).distinct()
+      }
+    deduped
       .select(expr(s"gk div $packBase").cast("int").as("gid")) // integer div: exact unpack
       .groupBy("gid").agg(count(lit(1)).as("supplier_cnt"))
       .join(broadcast(dim), Seq("gid"))

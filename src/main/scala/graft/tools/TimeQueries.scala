@@ -13,9 +13,13 @@ object TimeQueries {
     val ks = sys.env.getOrElse("TIME_K", "100,1000")
       .split(",").map(_.trim.toInt).toSeq
     val reps = sys.env.getOrElse("TIME_REPS", "2").toInt
+    val names = graft.SparkEntry.queries.keys.filter(_.startsWith(prefix)).toSeq.sorted
+    if (names.isEmpty) { // ADVICE r13: bws.max below throws on an empty match
+      System.err.println(s"[time] no queries match TIME_PREFIX=$prefix")
+      return
+    }
     graft.Engine.preferShmLocalDir()
     val spark = graft.Engine.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val names = graft.SparkEntry.queries.keys.filter(_.startsWith(prefix)).toSeq.sorted
     def drain(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     // codegen/JIT warmup on the smallest fixture (same rationale as Bench)

@@ -121,9 +121,13 @@ class TpcdsPlanSpec extends AnyFunSuite {
     val p = plan("tpcds_multi_supp_returned")
     assert(!p.contains("BroadcastHashJoin"),
       s"fact-fact join must not broadcast either side:\n$p")
+    // explicit (Object)HashAggregate match (ADVICE r13): the collect_set
+    // pass lands on ObjectHashAggregate, which "HashAggregate" matched only
+    // as a substring — a silent SortAggregate regression must fail loudly
     assert(p.linesIterator.exists(l =>
-      l.contains("HashAggregate") && l.contains("l_orderkey")),
-      s"expected the per-order aggregate pass:\n$p")
+      l.matches(".*\\b(HashAggregate|ObjectHashAggregate)\\b.*") &&
+        l.contains("l_orderkey")),
+      s"expected the per-order (Object)HashAggregate pass:\n$p")
   }
 
   test("tpcds_best_cust_frequent_parts gates via LEFT SEMI, never materializing sets") {
