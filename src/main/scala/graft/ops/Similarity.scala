@@ -13,11 +13,24 @@ import org.apache.spark.sql.expressions.Window
   * (corpus scan cost / (nlist/nprobe)). */
 object Similarity {
 
+  /** Hard cap on the broadcast query set (VERDICT r13 #6): the contract
+    * is a SMALL query frame — a 10M-row query side would OOM every
+    * executor as a broadcast build. ~100k queries × ~128 floats ≈ 64 MB,
+    * around Spark's own broadcast comfort ceiling. Past the cap the
+    * caller should flip the roles (query the corpus in batches) or use
+    * [[ivfTopK]], whose probe join shuffles instead of broadcasting. */
+  val MaxBroadcastQueries = 100000L
+
   /** Exact top-k: every (query, corpus) pair scored, top k per query.
     * The query side is broadcast; the corpus is never shuffled — the
     * window ranks within query-id partitions of the (small) scored set. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String, k: Int): DataFrame = {
+    val nq = queries.count() // metadata-plane action on the SMALL side
+    require(nq <= MaxBroadcastQueries,
+      s"bruteForceTopK broadcasts the query set: $nq queries exceed the " +
+        s"$MaxBroadcastQueries cap — batch the queries or use ivfTopK " +
+        "(shuffled probe join) for corpus-scaled query frames")
     val scored = corpus.join(
         broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv"))))
       .withColumn("cos_sim", GDist.cosineSimilarityNative(col("qv"), col(cVec)))

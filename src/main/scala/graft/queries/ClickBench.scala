@@ -491,7 +491,44 @@ object ClickBench {
     """SELECT event_id, ts, user_id, event_type, value, props FROM events
       |WHERE props LIKE '%"k": 2%' ORDER BY ts ASC, event_id ASC LIMIT 10""".stripMargin
 
+  /** Q34/35 shape (`SELECT URL, COUNT(*) ... GROUP BY URL ORDER BY c DESC
+    * LIMIT 10`): a HIGH-cardinality synthesized-string group key — the
+    * URL column has no bounded domain (grows with users), so the group-by
+    * hash map holds string keys and the exchange moves them. Deterministic
+    * tiebreak on the key (counts tie heavily). */
+  def cb_url_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .withColumn("url", concat_ws("/", lit("https://ex.com"),
+        col("event_type"), col("user_id")))
+      .groupBy("url").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("url").asc)
+      .limit(10)
+
+  val cbUrlTopkSql =
+    """SELECT 'https://ex.com/' || event_type || '/' ||
+      |         CAST(user_id AS VARCHAR) AS url, count(*) AS c
+      |FROM events GROUP BY 1 ORDER BY c DESC, url ASC LIMIT 10""".stripMargin
+
+  /** Q39-43 shape (`... ORDER BY PageViews DESC LIMIT 10 OFFSET 1000`):
+    * row-level pagination — FULL-WIDTH rows through an ordered
+    * limit+offset. Spark plans CollectLimit(offset+k) and skips the
+    * offset rows: bounded by offset+k however large the corpus, no
+    * global sort materialization. */
+  def cb_page_offset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .filter(col("event_type") =!= "error")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .offset(1000).limit(10)
+
+  val cbPageOffsetSql =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM events
+      |WHERE event_type <> 'error'
+      |ORDER BY ts ASC, event_id ASC LIMIT 10 OFFSET 1000""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cb_url_topk" -> (cb_url_topk _),
+    "cb_page_offset" -> (cb_page_offset _),
     "cb_case_group_key" -> (cb_case_group_key _),
     "cb_selective_page" -> (cb_selective_page _),
     "cb_star_topk" -> (cb_star_topk _),
@@ -519,6 +556,8 @@ object ClickBench {
     "cb_retention" -> (cb_retention _))
 
   val oracle: Map[String, String] = Map(
+    "cb_url_topk" -> cbUrlTopkSql,
+    "cb_page_offset" -> cbPageOffsetSql,
     "cb_case_group_key" -> cbCaseGroupKeySql,
     "cb_selective_page" -> cbSelectivePageSql,
     "cb_star_topk" -> cbStarTopkSql,

@@ -766,7 +766,239 @@ object Tpcds {
       |            ELSE NULL END AS sd_bal
       |FROM g""".stripMargin
 
+  /** q64-class multi-round join chain (`benchmarking/tpcds/queries/64.sql`:
+    * item sold through one channel, returned, re-bought cheaper across two
+    * years, walked through a dozen dims): adapted as per-(part, year)
+    * average unit price via a lineitem⋈orders chain, self-joined across
+    * consecutive years to find parts whose price dropped >5%, then the
+    * part dim joined for a brand-level rollup of the finding. Three join
+    * rounds on three different keys (orderkey, partkey+yr, partkey).
+    *
+    * Scale posture: the per-(part, yr) aggregate collapses the fact to
+    * part×years rows BEFORE the self-join (leased — it feeds both sides);
+    * the cross-year join is part-domain-sized but still a fact-derived
+    * frame, so shuffle-hash, never broadcast; the unit price divides two
+    * EXACT sums (decimal price, integer-valued qty), so the >5% filter
+    * compares bit-identical doubles on both engines.
+    *
+    * Timed (r14, TimeQueries with in-artifact bw): k=100 23.7 s @ bw
+    * 12.7 (storm), k=1000 179.4 s @ bw 24.1 — the heaviest slice query
+    * by design (q64 is the heaviest TPC-DS query); the lag-window
+    * alternative was A/B'd and rejected (see body). */
+  def priceChain(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val perPartYr = tt.lineitem.select(col("l_orderkey"), col("l_partkey"),
+        col("l_extendedprice").cast("decimal(18,4)").as("__p"),
+        col("l_quantity"))
+      .join(tt.orders.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"), year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(money(sum("__p")).as("__psum"), sum("l_quantity").as("__qsum"))
+    if (!sys.env.get("SPARK_GRAFT_PRICECHAIN_WINDOW").contains("1")) {
+      // SHIPPED: leased self-join. The "obvious" Spark-first alternative —
+      // lag() over (partition by partkey order by yr), one pass, no lease
+      // — was A/B'd at k=1000 and REJECTED: 477.9 s @ bw 16.4 vs this
+      // shape's 179.4 s @ bw 24.1 (~2× worse after weather-normalizing).
+      // WindowExec is row-at-a-time (no whole-stage codegen) and its
+      // 140M-row sort-and-walk costs far more than the lease
+      // materialization + codegen SHJ it replaces. Lesson: windows win
+      // on BOUNDED-domain frames (rank_rollup's ~900 rows), not on
+      // part-scaled ones.
+      val leased = Caches.lease(perPartYr)
+      val cur = leased.select(col("l_partkey"), col("yr"),
+        (col("__psum") / col("__qsum")).as("cur_price"))
+      val prev = leased.select(col("l_partkey"), (col("yr") + 1).as("yr"),
+        (col("__psum") / col("__qsum")).as("prev_price"))
+      cur.join(prev.hint("shuffle_hash"), Seq("l_partkey", "yr"))
+        .filter(col("cur_price") < col("prev_price") * 0.95)
+        .join(tt.part.select("p_partkey", "p_brand").hint("shuffle_hash"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "yr")
+        .agg(count(lit(1)).as("n_cheaper"))
+        .select("p_brand", "yr", "n_cheaper")
+    } else {
+      // REJECTED variant, kept for re-measurement (numbers above):
+      // consecutive-year comparison as a lag() window per partkey.
+      // lag(yr) gates on ACTUAL consecutiveness (a year gap is not a
+      // prev-year observation), matching the self-join's yr = yr + 1.
+      val w = Window.partitionBy("l_partkey").orderBy("yr")
+      perPartYr
+        .select(col("l_partkey"), col("yr"),
+          (col("__psum") / col("__qsum")).as("cur_price"),
+          lag(col("__psum") / col("__qsum"), 1).over(w).as("prev_price"),
+          lag(col("yr"), 1).over(w).as("__prev_yr"))
+        .filter(col("__prev_yr") === col("yr") - 1 &&
+          col("cur_price") < col("prev_price") * 0.95)
+        .join(tt.part.select("p_partkey", "p_brand").hint("shuffle_hash"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "yr")
+        .agg(count(lit(1)).as("n_cheaper"))
+        .select("p_brand", "yr", "n_cheaper")
+    }
+  }
+
+  val priceChainSql =
+    """WITH ppy AS (
+      |  SELECT l_partkey, CAST(year(o_orderdate) AS INT) AS yr,
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |      AS DECIMAL(28,4)) AS DOUBLE) AS psum,
+      |    sum(l_quantity) AS qsum
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT p_brand, cur.yr AS yr, count(*) AS n_cheaper
+      |FROM ppy cur
+      |JOIN ppy prev ON cur.l_partkey = prev.l_partkey AND cur.yr = prev.yr + 1
+      |JOIN part ON cur.l_partkey = p_partkey
+      |WHERE cur.psum / cur.qsum < (prev.psum / prev.qsum) * 0.95
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q78-class three-channel year-over-year (`78.sql`: per-(customer,
+    * year) sales from store/web/catalog channels, ratio across years):
+    * adapted with the fixture's three monetary channels — kept lineitem
+    * revenue (sales), returned lineitem revenue (returns), and order
+    * totalprice (spend) — per (custkey, year), merged on leased
+    * aggregates, self-joined across consecutive years, and rolled up to
+    * per-year grower counts.
+    *
+    * Scale posture: each channel pre-aggregates to (custkey, yr) before
+    * anything joins (the per-order pass collapses ~4:1 and its orderkey
+    * partitioning feeds the orders join); the channel merge and the
+    * cross-year self-join run on customer-domain frames (leased — the
+    * frame feeds both sides), shuffle-joined since customers scale with
+    * the corpus; all sums decimal-exact (see revD) so the 1.1× grower
+    * filter compares bit-identical doubles. */
+  def threeChannelYoy(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val zeroD = lit(0).cast("decimal(38,8)")
+    val yrCol = year(col("o_orderdate")).cast("int").as("yr")
+    // per-order lineitem pass (~4:1 collapse), routed to the customer
+    val chanLi = tt.lineitem.select(col("l_orderkey"),
+        when(col("l_returnflag") === "R", zeroD).otherwise(revD).as("__s"),
+        when(col("l_returnflag") === "R", revD).otherwise(zeroD).as("__r"))
+      .groupBy("l_orderkey")
+      .agg(sum("__s").as("__s"), sum("__r").as("__r"))
+      .join(tt.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+          .hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), yrCol, col("__s"), col("__r"),
+        zeroD.as("__o"))
+    val chanOrd = tt.orders.select(col("o_custkey"), yrCol,
+      zeroD.as("__s"), zeroD.as("__r"), priceD.cast("decimal(38,8)").as("__o"))
+    // channel MERGE AS A UNION feeding one (custkey, yr) aggregate — the
+    // first cut merged two separately-aggregated channels with an outer
+    // join over a leased 105M-row frame and self-joined it for the YoY
+    // pair: 275 s at k=1000 on a CLEAN host (bw 44.7) — the lease
+    // materialization + prev-side re-exchange + 105M-row SHJ build were
+    // the whole cost. The union pays ONE exchange of slim tagged rows
+    // with map-side combine and needs no outer join (absent channels sum
+    // to 0 = the oracle's coalesce).
+    val perCY = chanLi.unionByName(chanOrd)
+      .groupBy("o_custkey", "yr")
+      .agg((sum("__s") - sum("__r")).as("__net"), sum("__o").as("__osum"))
+    // consecutive-year pairing per customer: collect the ≤|years| rows
+    // into a sorted array and compare adjacent entries with codegen array
+    // HOFs — no lease, no self-join, no WindowExec (the priceChain A/B
+    // showed row-at-a-time windows lose ~2× on fact-derived frames).
+    // NOTE Spark SQL a[i] is 0-BASED (element_at is the 1-based one).
+    val paired = perCY
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(
+        struct(col("yr"), col("__net"), col("__osum")))).as("a"))
+      // single-year customers have no consecutive pair — and Spark's
+      // sequence(1, 0) DESCENDS, so the transform would index out of
+      // bounds on a 1-element array
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        """filter(
+          |  transform(sequence(1, size(a) - 1),
+          |    i -> struct(a[i].yr AS yr, a[i].__net AS net,
+          |                a[i].__osum AS osum,
+          |                a[i-1].yr AS pyr, a[i-1].__net AS pnet)),
+          |  p -> p.pyr = p.yr - 1)""".stripMargin)).as("p"))
+      .select(col("p.yr").as("yr"), col("p.net").as("__net"),
+        col("p.osum").as("__osum"), col("p.pnet").as("__pnet"))
+    paired
+      .filter(money(col("__net")) > money(col("__pnet")) * 1.1 &&
+        money(col("__pnet")) > 0)
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_growers"),
+        money(sum("__net")).as("grower_net"),
+        money(sum("__osum")).as("grower_spend"))
+      .select("yr", "n_growers", "grower_net", "grower_spend")
+  }
+
+  val threeChannelYoySql =
+    s"""WITH li AS (
+      |  SELECT o_custkey AS ck, CAST(year(o_orderdate) AS INT) AS yr,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE $revDSql END) AS sal,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN $revDSql ELSE 0 END) AS ret
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |ord AS (
+      |  SELECT o_custkey AS ck, CAST(year(o_orderdate) AS INT) AS yr,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS osum
+      |  FROM orders GROUP BY 1, 2),
+      |cy AS (
+      |  SELECT ord.ck AS ck, ord.yr AS yr,
+      |    coalesce(sal, 0) - coalesce(ret, 0) AS net, osum
+      |  FROM ord LEFT JOIN li ON ord.ck = li.ck AND ord.yr = li.yr)
+      |SELECT cur.yr AS yr, count(*) AS n_growers,
+      |  CAST(CAST(sum(cur.net) AS DECIMAL(28,4)) AS DOUBLE) AS grower_net,
+      |  CAST(CAST(sum(cur.osum) AS DECIMAL(28,4)) AS DOUBLE) AS grower_spend
+      |FROM cy cur JOIN cy prev ON cur.ck = prev.ck AND cur.yr = prev.yr + 1
+      |WHERE CAST(CAST(cur.net AS DECIMAL(28,4)) AS DOUBLE) >
+      |        CAST(CAST(prev.net AS DECIMAL(28,4)) AS DOUBLE) * 1.1
+      |  AND CAST(CAST(prev.net AS DECIMAL(28,4)) AS DOUBLE) > 0
+      |GROUP BY 1""".stripMargin
+
+  /** q72-class three-fact join (`72.sql`: catalog_sales ⋈ inventory ⋈
+    * warehouse with a date-keyed condition): adapted as lineitem ⋈ orders
+    * ⋈ events — the behavioral stream stands in for inventory, joined on
+    * the composite (custkey, day-of-month) key since the fixture's event
+    * and order timelines don't overlap. Three facts, two shuffles on two
+    * DIFFERENT keys (orderkey; custkey+dom), grouped to the bounded
+    * event-type domain.
+    *
+    * Scale posture: events pre-aggregate to (user, dom, type) — bounded
+    * per-key multiplicity (≤ type domain per (user, dom)) so the
+    * fact⋈fact join cannot explode; no broadcast anywhere (all three
+    * inputs scale with the corpus); quantity sums are exact
+    * integer-valued doubles. */
+  def threeFactBehavior(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val evAgg = tt.events
+      .groupBy(col("user_id"), dayofmonth(col("ts")).as("e_dom"),
+        col("event_type"))
+      .agg(count(lit(1)).as("__ne"))
+    val oe = tt.orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+      .join(evAgg.hint("shuffle_hash"),
+        col("o_custkey") === col("user_id") && col("dom") === col("e_dom"))
+      .select("o_orderkey", "event_type", "__ne")
+    tt.lineitem.select("l_orderkey", "l_quantity")
+      .join(oe.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"),
+        sum("__ne").as("n_ev"))
+      .select("event_type", "n_lines", "sum_qty", "n_ev")
+  }
+
+  val threeFactBehaviorSql =
+    """WITH ev AS (
+      |  SELECT user_id, day(ts) AS dom, event_type, count(*) AS ne
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, count(*) AS n_lines, sum(l_quantity) AS sum_qty,
+      |  CAST(sum(ne) AS BIGINT) AS n_ev
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN ev ON o_custkey = ev.user_id AND day(o_orderdate) = ev.dom
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_price_chain" -> priceChain _,
+    "tpcds_three_channel_yoy" -> threeChannelYoy _,
+    "tpcds_three_fact_behavior" -> threeFactBehavior _,
     "tpcds_rollup_qoh" -> rollupQoh _,
     "tpcds_channel_rollup" -> channelRollup _,
     "tpcds_cube_flags" -> cubeFlags _,
@@ -789,6 +1021,9 @@ object Tpcds {
   )
 
   val oracle: Map[String, String] = Map(
+    "tpcds_price_chain" -> priceChainSql,
+    "tpcds_three_channel_yoy" -> threeChannelYoySql,
+    "tpcds_three_fact_behavior" -> threeFactBehaviorSql,
     "tpcds_rollup_qoh" -> rollupQohSql,
     "tpcds_channel_rollup" -> channelRollupSql,
     "tpcds_cube_flags" -> cubeFlagsSql,

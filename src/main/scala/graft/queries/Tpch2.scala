@@ -281,12 +281,21 @@ object Tpch2 {
       // cores at 100 TB. Explicit N (not AQE): an explicit repartition
       // is never re-split, and the posture wants dedup maps sized to
       // cache, not to core count.
-    // A/B variant (VERDICT r13 #3): the residual 2× quiet-run swing is the
-    // distinct's hash maps chasing pointers under memory-bandwidth
-    // contention. Sort-based dedup inside the already-repartitioned
-    // partitions — Tungsten radix sort on primitive longs (sequential
-    // access) + a streaming adjacent-equal filter — trades the hash probes
-    // for sorts. Toggle: SPARK_GRAFT_Q16_SORTDEDUP=1.
+    // A/B variant (VERDICT r13 #3), measured and REJECTED: the residual
+    // 2× quiet-run swing is the distinct's hash maps chasing pointers
+    // under memory-bandwidth contention, so sort-based dedup inside the
+    // already-repartitioned partitions (Tungsten radix sort on primitive
+    // longs + a streaming adjacent-equal filter) was tried as the
+    // sequential-access alternative. Measured under a REAL bandwidth
+    // storm (r14, interleaved same-weather pairs, bw readings
+    // in-artifact): k=100 the sort variant wins narrowly every pair
+    // (9.7→9.6, 8.2→8.0, 9.0→8.3 s) but at k=1000 it loses ~2×
+    // (hash 98.1 s @ bw 38.1 vs sort 183.6 s @ bw 30.4) — the typed
+    // mapPartitions round-trip (deserialize→filter→reserialize ~450M
+    // rows) costs far more than the hash probes it replaces, and the
+    // radix sort buffers are just as bandwidth-bound as the maps. The
+    // hash distinct stays; toggle kept for re-measurement:
+    // SPARK_GRAFT_Q16_SORTDEDUP=1.
     val deduped =
       if (sys.env.get("SPARK_GRAFT_Q16_SORTDEDUP").contains("1")) {
         import s.implicits._

@@ -112,6 +112,26 @@ class ScaleSpec extends AnyFunSuite {
       "no nested-loop join against the centroid table")
   }
 
+  test("bruteForceTopK refuses a corpus-scaled query frame (broadcast cap)") {
+    // the contract is a SMALL query set: the query side is broadcast, so
+    // an unbounded query frame would OOM every executor build — the guard
+    // must fail loudly BEFORE any executor sees the broadcast
+    val e = Tables(spark, dir).embeddings
+    val wide = e.crossJoin(spark.range(
+      graft.ops.Similarity.MaxBroadcastQueries / 10 + 2).select(col("id")))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.bruteForceTopK(
+        wide, e, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+    }
+    assert(ex.getMessage.contains("ivfTopK"),
+      s"guard should point at the scale path: ${ex.getMessage}")
+    // and the documented small-query contract still works
+    val ok = graft.ops.Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 3), e, "vec_id", "embedding",
+      "vec_id", "embedding", k = 2)
+    assert(ok.count() == 6)
+  }
+
   test("order-only global window runs two-pass — no single-task Window") {
     val plan = executedPlan(queries.Windows.window_order_only(spark, dir))
     assert(!plan.contains("Window"),

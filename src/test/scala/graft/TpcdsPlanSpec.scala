@@ -25,7 +25,8 @@ class TpcdsPlanSpec extends AnyFunSuite {
   // raw BroadcastExchange counts would also see the true-dim joins
   // (nation/region, bounded aggregate frames), which are fine.
   private val factKeys = Seq(
-    "o_custkey", "c_custkey", "l_orderkey", "o_orderkey", "l_partkey", "p_partkey")
+    "o_custkey", "c_custkey", "l_orderkey", "o_orderkey", "l_partkey",
+    "p_partkey", "user_id") // user_id: events is a fact too (r14 3-fact shape)
 
   for (q <- graft.queries.Tpcds.queries.keys.toSeq.sorted)
     test(s"$q never broadcasts on a fact join key at bench scale") {
@@ -158,5 +159,43 @@ class TpcdsPlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters"), s"no pushdown at all:\n$p")
     assert(p.contains("In(p_brand") || p.contains("p_brand#"),
       s"brand filter should reach the part side:\n$p")
+  }
+
+  test("tpcds_price_chain: leased per-(part,yr) aggregate feeds both self-join sides") {
+    // the q64-class chain must collapse the fact ONCE — two independent
+    // fact scans for cur/prev would double the heavy work; and the
+    // cross-year + part joins must stay shuffle-hash (part-domain frames
+    // are fact-derived, never broadcast)
+    val p = plan("tpcds_price_chain")
+    assert(p.linesIterator.count(_.contains("InMemoryRelation")) >= 2,
+      s"expected the leased per-(part,yr) aggregate on BOTH sides:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"all joins should be shuffle-hash at this tier:\n$p")
+  }
+
+  test("tpcds_three_channel_yoy: per-order pass below the orders join") {
+    // the ~4:1 per-order collapse must happen before anything joins — a
+    // raw lineitem⋈orders join would move the full fact through the
+    // custkey exchange
+    val p = plan("tpcds_three_channel_yoy")
+    assert(p.linesIterator.exists(l =>
+      l.matches(".*\\b(HashAggregate|ObjectHashAggregate)\\b.*") &&
+        l.contains("keys=[l_orderkey")),
+      s"expected the per-order aggregate pass:\n$p")
+    assert(p.linesIterator.count(_.contains("InMemoryRelation")) >= 2,
+      s"expected the leased channel merge on BOTH self-join sides:\n$p")
+  }
+
+  test("tpcds_three_fact_behavior: events pre-aggregate below the fact joins") {
+    // the (user, dom, type) pre-agg bounds the orders⋈events multiplicity
+    // (≤ type domain per key) — joining raw events would explode the
+    // orderkey exchange by events-per-(user,dom)
+    val p = plan("tpcds_three_fact_behavior")
+    assert(p.linesIterator.exists(l =>
+      l.matches(".*\\b(HashAggregate|ObjectHashAggregate)\\b.*") &&
+        l.contains("user_id")),
+      s"expected the per-(user,dom,type) events aggregate:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"three facts — nothing may broadcast:\n$p")
   }
 }
