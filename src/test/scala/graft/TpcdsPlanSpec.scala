@@ -173,17 +173,21 @@ class TpcdsPlanSpec extends AnyFunSuite {
       s"all joins should be shuffle-hash at this tier:\n$p")
   }
 
-  test("tpcds_three_channel_yoy: per-order pass below the orders join") {
+  test("tpcds_three_channel_yoy: per-order pass + union channel merge") {
     // the ~4:1 per-order collapse must happen before anything joins — a
     // raw lineitem⋈orders join would move the full fact through the
-    // custkey exchange
+    // custkey exchange; and the channel merge must be the UNION feeding
+    // one (custkey, yr) aggregate (the rejected first cut materialized a
+    // 105M-row lease and self-joined it: 275 s at k=1000 on a clean host)
     val p = plan("tpcds_three_channel_yoy")
     assert(p.linesIterator.exists(l =>
       l.matches(".*\\b(HashAggregate|ObjectHashAggregate)\\b.*") &&
         l.contains("keys=[l_orderkey")),
       s"expected the per-order aggregate pass:\n$p")
-    assert(p.linesIterator.count(_.contains("InMemoryRelation")) >= 2,
-      s"expected the leased channel merge on BOTH self-join sides:\n$p")
+    assert(p.contains("Union"),
+      s"expected the union channel merge:\n$p")
+    assert(!p.contains("InMemoryRelation"),
+      s"no lease in the union shape (the rejected self-join needed one):\n$p")
   }
 
   test("tpcds_three_fact_behavior: events pre-aggregate below the fact joins") {
