@@ -31,14 +31,20 @@ object Io {
     s.read.option("header", "true").option("inferSchema", "true")
       .csv(s"$ioDir/lineitem_csv")
       .groupBy("l_returnflag")
+      // exact decimal price sum (r14): the 5 groups each sum ~1/5 of the
+      // fact, so double re-association drifted abs 2.6e-4 at sf0.1; qty is
+      // integer-valued (exact in double). The roundtrip under test carries
+      // the RAW columns — only the verification aggregate is decimal.
       .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"),
-           sum("l_extendedprice").as("price"))
+           sum(col("l_extendedprice").cast("decimal(18,4)"))
+             .cast("decimal(28,4)").cast("double").as("price"))
       .orderBy("l_returnflag")
   }
 
   val ioCsvRoundtripSql =
     """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty,
-      |  sum(l_extendedprice) AS price
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |    AS DECIMAL(28,4)) AS DOUBLE) AS price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Line-delimited JSON write → read (read_json/write_json). */
@@ -48,12 +54,19 @@ object Io {
     src.write.mode("overwrite").json(s"$ioDir/orders_json")
     s.read.json(s"$ioDir/orders_json")
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+      // exact decimal total (r14): 3 groups each summing ~1/3 of orders —
+      // double re-association drifted abs 1.4e-4 at sf0.1; the JSON
+      // roundtrip under test carries the RAW column
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,4)"))
+             .cast("decimal(28,4)").cast("double").as("total"))
       .orderBy("o_orderstatus")
   }
 
   val ioJsonRoundtripSql =
-    """SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    AS DECIMAL(28,4)) AS DOUBLE) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** Hive-style partitioned parquet write (ref daft-writers partition.rs),

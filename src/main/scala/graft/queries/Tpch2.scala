@@ -453,11 +453,19 @@ object Tpch2 {
           col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
         (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
           col("l_quantity") >= 20 && col("l_quantity") <= 30))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      // exact decimal sum (r14 float-sum sweep): one grand total over the
+      // surviving rows — double summation drifted abs 2.8e-6 vs the oracle
+      // at sf0.1 (pure re-association, grows with scale); the filtered set
+      // is small, so the decimal agg costs nothing next to the scan+join
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .cast("decimal(28,4)").cast("double").as("revenue"))
   }
 
   val q19Sql =
-    """SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,4)) AS DOUBLE)
+      |  AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
       |       AND l_quantity >= 1 AND l_quantity <= 11)
