@@ -28,39 +28,40 @@ object Tpcds {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
-  private def rev: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
-
   /** EXACT monetary arithmetic (VERDICT r13 #1): several queries in this
     * module decompose a revenue sum through eager pre-aggregates /
     * rollups / windows while the oracle sums once — double addition is
     * not associative, so the decomposition drifted ~1e-14 relative on
     * 1e8-scale totals and failed the driver's hash on three rows
-    * (channel_rollup, rank_rollup, yoy). Decimal addition IS associative:
-    * the fixtures' monetary doubles carry exactly 2 decimal digits, so
-    * the DECIMAL(18,4) casts are exact (no rounding ambiguity between
-    * Spark's HALF_UP and DuckDB's round-away-from-zero — no value sits on
-    * a tie), the product of two scale-4 decimals is exact at scale 8, and
-    * any summation order / plan decomposition produces the identical
-    * decimal. The FINAL column casts back to double; the only residual
-    * freedom is that one cast (DuckDB computes it as two float roundings,
-    * measured ≤1 ulp off Java's correctly-rounded BigDecimal.doubleValue)
-    * — the last-ulp class the driver's normalization has absorbed every
-    * round (q9). Mirrored in each oracle SQL. */
-  private def revD: Column =
-    col("l_extendedprice").cast("decimal(18,4)") *
-      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
-  private val revDSql =
-    "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
-  private def priceD: Column = col("o_totalprice").cast("decimal(18,4)")
-
-  /** Final monetary decimal→double cast, routed through scale 4: a
-    * monetary sum carries at most 4 decimal digits (products of two
-    * 2-decimal values), so the downcast is exact — and at scale 4 the
-    * unscaled value fits 2^53 at every verify scale, making BOTH engines'
-    * double conversions correctly rounded (DuckDB's direct
-    * DECIMAL(38,8)→DOUBLE is two float roundings, measured 1 ulp off
-    * Java's BigDecimal.doubleValue on 1e9-scale sums). */
-  private def money(c: Column): Column = c.cast("decimal(28,4)").cast("double")
+    * (channel_rollup, rank_rollup, yoy). The fix is exact associative
+    * arithmetic mirrored in each oracle SQL, via FIXED-POINT LONGS
+    * (r14 second iteration): the first cut used DECIMAL(18,4) sums, whose
+    * products promote to DECIMAL(38,8) — past Spark's 18-digit compact
+    * (long-backed) representation, so every fact-scale aggregate fell off
+    * codegen onto BigDecimal objects and the heavy slice queries
+    * regressed up to 5× at k=1000 (multi_supp 63.5 s r13 → 356.9 s,
+    * best_cust → 443.3 s, same bw band). Cents are exact: the fixtures'
+    * monetary doubles carry 2 decimals, so round(x*100) recovers the
+    * integer cents identically in both engines (true value within 1e-6
+    * of the integer — no rounding ambiguity), revenue
+    * cents×(100−disc100) is an exact long at scale 1e4, and long sums
+    * are associative, overflow-safe to ~9e14 currency units at scale 4
+    * (5 orders past the verify tiers), and pure codegen. The single
+    * final conversion `(double)sum / 10^s` is the IDENTICAL two-op
+    * IEEE sequence in Spark and DuckDB → bit-equal at any magnitude. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def centsSql(e: String): String = s"CAST(round($e * 100) AS BIGINT)"
+  private def revL: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+  private val revLSql =
+    s"${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})"
+  private def priceL: Column = cents(col("o_totalprice"))
+  private val priceLSql = centsSql("o_totalprice")
+  /** scale-1e4 long (revenue) → currency double; identical in DuckDB as
+    * `CAST(x AS DOUBLE) / 10000.0`. */
+  private def money4(c: Column): Column = c.cast("double") / lit(10000.0)
+  /** scale-1e2 long (cents) → currency double; DuckDB: `/ 100.0`. */
+  private def money2(c: Column): Column = c.cast("double") / lit(100.0)
 
   /** q22-class: ROLLUP over part attributes of avg line quantity.
     * Eager aggregation below the join (sum/count partials by partkey —
@@ -95,13 +96,13 @@ object Tpcds {
     // pattern as multiFactStar: ~4 lineitems per order genuinely collapse,
     // the map-side partial shrinks the lineitem exchange ~4x, and the
     // orderkey partitioning serves the join — no added exchange)
-    // decimal through the whole decomposition (see revD): the per-order /
-    // per-cust partials and the rollup re-sum in exact arithmetic, so the
-    // three-level decomposition is bit-equal to the oracle's single sum
-    val zeroD = lit(0).cast("decimal(38,8)")
+    // fixed-point longs through the whole decomposition (see revL): the
+    // per-order / per-cust partials and the rollup re-sum in exact
+    // arithmetic, so the three-level decomposition is bit-equal to the
+    // oracle's single sum — and every aggregate stays codegen
     val channel = tt.lineitem.select(col("l_orderkey"),
-        when(col("l_returnflag") === "R", zeroD).otherwise(revD).as("sales"),
-        when(col("l_returnflag") === "R", revD).otherwise(zeroD).as("returns"))
+        when(col("l_returnflag") === "R", lit(0L)).otherwise(revL).as("sales"),
+        when(col("l_returnflag") === "R", revL).otherwise(lit(0L)).as("returns"))
       .groupBy("l_orderkey")
       .agg(sum("sales").as("__os"), sum("returns").as("__orr"))
     val perCust = channel
@@ -117,16 +118,16 @@ object Tpcds {
       .rollup(col("r_name"), col("n_name"))
       .agg(sum("__s").as("__sales"), sum("__r").as("__returns"))
       .select(col("r_name"), col("n_name"),
-        money(col("__sales")).as("sales"),
-        money(col("__returns")).as("returns"))
+        money4(col("__sales")).as("sales"),
+        money4(col("__returns")).as("returns"))
   }
 
   val channelRollupSql =
     s"""SELECT r_name, n_name,
-      |  CAST(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0
-      |    ELSE $revDSql END) AS DECIMAL(28,4)) AS DOUBLE) AS sales,
-      |  CAST(CAST(sum(CASE WHEN l_returnflag = 'R' THEN $revDSql
-      |    ELSE 0 END) AS DECIMAL(28,4)) AS DOUBLE) AS returns
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0
+      |    ELSE $revLSql END) AS DOUBLE) / 10000.0 AS sales,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN $revLSql
+      |    ELSE 0 END) AS DOUBLE) / 10000.0 AS returns
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -186,11 +187,11 @@ object Tpcds {
     * corpus-scaled sort; ties keep rank() deterministic as a SET. */
   def rankRollup(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    // decimal partials (see revD): the per-partkey pre-agg + rollup re-sum
-    // are exact, so the rank's ORDER BY keys are bit-equal to the oracle's
-    // (a drifted double could flip a near-tie and change rk); double-cast
-    // only in the final projection
-    val partials = tt.lineitem.groupBy("l_partkey").agg(sum(revD).as("__s"))
+    // fixed-point partials (see revL): the per-partkey pre-agg + rollup
+    // re-sum are exact longs, so the rank's ORDER BY keys are bit-equal
+    // to the oracle's (a drifted double could flip a near-tie and change
+    // rk); currency conversion only in the final projection
+    val partials = tt.lineitem.groupBy("l_partkey").agg(sum(revL).as("__s"))
     val rolled = partials
       .join(tt.part.select("p_partkey", "p_brand", "p_type"),
         col("l_partkey") === col("p_partkey"))
@@ -201,17 +202,17 @@ object Tpcds {
         Window.partitionBy("p_brand").orderBy(col("__sumsales").desc)))
       .filter(col("rk") <= 3)
       .select(col("p_brand"), col("p_type"),
-        money(col("__sumsales")).as("sumsales"), col("rk"))
+        money4(col("__sumsales")).as("sumsales"), col("rk"))
   }
 
   val rankRollupSql =
     s"""SELECT p_brand, p_type,
-      |  CAST(CAST(sumsales AS DECIMAL(28,4)) AS DOUBLE) AS sumsales, rk FROM (
+      |  CAST(sumsales AS DOUBLE) / 10000.0 AS sumsales, rk FROM (
       |  SELECT p_brand, p_type, sumsales,
       |    rank() OVER (PARTITION BY p_brand ORDER BY sumsales DESC) AS rk
       |  FROM (
       |    SELECT p_brand, p_type,
-      |      sum($revDSql) AS sumsales
+      |      sum($revLSql) AS sumsales
       |    FROM lineitem JOIN part ON l_partkey = p_partkey
       |    GROUP BY ROLLUP(p_brand, p_type)) agg) ranked
       |WHERE rk <= 3""".stripMargin
@@ -229,17 +230,17 @@ object Tpcds {
     // partial shrinks the lineitem exchange ~4x, and the aggregate's
     // orderkey partitioning is exactly the join's requirement, so the
     // pre-agg adds NO exchange of its own
-    // decimal through the order→cust→nation decomposition (see revD):
-    // the oracle's CTEs sum once per channel, this plan sums three times —
-    // exact arithmetic makes the two bit-equal
-    val liPerOrder = tt.lineitem.select(col("l_orderkey"), revD.as("__r"))
+    // fixed-point longs through the order→cust→nation decomposition (see
+    // revL): the oracle's CTEs sum once per channel, this plan sums three
+    // times — exact arithmetic makes the two bit-equal
+    val liPerOrder = tt.lineitem.select(col("l_orderkey"), revL.as("__r"))
       .groupBy("l_orderkey").agg(sum("__r").as("__or"))
     val liPerCust = liPerOrder
       .join(tt.orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey").agg(sum("__or").as("__lirev"))
     val ordPerCust = tt.orders.groupBy("o_custkey")
-      .agg(sum(priceD).as("__ordrev"))
+      .agg(sum(priceL).as("__ordrev"))
     // merge the channels per custkey FIRST: both aggregates are already
     // custkey-partitioned, so this join adds no exchange — then customer/
     // nation are walked ONCE instead of once per channel (the r13 first
@@ -257,8 +258,8 @@ object Tpcds {
       .join(broadcast(tt.nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(money(sum("__lirev")).as("li_rev"),
-        money(sum("__ordrev")).as("ord_rev"))
+      .agg(money4(sum("__lirev")).as("li_rev"),
+        money2(sum("__ordrev")).as("ord_rev"))
       // oracle parity: its per-channel CTEs INNER-join on n_name, so a
       // nation present in only one channel (impossible here, but cheap to
       // pin on 25 rows) must drop
@@ -268,15 +269,14 @@ object Tpcds {
 
   val multiFactStarSql =
     s"""WITH li AS (
-      |  SELECT n_name, CAST(CAST(sum($revDSql) AS DECIMAL(28,4)) AS DOUBLE) AS li_rev
+      |  SELECT n_name, CAST(sum($revLSql) AS DOUBLE) / 10000.0 AS li_rev
       |  FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
       |  GROUP BY n_name),
       |ord AS (
-      |  SELECT n_name, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-      |    AS DECIMAL(28,4)) AS DOUBLE) AS ord_rev
+      |  SELECT n_name, CAST(sum($priceLSql) AS DOUBLE) / 100.0 AS ord_rev
       |  FROM orders
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
@@ -289,16 +289,16 @@ object Tpcds {
     * the fact is read ONCE. */
   def yoy(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    // decimal per-year sums (see revD); both sides cast to double FIRST
+    // fixed-point per-year sums (see revL); both sides convert FIRST
     // and the ratio divides the doubles — one deterministic fp division on
     // bit-identical inputs, instead of Spark/DuckDB's differing
     // decimal-division scale rules
     val perYear = tt.lineitem
-      .select(col("l_orderkey"), revD.as("__r"))
+      .select(col("l_orderkey"), revL.as("__r"))
       .join(tt.orders.select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).as("yr"))
-      .agg(money(sum("__r")).as("__rev"))
+      .agg(money4(sum("__r")).as("__rev"))
     val cur = perYear.select(col("yr"), col("__rev").as("cur_rev"))
     val prev = perYear.select((col("yr") + 1).as("yr"), col("__rev").as("prev_rev"))
     cur.join(broadcast(prev), Seq("yr"))
@@ -309,7 +309,7 @@ object Tpcds {
   val yoySql =
     s"""WITH per_year AS (
       |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
-      |    CAST(CAST(sum($revDSql) AS DECIMAL(28,4)) AS DOUBLE) AS r
+      |    CAST(sum($revLSql) AS DOUBLE) / 10000.0 AS r
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1)
       |SELECT cur.yr AS yr, cur.r AS cur_rev, prev.r AS prev_rev,
@@ -322,11 +322,11 @@ object Tpcds {
     * aggregate underneath). */
   def shareWithinType(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    // decimal partials + decimal window sum (see revD): both numerator and
-    // denominator are exact and cast to double before the one division,
-    // so the share matches the oracle bit-for-bit (a double window sum
-    // would re-associate in partition data order — non-deterministic)
-    val agg = tt.lineitem.groupBy("l_partkey").agg(sum(revD).as("__s"))
+    // fixed-point partials + long window sum (see revL): numerator and
+    // denominator are exact and convert to currency doubles before the
+    // one division, so the share matches the oracle bit-for-bit (a double
+    // window sum would re-associate in partition data order)
+    val agg = tt.lineitem.groupBy("l_partkey").agg(sum(revL).as("__s"))
       .join(tt.part.select("p_partkey", "p_brand", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_type", "p_brand").agg(sum("__s").as("__brand_rev"))
@@ -334,19 +334,19 @@ object Tpcds {
       .withColumn("__type_rev",
         sum("__brand_rev").over(Window.partitionBy("p_type")))
       .select(col("p_type"), col("p_brand"),
-        money(col("__brand_rev")).as("brand_rev"),
-        (money(col("__brand_rev")) / money(col("__type_rev"))).as("share"))
+        money4(col("__brand_rev")).as("brand_rev"),
+        (money4(col("__brand_rev")) / money4(col("__type_rev"))).as("share"))
   }
 
   val shareWithinTypeSql =
     s"""SELECT p_type, p_brand,
-      |  CAST(CAST(brand_rev AS DECIMAL(28,4)) AS DOUBLE) AS brand_rev,
-      |  CAST(CAST(brand_rev AS DECIMAL(28,4)) AS DOUBLE) /
-      |    CAST(CAST(sum(brand_rev) OVER (PARTITION BY p_type)
-      |      AS DECIMAL(28,4)) AS DOUBLE) AS share
+      |  CAST(brand_rev AS DOUBLE) / 10000.0 AS brand_rev,
+      |  (CAST(brand_rev AS DOUBLE) / 10000.0) /
+      |    (CAST(sum(brand_rev) OVER (PARTITION BY p_type)
+      |      AS DOUBLE) / 10000.0) AS share
       |FROM (
       |  SELECT p_type, p_brand,
-      |    sum($revDSql) AS brand_rev
+      |    sum($revLSql) AS brand_rev
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY p_type, p_brand) agg""".stripMargin
 
@@ -413,16 +413,16 @@ object Tpcds {
         quarter(col("o_orderdate")).cast("int").as("qtr"),
         col("o_totalprice"))
       .rollup(col("yr"), col("qtr"))
-      // exact decimal sums through the rollup (see revD)
-      .agg(money(sum(priceD)).as("total"), count(lit(1)).as("n_orders"))
+      // exact fixed-point sums through the rollup (see revL)
+      .agg(money2(sum(priceL)).as("total"), count(lit(1)).as("n_orders"))
       .select("yr", "qtr", "total", "n_orders")
   }
 
   val rollupTimeSql =
     """SELECT CAST(year(o_orderdate) AS INT) AS yr,
       |  CAST(quarter(o_orderdate) AS INT) AS qtr,
-      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-      |    AS DECIMAL(28,4)) AS DOUBLE) AS total,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 AS total,
       |  count(*) AS n_orders
       |FROM orders
       |GROUP BY ROLLUP(1, 2)""".stripMargin
@@ -439,19 +439,19 @@ object Tpcds {
       .join(broadcast(tt.region.filter(col("r_name") =!= "REGION_0")),
         col("n_regionkey") === col("r_regionkey"))
       .select("c_custkey", "r_name")
-    tt.lineitem.select(col("l_orderkey"), col("l_partkey"), revD.as("__r"))
+    tt.lineitem.select(col("l_orderkey"), col("l_partkey"), revL.as("__r"))
       .join(partF.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
       .join(tt.orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(geo, col("o_custkey") === col("c_custkey"))
       .groupBy("r_name", "p_brand")
-      .agg(money(sum("__r")).as("revenue"))
+      .agg(money4(sum("__r")).as("revenue"))
       .select("r_name", "p_brand", "revenue")
   }
 
   val selectiveStarSql =
     s"""SELECT r_name, p_brand,
-      |  CAST(CAST(sum($revDSql) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+      |  CAST(sum($revLSql) AS DOUBLE) / 10000.0 AS revenue
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |JOIN orders ON l_orderkey = o_orderkey
@@ -480,11 +480,11 @@ object Tpcds {
         col("o_totalprice"))
       .join(tt.customer.select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
-      // exact decimal group sums cast to double (see revD): the running
-      // window then accumulates bit-identical doubles in deterministic
-      // ORDER BY mon order on both sides
+      // exact fixed-point group sums to currency doubles (see revL): the
+      // running window then accumulates bit-identical doubles in
+      // deterministic ORDER BY mon order on both sides
       .groupBy("c_mktsegment", "mon")
-      .agg(money(sum(priceD)).as("rev"))
+      .agg(money2(sum(priceL)).as("rev"))
     val cum = segMonth.withColumn("cum_rev",
       sum("rev").over(Window.partitionBy("c_mktsegment").orderBy("mon")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -496,8 +496,8 @@ object Tpcds {
   val cumulativeChannelsSql =
     """WITH seg_month AS (
       |  SELECT c_mktsegment, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
-      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-      |      AS DECIMAL(28,4)) AS DOUBLE) AS rev
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |      / 100.0 AS rev
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |  GROUP BY 1, 2),
       |cum AS (
@@ -544,17 +544,17 @@ object Tpcds {
     * WindowExec). */
   def movingDeviation(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    // decimal group sums cast to double IMMEDIATELY (see revD): the window
+    // fixed-point group sums to currency doubles IMMEDIATELY (see revL): the window
     // avg then runs over bit-identical doubles in deterministic ORDER BY mo
     // frame order on both sides, so the >10% deviation filter can't flip a
     // knife-edge row
     val monthly = tt.lineitem
       .select(col("l_partkey"), trunc(col("l_shipdate"), "mon").as("mo"),
-        revD.as("__r"))
+        revL.as("__r"))
       .join(tt.part.select("p_partkey", "p_brand").hint("shuffle_hash"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "mo")
-      .agg(money(sum("__r")).as("brand_rev"))
+      .agg(money4(sum("__r")).as("brand_rev"))
     val w = Window.partitionBy("p_brand").orderBy("mo").rowsBetween(-1, 1)
     monthly.withColumn("avg_rev", avg("brand_rev").over(w))
       .filter(abs(col("brand_rev") - col("avg_rev")) > col("avg_rev") * 0.1)
@@ -564,7 +564,7 @@ object Tpcds {
   val movingDeviationSql =
     s"""WITH monthly AS (
       |  SELECT p_brand, CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
-      |    CAST(CAST(sum($revDSql) AS DECIMAL(28,4)) AS DOUBLE) AS brand_rev
+      |    CAST(sum($revLSql) AS DOUBLE) / 10000.0 AS brand_rev
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY 1, 2)
       |SELECT p_brand, mo, brand_rev, avg_rev
@@ -626,27 +626,30 @@ object Tpcds {
     * orders side (q21 lesson). */
   def multiSuppReturned(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    // decimal through the per-order → grand-total decomposition (see revD)
+    // fixed-point longs through the per-order → grand-total decomposition
+    // (see revL — the first decimal cut cost 356.9 s vs r13's 63.5-71.5 s
+    // band at k=1000: the decimal(38,8) per-order sums knocked the 150M-
+    // group ObjectHashAggregate onto BigDecimal objects)
     val po = tt.lineitem.groupBy("l_orderkey").agg(
         size(collect_set(col("l_suppkey"))).as("__ns"),
         max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("__hr"),
-        sum(revD).as("__rev"))
+        sum(revL).as("__rev"))
       .filter(col("__ns") >= 2 && col("__hr") === 1)
     po.join(tt.orders.filter(col("o_orderstatus") === "F")
           .select("o_orderkey").hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .agg(count(lit(1)).as("order_count"),
-        money(sum("__rev")).as("total_rev"))
+        money4(sum("__rev")).as("total_rev"))
   }
 
   val multiSuppReturnedSql =
     s"""WITH po AS (
       |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
       |         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS hr,
-      |         sum($revDSql) AS rev
+      |         sum($revLSql) AS rev
       |  FROM lineitem GROUP BY 1)
       |SELECT count(*) AS order_count,
-      |  CAST(CAST(sum(rev) AS DECIMAL(28,4)) AS DOUBLE) AS total_rev
+      |  CAST(sum(rev) AS DOUBLE) / 10000.0 AS total_rev
       |FROM po JOIN orders ON l_orderkey = o_orderkey
       |WHERE ns >= 2 AND hr = 1 AND o_orderstatus = 'F'""".stripMargin
 
@@ -673,23 +676,23 @@ object Tpcds {
     val fp = pc.crossJoin(broadcast(pc.agg(avg("__cnt").as("__avg"))))
       .filter(col("__cnt") > col("__avg") * 1.1)
       .select("l_partkey")
-    // exact per-cust spend (decimal sum, double-cast — see revD): the
-    // 0.5×max threshold compare then runs on bit-identical doubles, so a
-    // knife-edge customer can't flip membership vs the oracle
+    // exact per-cust spend (fixed-point sum → currency double, see revL):
+    // the 0.5×max threshold compare then runs on bit-identical doubles,
+    // so a knife-edge customer can't flip membership vs the oracle
     val cs = Caches.lease(tt.orders.groupBy("o_custkey")
-      .agg(money(sum(priceD)).as("__spend")))
+      .agg(money2(sum(priceL)).as("__spend")))
     val bc = cs.crossJoin(broadcast(cs.agg(max("__spend").as("__max"))))
       .filter(col("__spend") > col("__max") * 0.5)
       .select(col("o_custkey").as("__bc"))
     val ordersBest = tt.orders.select("o_orderkey", "o_custkey")
       .join(bc.hint("shuffle_hash"), col("o_custkey") === col("__bc"), "left_semi")
-    tt.lineitem.select(col("l_orderkey"), col("l_partkey"), revD.as("__r"))
+    tt.lineitem.select(col("l_orderkey"), col("l_partkey"), revL.as("__r"))
       .join(fp.hint("shuffle_hash"), Seq("l_partkey"), "left_semi")
       // unique-keyed after the semi → SHJ build side (the q21 lesson:
       // an unhinted fact-fact SMJ sorts both 150M-row streams)
       .join(ordersBest.hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
-      .agg(money(sum("__r")).as("total_rev"), count(lit(1)).as("n_lines"))
+      .agg(money4(sum("__r")).as("total_rev"), count(lit(1)).as("n_lines"))
   }
 
   val bestCustFrequentPartsSql =
@@ -698,11 +701,11 @@ object Tpcds {
       |  FROM lineitem GROUP BY 1),
       |fp AS (SELECT l_partkey FROM pc WHERE cnt > 1.1 * (SELECT avg(cnt) FROM pc)),
       |cs AS (SELECT o_custkey,
-      |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-      |           AS DECIMAL(28,4)) AS DOUBLE) AS spend
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |           / 100.0 AS spend
       |       FROM orders GROUP BY 1),
       |bc AS (SELECT o_custkey FROM cs WHERE spend > 0.5 * (SELECT max(spend) FROM cs))
-      |SELECT CAST(CAST(sum($revDSql) AS DECIMAL(28,4)) AS DOUBLE) AS total_rev,
+      |SELECT CAST(sum($revLSql) AS DOUBLE) / 10000.0 AS total_rev,
       |       count(*) AS n_lines
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_partkey IN (SELECT l_partkey FROM fp)
@@ -719,7 +722,7 @@ object Tpcds {
     val active = tt.orders.filter(col("o_orderstatus") === "F")
       .select("o_custkey")
     val engaged = tt.events.select(col("user_id"))
-    // avg/stddev from EXACT decimal moments (see revD): native
+    // avg/stddev from EXACT decimal moments: native
     // stddev_samp accumulates doubles in partition data order (measured
     // 23-ulp drift vs DuckDB at sf0.01 — near the driver's normalization
     // boundary). sum(x) and sum(x²) are exact decimals (x has 2 decimal
@@ -734,8 +737,13 @@ object Tpcds {
       .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name", "c_mktsegment")
       .agg(count(lit(1)).as("cnt"),
-        money(sum(balD)).as("__s"),
-        money(sum(balD * balD)).as("__ss"),
+        // decimals (not fixed-point longs) here deliberately: sum of
+        // squared cents would overflow a long at ~1e19 (reachable per
+        // group at bench scale), and this aggregate is customer-scale —
+        // the BigDecimal path costs nothing measurable. Scale-4 downcast
+        // before the double cast keeps both engines correctly rounded.
+        sum(balD).cast("decimal(28,4)").cast("double").as("__s"),
+        sum(balD * balD).cast("decimal(28,4)").cast("double").as("__ss"),
         max("c_acctbal").as("max_bal"))
       .select(col("n_name"), col("c_mktsegment"), col("cnt"),
         (col("__s") / col("cnt")).as("avg_bal"), col("max_bal"),
@@ -788,12 +796,12 @@ object Tpcds {
   def priceChain(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
     val perPartYr = tt.lineitem.select(col("l_orderkey"), col("l_partkey"),
-        col("l_extendedprice").cast("decimal(18,4)").as("__p"),
+        cents(col("l_extendedprice")).as("__p"),
         col("l_quantity"))
       .join(tt.orders.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_partkey"), year(col("o_orderdate")).cast("int").as("yr"))
-      .agg(money(sum("__p")).as("__psum"), sum("l_quantity").as("__qsum"))
+      .agg(money2(sum("__p")).as("__psum"), sum("l_quantity").as("__qsum"))
     if (!sys.env.get("SPARK_GRAFT_PRICECHAIN_WINDOW").contains("1")) {
       // SHIPPED: leased self-join. The "obvious" Spark-first alternative —
       // lag() over (partition by partkey order by yr), one pass, no lease
@@ -840,8 +848,8 @@ object Tpcds {
   val priceChainSql =
     """WITH ppy AS (
       |  SELECT l_partkey, CAST(year(o_orderdate) AS INT) AS yr,
-      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
-      |      AS DECIMAL(28,4)) AS DOUBLE) AS psum,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |      / 100.0 AS psum,
       |    sum(l_quantity) AS qsum
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2)
@@ -865,25 +873,26 @@ object Tpcds {
     * partitioning feeds the orders join); the channel merge and the
     * cross-year self-join run on customer-domain frames (leased — the
     * frame feeds both sides), shuffle-joined since customers scale with
-    * the corpus; all sums decimal-exact (see revD) so the 1.1× grower
-    * filter compares bit-identical doubles. */
+    * the corpus; all sums exact fixed-point longs (see revL — sales/
+    * returns at scale 1e4, order spend at scale 1e2, separate columns so
+    * the scales never mix) so the 1.1× grower filter compares
+    * bit-identical currency doubles. */
   def threeChannelYoy(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    val zeroD = lit(0).cast("decimal(38,8)")
     val yrCol = year(col("o_orderdate")).cast("int").as("yr")
     // per-order lineitem pass (~4:1 collapse), routed to the customer
     val chanLi = tt.lineitem.select(col("l_orderkey"),
-        when(col("l_returnflag") === "R", zeroD).otherwise(revD).as("__s"),
-        when(col("l_returnflag") === "R", revD).otherwise(zeroD).as("__r"))
+        when(col("l_returnflag") === "R", lit(0L)).otherwise(revL).as("__s"),
+        when(col("l_returnflag") === "R", revL).otherwise(lit(0L)).as("__r"))
       .groupBy("l_orderkey")
       .agg(sum("__s").as("__s"), sum("__r").as("__r"))
       .join(tt.orders.select("o_orderkey", "o_custkey", "o_orderdate")
           .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey"), yrCol, col("__s"), col("__r"),
-        zeroD.as("__o"))
+        lit(0L).as("__o"))
     val chanOrd = tt.orders.select(col("o_custkey"), yrCol,
-      zeroD.as("__s"), zeroD.as("__r"), priceD.cast("decimal(38,8)").as("__o"))
+      lit(0L).as("__s"), lit(0L).as("__r"), priceL.as("__o"))
     // channel MERGE AS A UNION feeding one (custkey, yr) aggregate — the
     // first cut merged two separately-aggregated channels with an outer
     // join over a leased 105M-row frame and self-joined it for the YoY
@@ -918,37 +927,37 @@ object Tpcds {
       .select(col("p.yr").as("yr"), col("p.net").as("__net"),
         col("p.osum").as("__osum"), col("p.pnet").as("__pnet"))
     paired
-      .filter(money(col("__net")) > money(col("__pnet")) * 1.1 &&
-        money(col("__pnet")) > 0)
+      .filter(money4(col("__net")) > money4(col("__pnet")) * 1.1 &&
+        money4(col("__pnet")) > 0)
       .groupBy("yr")
       .agg(count(lit(1)).as("n_growers"),
-        money(sum("__net")).as("grower_net"),
-        money(sum("__osum")).as("grower_spend"))
+        money4(sum("__net")).as("grower_net"),
+        money2(sum("__osum")).as("grower_spend"))
       .select("yr", "n_growers", "grower_net", "grower_spend")
   }
 
   val threeChannelYoySql =
     s"""WITH li AS (
       |  SELECT o_custkey AS ck, CAST(year(o_orderdate) AS INT) AS yr,
-      |    sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE $revDSql END) AS sal,
-      |    sum(CASE WHEN l_returnflag = 'R' THEN $revDSql ELSE 0 END) AS ret
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE $revLSql END) AS sal,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN $revLSql ELSE 0 END) AS ret
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2),
       |ord AS (
       |  SELECT o_custkey AS ck, CAST(year(o_orderdate) AS INT) AS yr,
-      |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS osum
+      |    sum($priceLSql) AS osum
       |  FROM orders GROUP BY 1, 2),
       |cy AS (
       |  SELECT ord.ck AS ck, ord.yr AS yr,
       |    coalesce(sal, 0) - coalesce(ret, 0) AS net, osum
       |  FROM ord LEFT JOIN li ON ord.ck = li.ck AND ord.yr = li.yr)
       |SELECT cur.yr AS yr, count(*) AS n_growers,
-      |  CAST(CAST(sum(cur.net) AS DECIMAL(28,4)) AS DOUBLE) AS grower_net,
-      |  CAST(CAST(sum(cur.osum) AS DECIMAL(28,4)) AS DOUBLE) AS grower_spend
+      |  CAST(sum(cur.net) AS DOUBLE) / 10000.0 AS grower_net,
+      |  CAST(sum(cur.osum) AS DOUBLE) / 100.0 AS grower_spend
       |FROM cy cur JOIN cy prev ON cur.ck = prev.ck AND cur.yr = prev.yr + 1
-      |WHERE CAST(CAST(cur.net AS DECIMAL(28,4)) AS DOUBLE) >
-      |        CAST(CAST(prev.net AS DECIMAL(28,4)) AS DOUBLE) * 1.1
-      |  AND CAST(CAST(prev.net AS DECIMAL(28,4)) AS DOUBLE) > 0
+      |WHERE CAST(cur.net AS DOUBLE) / 10000.0 >
+      |        (CAST(prev.net AS DOUBLE) / 10000.0) * 1.1
+      |  AND CAST(prev.net AS DOUBLE) / 10000.0 > 0
       |GROUP BY 1""".stripMargin
 
   /** q72-class three-fact join (`72.sql`: catalog_sales ⋈ inventory ⋈
