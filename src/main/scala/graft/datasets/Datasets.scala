@@ -28,6 +28,12 @@ object Datasets {
       s"common_crawl content must be raw|text|metadata|warc|wet|wat, got '$other'")
   }
 
+  /** Hard cap on the driver-side manifest collect in [[commonCrawl]]: a
+    * real crawl manifest is ~90k lines (~10 MB of paths); 1M entries is
+    * an order of magnitude past any published crawl while still bounding
+    * driver memory to ~100 MB of path strings. */
+  val ManifestCollectCap = 1000000L
+
   /** Common Crawl loader (ref `daft/datasets/common_crawl.py:78`):
     * resolves `{root}/crawl-data/{crawl}/{file_type}.paths.gz` (the crawl's
     * published gzipped manifest of relative file paths), optionally filters
@@ -50,7 +56,18 @@ object Datasets {
       .select(concat(lit(s"$root/"), col("text")).as("url"))
     segment.foreach(seg => paths = paths.filter(col("url").contains(seg)))
     numFiles.foreach(n => paths = paths.limit(n))
-    val files = paths.as(org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    // Driver-side collect guard (VERDICT r14 #4-minor, same pattern as
+    // Similarity.bruteForceTopK): real crawl manifests are ~90k lines, so
+    // the collect is metadata-plane — but if `root` ever points at user
+    // data the manifest could be corpus-scaled. The limit bounds the
+    // fetch itself (cap+1 rows max reach the driver), then the overflow
+    // row fails loudly instead of OOMing the driver.
+    val files = paths.limit((ManifestCollectCap + 1).toInt)
+      .as(org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    require(files.size <= ManifestCollectCap,
+      s"common_crawl manifest $manifest exceeds $ManifestCollectCap entries " +
+        "— this loader collects the manifest driver-side (bounded for real " +
+        "crawls); filter to a segment= or pass num_files= to subset it")
     if (files.isEmpty)
       throw new java.io.FileNotFoundException(
         s"common_crawl: no files matched crawl=$crawl segment=$segment in $manifest")

@@ -23,13 +23,21 @@ object Similarity {
 
   /** Exact top-k: every (query, corpus) pair scored, top k per query.
     * The query side is broadcast; the corpus is never shuffled — the
-    * window ranks within query-id partitions of the (small) scored set. */
+    * window ranks within query-id partitions of the (small) scored set.
+    *
+    * The cap check evaluates the query plan a second time (once for the
+    * guard count, once for the broadcast) — pass a cached/leased frame,
+    * or at least a DETERMINISTIC one: an unseeded `sample` could pass
+    * the count yet broadcast a different row set (ADVICE r14). The guard
+    * projects only the id column and counts a `limit(cap+1)` so the
+    * probe job stops at the cap instead of scanning a huge frame. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String, k: Int): DataFrame = {
-    val nq = queries.count() // metadata-plane action on the SMALL side
+    val nq = queries.select(col(qId))
+      .limit((MaxBroadcastQueries + 1).toInt).count()
     require(nq <= MaxBroadcastQueries,
-      s"bruteForceTopK broadcasts the query set: $nq queries exceed the " +
-        s"$MaxBroadcastQueries cap — batch the queries or use ivfTopK " +
+      s"bruteForceTopK broadcasts the query set: >$MaxBroadcastQueries " +
+        "queries exceed the cap — batch the queries or use ivfTopK " +
         "(shuffled probe join) for corpus-scaled query frames")
     val scored = corpus.join(
         broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv"))))

@@ -498,8 +498,12 @@ object ClickBench {
     * tiebreak on the key (counts tie heavily). */
   def cb_url_topk(s: SparkSession, dir: String): DataFrame =
     t(s, dir).events
-      .withColumn("url", concat_ws("/", lit("https://ex.com"),
-        col("event_type"), col("user_id")))
+      // concat (not concat_ws): `||` in the oracle propagates NULL, and
+      // concat_ws silently DROPS null segments — a NULL event_type row
+      // would group under 'https://ex.com/123' here but NULL there
+      // (ADVICE r14). concat mirrors the || semantics exactly.
+      .withColumn("url", concat(lit("https://ex.com/"),
+        col("event_type"), lit("/"), col("user_id").cast("string")))
       .groupBy("url").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("url").asc)
       .limit(10)

@@ -96,14 +96,24 @@ DRIFT_REL_MAX = float(os.environ.get("DRIFT_REL_MAX", "1e-9"))
 
 
 def row_worst_drift(ra, rb):
-    """(worst_abs, worst_rel) float drift across a row pair."""
+    """(worst_abs, worst_rel) float drift across a row pair.
+
+    The rel check only applies above a magnitude floor (ADVICE r14):
+    below DRIFT_ABS_MAX/DRIFT_REL_MAX (=100 at the defaults) a last-ulp
+    wobble on a tiny share/ratio would exceed the rel bound even though
+    the driver's 6-significant-digit normalization can never see it —
+    the abs bound alone governs small-magnitude values.
+    """
+    rel_floor = DRIFT_ABS_MAX / DRIFT_REL_MAX
     wa = wr = 0.0
     for a, b in zip(ra, rb):
         if isinstance(a, float) and isinstance(b, float) \
                 and not (math.isnan(a) or math.isnan(b)) and a != b:
             d = abs(a - b)
+            m = max(abs(a), abs(b))
             wa = max(wa, d)
-            wr = max(wr, d / max(abs(a), abs(b)))
+            if m > rel_floor:
+                wr = max(wr, d / m)
     return wa, wr
 
 
