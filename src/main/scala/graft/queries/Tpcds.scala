@@ -1004,7 +1004,350 @@ object Tpcds {
       |JOIN ev ON o_custkey = ev.user_id AND day(o_orderdate) = ev.dom
       |GROUP BY 1""".stripMargin
 
+  /** q2-class week-over-week ratio (`02.sql`: web+catalog union → per-
+    * d_week_seq weekday-pivoted sums → 53-week-offset self-join → per-
+    * weekday ratios): adapted as a lineitem-revenue + order-spend channel
+    * union keyed by an ABSOLUTE Monday-anchored week sequence
+    * (days-since-1970-01-05 / 7 — the portable stand-in for
+    * date_dim.d_week_seq; pure integer date arithmetic, identical in both
+    * engines), pivoted into 7 weekday sums per week, with each 1995 week
+    * paired against its 1996 counterpart 52 weeks later.
+    *
+    * Scale posture: the union is two slim fact projections feeding ONE
+    * hash aggregate on a derived int key (map-side combine — no join
+    * anywhere on the fact path); the weekly frame is calendar-bounded
+    * (~52 rows per year however large the corpus), so the offset
+    * self-join broadcasts. Both channels sum at scale 1e4 (order cents
+    * ×100) in exact longs, and the per-weekday ratio divides two
+    * identically-converted currency doubles — bit-equal to the oracle. */
+  def wowRatio(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val anchor = to_date(lit("1970-01-05")) // a Monday
+    def days(d: Column) = datediff(d, anchor)
+    val li = tt.lineitem.select(days(col("l_shipdate")).as("dd"), revL.as("__amt"))
+    val ord = tt.orders.select(days(col("o_orderdate")).as("dd"),
+      (priceL * 100L).as("__amt"))
+    val pivots = (0 to 6).map(i =>
+      sum(when(col("dd") % 7 === i, col("__amt"))).as(s"d$i"))
+    // LEASED weekly frame: both self-join sides filter the same
+    // calendar-bounded aggregate (~52 rows/year). Without the lease,
+    // Catalyst pushes each side's year filter below the aggregate and
+    // plans TWO full fact scans (one per year) — the lease pays one scan
+    // plus a ~370-row cache instead.
+    val weekly = Caches.lease(li.unionByName(ord)
+      .groupBy(floor(col("dd") / 7).as("wk"))
+      .agg(pivots.head, pivots.tail: _*))
+    def wkyr = year(date_add(anchor, (col("wk") * 7).cast("int")))
+    val y = weekly.filter(wkyr === 1995)
+    val z = weekly.filter(wkyr === 1996).select(
+      col("wk").as("zwk") +: (0 to 6).map(i => col(s"d$i").as(s"z$i")): _*)
+    y.join(broadcast(z), col("wk") === col("zwk") - 52)
+      .select(col("wk").as("wk1") +: (0 to 6).map(i =>
+        (money4(col(s"d$i")) / money4(col(s"z$i"))).as(s"r$i")): _*)
+      .orderBy("wk1")
+  }
+
+  val wowRatioSql =
+    s"""WITH u AS (
+      |  SELECT DATEDIFF('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) AS dd,
+      |    $revLSql AS amt FROM lineitem
+      |  UNION ALL
+      |  SELECT DATEDIFF('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) AS dd,
+      |    $priceLSql * 100 AS amt FROM orders),
+      |w AS (
+      |  SELECT dd // 7 AS wk,
+      |    ${(0 to 6).map(i =>
+             s"sum(CASE WHEN dd % 7 = $i THEN amt END) AS d$i").mkString(",\n    ")}
+      |  FROM u GROUP BY 1)
+      |SELECT y.wk AS wk1,
+      |  ${(0 to 6).map(i =>
+           s"(CAST(y.d$i AS DOUBLE) / 10000.0) / (CAST(z.d$i AS DOUBLE) / 10000.0) AS r$i")
+             .mkString(",\n  ")}
+      |FROM w y JOIN w z ON y.wk = z.wk - 52
+      |WHERE year(DATE '1970-01-05' + CAST(y.wk * 7 AS INTEGER)) = 1995
+      |  AND year(DATE '1970-01-05' + CAST(z.wk * 7 AS INTEGER)) = 1996
+      |ORDER BY wk1""".stripMargin
+
+  /** q31-class geography share shift (`31.sql`: per-county store vs web
+    * quarterly sums, 6-way self-join across q1/q2/q3, keep counties where
+    * the web growth beat the store growth in BOTH transitions): adapted
+    * as a lineitem-revenue ("store", ship-date quarter) + order-spend
+    * ("web", order-date quarter) channel union routed through customer to
+    * nation, with the three quarters PIVOTED inside one nation-grain
+    * aggregate — the 6-way self-join of the reference collapses into
+    * conditional sums (same restructure as threeChannelYoy: absent
+    * channel-quarters sum over empty = NULL, mirroring the oracle's
+    * CASE sums; no lease, no self-join).
+    *
+    * Scale posture: per-order eager partial (~4:1) before the orders
+    * join; the union pays one customer-key exchange of slim tagged rows;
+    * the pivot aggregate outputs nation-domain rows; nation broadcasts.
+    * Separate channel columns keep the 1e4/1e2 scales apart; growth
+    * ratios divide identically-converted currency doubles under a
+    * den>0 guard — bit-equal to the oracle, NULL-dropping the same
+    * rows. */
+  def geoShareShift(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val liQ = tt.lineitem
+      .filter(year(col("l_shipdate")) === 1995 && quarter(col("l_shipdate")) <= 3)
+      .groupBy(col("l_orderkey"), quarter(col("l_shipdate")).as("q"))
+      .agg(sum(revL).as("__s"))
+      .join(tt.orders.select("o_orderkey", "o_custkey").hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("q"), col("__s"), lit(0L).as("__w"))
+    val ordQ = tt.orders
+      .filter(year(col("o_orderdate")) === 1995 && quarter(col("o_orderdate")) <= 3)
+      .select(col("o_custkey").as("ck"), quarter(col("o_orderdate")).as("q"),
+        lit(0L).as("__s"), priceL.as("__w"))
+    val perNation = liQ.unionByName(ordQ)
+      .join(tt.customer.select("c_custkey", "c_nationkey").hint("shuffle_hash"),
+        col("ck") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(
+        sum(when(col("q") === 1, col("__s"))).as("s1"),
+        sum(when(col("q") === 2, col("__s"))).as("s2"),
+        sum(when(col("q") === 3, col("__s"))).as("s3"),
+        sum(when(col("q") === 1, col("__w"))).as("w1"),
+        sum(when(col("q") === 2, col("__w"))).as("w2"),
+        sum(when(col("q") === 3, col("__w"))).as("w3"))
+    def g2(num: Column, den: Column) = when(den > 0, money2(num) / money2(den))
+    def g4(num: Column, den: Column) = when(den > 0, money4(num) / money4(den))
+    perNation
+      .join(broadcast(tt.nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        g2(col("w2"), col("w1")).as("web_q1_q2"),
+        g4(col("s2"), col("s1")).as("store_q1_q2"),
+        g2(col("w3"), col("w2")).as("web_q2_q3"),
+        g4(col("s3"), col("s2")).as("store_q2_q3"))
+      .filter(col("web_q1_q2") > col("store_q1_q2") &&
+        col("web_q2_q3") > col("store_q2_q3"))
+      .orderBy("n_name")
+  }
+
+  val geoShareShiftSql =
+    s"""WITH u AS (
+      |  SELECT o_custkey AS ck, quarter(l_shipdate) AS q,
+      |    $revLSql AS s, CAST(0 AS BIGINT) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE year(l_shipdate) = 1995 AND quarter(l_shipdate) <= 3
+      |  UNION ALL
+      |  SELECT o_custkey, quarter(o_orderdate), CAST(0 AS BIGINT), $priceLSql
+      |  FROM orders
+      |  WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) <= 3),
+      |a AS (
+      |  SELECT c_nationkey,
+      |    sum(CASE WHEN q = 1 THEN s END) AS s1,
+      |    sum(CASE WHEN q = 2 THEN s END) AS s2,
+      |    sum(CASE WHEN q = 3 THEN s END) AS s3,
+      |    sum(CASE WHEN q = 1 THEN w END) AS w1,
+      |    sum(CASE WHEN q = 2 THEN w END) AS w2,
+      |    sum(CASE WHEN q = 3 THEN w END) AS w3
+      |  FROM u JOIN customer ON ck = c_custkey
+      |  GROUP BY 1)
+      |SELECT n_name,
+      |  CASE WHEN w1 > 0 THEN (CAST(w2 AS DOUBLE) / 100.0) / (CAST(w1 AS DOUBLE) / 100.0) END AS web_q1_q2,
+      |  CASE WHEN s1 > 0 THEN (CAST(s2 AS DOUBLE) / 10000.0) / (CAST(s1 AS DOUBLE) / 10000.0) END AS store_q1_q2,
+      |  CASE WHEN w2 > 0 THEN (CAST(w3 AS DOUBLE) / 100.0) / (CAST(w2 AS DOUBLE) / 100.0) END AS web_q2_q3,
+      |  CASE WHEN s2 > 0 THEN (CAST(s3 AS DOUBLE) / 10000.0) / (CAST(s2 AS DOUBLE) / 10000.0) END AS store_q2_q3
+      |FROM a JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CASE WHEN w1 > 0 THEN (CAST(w2 AS DOUBLE) / 100.0) / (CAST(w1 AS DOUBLE) / 100.0) END >
+      |      CASE WHEN s1 > 0 THEN (CAST(s2 AS DOUBLE) / 10000.0) / (CAST(s1 AS DOUBLE) / 10000.0) END
+      |  AND CASE WHEN w2 > 0 THEN (CAST(w3 AS DOUBLE) / 100.0) / (CAST(w2 AS DOUBLE) / 100.0) END >
+      |      CASE WHEN s2 > 0 THEN (CAST(s3 AS DOUBLE) / 10000.0) / (CAST(s2 AS DOUBLE) / 10000.0) END
+      |ORDER BY n_name""".stripMargin
+
+  /** q39-class mean/stdev pairing with a variance filter (`39.sql`:
+    * per-(warehouse, item, month) inventory mean + stddev, keep
+    * cov = stdev/mean > 1, self-join consecutive months): adapted as
+    * per-(supplier, month) line-quantity moments for Jan/Feb 1995 with
+    * the month PAIR pivoted inside one aggregate — n/Σq/Σq² per month as
+    * conditional sums, so the reference's inv1⋈inv2 self-join costs no
+    * second fact pass and no lease (same restructure as threeChannelYoy).
+    *
+    * Exactness: l_quantity is integer-valued, so the per-month moments
+    * (n, s, ss) are exact longs under any plan decomposition; mean,
+    * stddev_samp and cov are then ONE closed-form float expression
+    * evaluated with the identical IEEE op sequence in both engines
+    * (native stddev_samp drifted 23 ulps in r14 — the same reason
+    * existsDemographics uses closed-form moments). The fixture's uniform
+    * 1..50 quantities put cov around 0.56, so the variance filter is
+    * cov > 0.5 (the reference's > 1 would select nothing here). */
+  def covPairing(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val rows = tt.lineitem
+      .filter(year(col("l_shipdate")) === 1995 && month(col("l_shipdate")).isin(1, 2))
+      .select(col("l_suppkey"), month(col("l_shipdate")).as("mo"),
+        col("l_quantity").cast("long").as("q"))
+    def moments(m: Int) = Seq(
+      count(when(col("mo") === m, lit(1))).as(s"n$m"),
+      sum(when(col("mo") === m, col("q"))).as(s"s$m"),
+      sum(when(col("mo") === m, col("q") * col("q"))).as(s"ss$m"))
+    val ms = moments(1) ++ moments(2)
+    val agg = rows.groupBy("l_suppkey").agg(ms.head, ms.tail: _*)
+      .filter(col("n1") >= 2 && col("n2") >= 2)
+    def mean(m: Int) = col(s"s$m").cast("double") / col(s"n$m")
+    def cov(m: Int) = sqrt(
+      (col(s"ss$m").cast("double") - mean(m) * col(s"s$m")) / (col(s"n$m") - 1)) / mean(m)
+    agg
+      .select(col("l_suppkey"), mean(1).as("mean1"), cov(1).as("cov1"),
+        mean(2).as("mean2"), cov(2).as("cov2"))
+      .filter(col("cov1") > 0.5 && col("cov2") > 0.5)
+      .orderBy("l_suppkey")
+  }
+
+  val covPairingSql = {
+    def mean(m: Int) = s"(CAST(s$m AS DOUBLE) / n$m)"
+    def cov(m: Int) =
+      s"(sqrt((CAST(ss$m AS DOUBLE) - ${mean(m)} * s$m) / (n$m - 1)) / ${mean(m)})"
+    s"""WITH a AS (
+      |  SELECT l_suppkey,
+      |    ${Seq(1, 2).map(m =>
+             s"count(CASE WHEN month(l_shipdate) = $m THEN 1 END) AS n$m,\n    " +
+             s"CAST(sum(CASE WHEN month(l_shipdate) = $m THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s$m,\n    " +
+             s"CAST(sum(CASE WHEN month(l_shipdate) = $m THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS ss$m")
+             .mkString(",\n    ")}
+      |  FROM lineitem
+      |  WHERE year(l_shipdate) = 1995 AND month(l_shipdate) IN (1, 2)
+      |  GROUP BY 1)
+      |SELECT l_suppkey, ${mean(1)} AS mean1, ${cov(1)} AS cov1,
+      |  ${mean(2)} AS mean2, ${cov(2)} AS cov2
+      |FROM a
+      |WHERE n1 >= 2 AND n2 >= 2 AND ${cov(1)} > 0.5 AND ${cov(2)} > 0.5
+      |ORDER BY l_suppkey""".stripMargin
+  }
+
+  /** q49-class ranked return ratios with a channel union (`49.sql`: per
+    * item, returned/sold quantity and currency ratios; TWO global rank()
+    * windows per channel, keep rank ≤ 10 on either, union three
+    * channels): adapted as three fixture channels at their item grains —
+    * lineitem returns per part, 'F'-status order spend per customer,
+    * error events per user — each ranked globally by both ratios and
+    * OR-filtered at rank ≤ 10, unioned, ordered, LIMIT 100.
+    *
+    * Scale posture: the reference's `rank() OVER (ORDER BY ...)` is the
+    * single-task global-window trap at item-grain cardinality (20M+
+    * partkeys at bench scale); each ranking runs through
+    * [[graft.ops.Global.withGlobalRank]] instead — two-pass
+    * range-partition + prefix-offset, fully distributed, with (ratio,
+    * item) as the total order so the rank is deterministic
+    * (row_number-with-tiebreak semantics, mirrored exactly by the
+    * oracle's row_number() OVER). Ratios divide exact-long-derived
+    * doubles, so the rank keys are bit-equal in both engines. */
+  def returnRank(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    def rankChannel(df: DataFrame, chan: String): DataFrame = {
+      val r1 = graft.ops.Global.withGlobalRank(
+        df, Seq(col("rr").asc, col("item").asc), "return_rank")
+      val r2 = graft.ops.Global.withGlobalRank(
+        r1, Seq(col("cr").asc, col("item").asc), "currency_rank")
+      r2.filter(col("return_rank") <= 10 || col("currency_rank") <= 10)
+        .select(lit(chan).as("channel"), col("item"),
+          col("rr").as("return_ratio"), col("return_rank"), col("currency_rank"))
+    }
+    val line = tt.lineitem.filter(year(col("l_shipdate")) === 1995)
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", col("l_quantity").cast("long"))).as("rq"),
+        sum(col("l_quantity").cast("long")).as("tq"),
+        sum(when(col("l_returnflag") === "R", revL)).as("ra"),
+        sum(revL).as("ta"))
+      .filter(col("rq") > 0)
+      .select(col("l_partkey").as("item"),
+        (col("rq").cast("double") / col("tq").cast("double")).as("rr"),
+        (money4(col("ra")) / money4(col("ta"))).as("cr"))
+    val ord = tt.orders.filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", lit(1))).as("rn"),
+        count(lit(1)).as("tn"),
+        sum(when(col("o_orderstatus") === "F", priceL)).as("ra"),
+        sum(priceL).as("ta"))
+      .filter(col("rn") > 0)
+      .select(col("o_custkey").as("item"),
+        (col("rn").cast("double") / col("tn").cast("double")).as("rr"),
+        (money2(col("ra")) / money2(col("ta"))).as("cr"))
+    val ev = tt.events
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "error", lit(1))).as("rn"),
+        count(lit(1)).as("tn"),
+        sum(when(col("event_type") === "error", cents(col("value")))).as("ra"),
+        sum(cents(col("value"))).as("ta"))
+      .filter(col("rn") > 0)
+      .select(col("user_id").as("item"),
+        (col("rn").cast("double") / col("tn").cast("double")).as("rr"),
+        (money2(col("ra")) / money2(col("ta"))).as("cr"))
+    rankChannel(line, "line")
+      .unionByName(rankChannel(ord, "order"))
+      .unionByName(rankChannel(ev, "event"))
+      .orderBy("channel", "return_rank", "currency_rank", "item")
+      .limit(100)
+  }
+
+  val returnRankSql = {
+    def ranked(base: String) =
+      s"""SELECT item, rr, cr,
+        |    row_number() OVER (ORDER BY rr, item) AS return_rank,
+        |    row_number() OVER (ORDER BY cr, item) AS currency_rank
+        |  FROM $base""".stripMargin
+    s"""WITH line_b AS (
+      |  SELECT l_partkey AS item,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS rq,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tq,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN $revLSql END) AS BIGINT) AS ra,
+      |    CAST(sum($revLSql) AS BIGINT) AS ta
+      |  FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1),
+      |line_t AS (
+      |  SELECT item, CAST(rq AS DOUBLE) / CAST(tq AS DOUBLE) AS rr,
+      |    (CAST(ra AS DOUBLE) / 10000.0) / (CAST(ta AS DOUBLE) / 10000.0) AS cr
+      |  FROM line_b WHERE rq > 0),
+      |ord_b AS (
+      |  SELECT o_custkey AS item,
+      |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS rn,
+      |    count(*) AS tn,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN $priceLSql END) AS BIGINT) AS ra,
+      |    CAST(sum($priceLSql) AS BIGINT) AS ta
+      |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+      |ord_t AS (
+      |  SELECT item, CAST(rn AS DOUBLE) / CAST(tn AS DOUBLE) AS rr,
+      |    (CAST(ra AS DOUBLE) / 100.0) / (CAST(ta AS DOUBLE) / 100.0) AS cr
+      |  FROM ord_b WHERE rn > 0),
+      |ev_b AS (
+      |  SELECT user_id AS item,
+      |    count(CASE WHEN event_type = 'error' THEN 1 END) AS rn,
+      |    count(*) AS tn,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN ${centsSql("value")} END) AS BIGINT) AS ra,
+      |    CAST(sum(${centsSql("value")}) AS BIGINT) AS ta
+      |  FROM events GROUP BY 1),
+      |ev_t AS (
+      |  SELECT item, CAST(rn AS DOUBLE) / CAST(tn AS DOUBLE) AS rr,
+      |    (CAST(ra AS DOUBLE) / 100.0) / (CAST(ta AS DOUBLE) / 100.0) AS cr
+      |  FROM ev_b WHERE rn > 0),
+      |line_r AS (
+      |  ${ranked("line_t")}),
+      |ord_r AS (
+      |  ${ranked("ord_t")}),
+      |ev_r AS (
+      |  ${ranked("ev_t")})
+      |SELECT * FROM (
+      |  SELECT 'line' AS channel, item, rr AS return_ratio, return_rank, currency_rank
+      |  FROM line_r WHERE return_rank <= 10 OR currency_rank <= 10
+      |  UNION ALL
+      |  SELECT 'order', item, rr, return_rank, currency_rank
+      |  FROM ord_r WHERE return_rank <= 10 OR currency_rank <= 10
+      |  UNION ALL
+      |  SELECT 'event', item, rr, return_rank, currency_rank
+      |  FROM ev_r WHERE return_rank <= 10 OR currency_rank <= 10) u
+      |ORDER BY channel, return_rank, currency_rank, item
+      |LIMIT 100""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "tpcds_wow_ratio" -> wowRatio _,
+    "tpcds_geo_share_shift" -> geoShareShift _,
+    "tpcds_cov_pairing" -> covPairing _,
+    "tpcds_return_rank" -> returnRank _,
     "tpcds_price_chain" -> priceChain _,
     "tpcds_three_channel_yoy" -> threeChannelYoy _,
     "tpcds_three_fact_behavior" -> threeFactBehavior _,
@@ -1030,6 +1373,10 @@ object Tpcds {
   )
 
   val oracle: Map[String, String] = Map(
+    "tpcds_wow_ratio" -> wowRatioSql,
+    "tpcds_geo_share_shift" -> geoShareShiftSql,
+    "tpcds_cov_pairing" -> covPairingSql,
+    "tpcds_return_rank" -> returnRankSql,
     "tpcds_price_chain" -> priceChainSql,
     "tpcds_three_channel_yoy" -> threeChannelYoySql,
     "tpcds_three_fact_behavior" -> threeFactBehaviorSql,

@@ -190,6 +190,64 @@ class TpcdsPlanSpec extends AnyFunSuite {
       s"no lease in the union shape (the rejected self-join needed one):\n$p")
   }
 
+  test("tpcds_wow_ratio: leased weekly aggregate, one fact pass, broadcast offset join") {
+    // both self-join sides must read the ONE leased union+aggregate —
+    // without the lease Catalyst pushes each year filter below the
+    // aggregate and plans two full fact scans; the weekly frame is
+    // calendar-bounded so the offset join must broadcast, and the union
+    // aggregate needs a map-side partial (slim rows into the wk exchange)
+    val p = plan("tpcds_wow_ratio")
+    assert(p.linesIterator.count(_.contains("InMemoryRelation")) >= 2,
+      s"expected the leased weekly aggregate on BOTH join sides:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the calendar-bounded weekly self-join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge join:\n$p")
+  }
+
+  test("tpcds_geo_share_shift: quarter pivot replaces the 6-way self-join") {
+    // the reference's ss1..ss3 × ws1..ws3 self-join collapses into
+    // conditional sums inside ONE nation-grain aggregate: no window, no
+    // lease, shuffle-hash joins only, and a per-order partial below the
+    // orders join (same restructure family as three_channel_yoy)
+    val p = plan("tpcds_geo_share_shift")
+    assert(!p.contains("Window"), s"pivot shape needs no window:\n$p")
+    assert(!p.contains("InMemoryRelation"), s"pivot shape needs no lease:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"joins stay shuffle-hash:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.matches(".*\\bHashAggregate\\b.*") && l.contains("keys=[l_orderkey")),
+      s"expected the per-(order, quarter) partial below the orders join:\n$p")
+    assert(p.contains("Union"), s"expected the channel union:\n$p")
+  }
+
+  test("tpcds_cov_pairing: single aggregate pass, no join, exact long moments") {
+    // the reference's inv1⋈inv2 month self-join collapses into per-month
+    // conditional moments in ONE supplier-grain aggregate — a join or a
+    // second fact scan would double the heavy work; moments must be
+    // codegen long sums (partial_sum), not object aggregates
+    val p = plan("tpcds_cov_pairing")
+    assert(!p.contains("Join"), s"pivoted moments need no join:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"expected exactly one lineitem scan, saw $scans:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected map-side partial moments:\n$p")
+  }
+
+  test("tpcds_return_rank: global ranks via two-pass range scheme, no single-task window") {
+    // the reference's rank() OVER (ORDER BY ...) is the single-partition
+    // WindowExec trap at item-grain cardinality — the plan must contain
+    // NO window and no SinglePartition exchange; the three ranked
+    // channels arrive as Global.withGlobalRank RDD scans under a
+    // TakeOrdered final page
+    val p = plan("tpcds_return_rank")
+    assert(!p.contains("Window"), s"global ranks must not use WindowExec:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition funnel:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final page should be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("Union"), s"expected the three-channel union:\n$p")
+  }
+
   test("tpcds_three_fact_behavior: events pre-aggregate below the fact joins") {
     // the (user, dom, type) pre-agg bounds the orders⋈events multiplicity
     // (≤ type domain per key) — joining raw events would explode the
