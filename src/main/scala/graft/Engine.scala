@@ -70,6 +70,10 @@ object Engine {
       // their exchanges/sorts (brief tier (c): LogicalPlan+Strategy+Exec)
       .withExtensions { ext =>
         ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+        // r15 single-pass per-partition aggregation (q16/q18/q21 hot
+        // stages) — same tier-(c) stack as the as-of join: Catalyst owns
+        // the exchange via the node's required distribution
+        ext.injectPlannerStrategy(_ => graft.plans.SinglePassStrategy)
         // 100 TB plan intelligence for USER-written (un-hinted) queries:
         // never broadcast a fact-scaled side, and bloom-prefilter the
         // probe side of selective equi-joins (plans/GraftOptimizerRules)
@@ -135,6 +139,14 @@ object Engine {
       .config("spark.sql.cbo.joinReorder.enabled",
         (sys.env.getOrElse("SPARK_GRAFT_CBO", "0") == "1").toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // profiling knob (r15 multi_supp/best_cust investigation):
+      // ObjectHashAggregate (collect_set paths) falls back to SORT-based
+      // aggregation past this many distinct keys per task-map. Unset by
+      // default (Spark's own default applies); env-settable for A/Bs.
+      .config(sys.env.get("SPARK_GRAFT_OBJ_AGG_FALLBACK")
+        .map(v => Map(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> v))
+        .getOrElse(Map.empty[String, String]))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // start wide, coalesce down: big shuffles (10+ GB locally, TBs on a
       // cluster) would otherwise squeeze through `cores` partitions at

@@ -1,0 +1,552 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GenericInternalRow}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+import graft.plans.SinglePassAggNode
+
+/** Single-pass per-partition aggregation kernels over an exchange the
+  * query already pays (OPTIMIZATION r15, guide §1.2 "per-task work").
+  *
+  * Spark plans `repartition(N, k).distinct()` / `.groupBy(k).agg(...)` as
+  * partial + final HashAggregate ABOVE the exchange — both passes run
+  * back-to-back in one stage, so every row is hashed and probed TWICE.
+  * That is free money when the partial collapses the stream, but q16's
+  * dedup keys are ~98% distinct, q18's per-order groups collapse only
+  * ~4:1 and q21's pairs ~1.3:1, so the partial pass is mostly wasted work
+  * on the hottest stage of all three queries (r14 stage dumps: q16
+  * stage560 0.9-1.3M cpu-ms, q18 stage665 0.3M, q21 stage804 0.5-1.0M —
+  * the largest line of each query). OSS Spark 4.1 has no
+  * skip-partial-aggregate switch, so these kernels run the aggregation in
+  * ONE pass per partition directly over the shuffled UnsafeRows (no typed
+  * ser/deser — the r14 q16 sort-dedup A/B lost to exactly that
+  * round-trip; reading primitives off an InternalRow costs nothing).
+  * Planned through [[graft.plans.SinglePassAggNode]], so Catalyst owns
+  * the exchange and the whole query stays one explainable plan.
+  *
+  * Scale posture: identical to the two-phase plans replaced — per-task
+  * state is the same hash map the final aggregate would have built
+  * (partition sizing unchanged: q16 pins its cache-sized dedup width,
+  * q18/q21 stay on AQE advisory sizing); exchange count and bytes are
+  * unchanged. Only the redundant second hash pass (and q21's full-fact
+  * WindowExec sort) disappears.
+  */
+object SinglePass {
+
+  /** splitmix64 finalizer — q16's packed keys are highly structured
+    * (gid*1e12 + suppkey); a raw mask would collide entire key ranges. */
+  @inline private def mix(x0: Long): Int = {
+    var x = x0
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    (x ^ (x >>> 31)).toInt
+  }
+
+  private def attr(name: String, dt: DataType) =
+    AttributeReference(name, dt, nullable = false)()
+
+  /** q16's dedup+rollup collapsed to one pass: distinct packed keys
+    * (`gid * packBase + suppkey`, all > 0) counted per dense gid, within
+    * hash(gk) partitions of pinned `width` (the caller's cache-sized
+    * dedup width). Emits per-partition partial rows `(gid int, cnt long)`
+    * — ~|gid domain| rows per task instead of one row per distinct key —
+    * replacing `.distinct().select(gk div base).groupBy(gid).count()`:
+    * one hash probe per row instead of two full aggregate passes plus a
+    * third partial-count pass.
+    *
+    * Preconditions (enforced loudly): one LongType column, keys > 0
+    * (q16's pack invariant guarantees gid ≥ 1), gid = gk / packBase in a
+    * bounded dense domain (the ~900-group attribute cross-product). */
+  def distinctCountByGid(packed: DataFrame, width: Int, packBase: Long): DataFrame = {
+    require(packed.schema.length == 1 &&
+      packed.schema.head.dataType == LongType,
+      s"distinctCountByGid expects one LongType column, got ${packed.schema}")
+    val plan = Bridge.analyzedPlan(packed)
+    val kernel = (it: Iterator[InternalRow]) => {
+      var cap = 1 << 17 // ~1 MB; grows x4 toward the ~600k-entry steady size
+      var mask = cap - 1
+      var slots = new Array[Long](cap)
+      var n = 0
+      def grow(): Unit = {
+        val old = slots
+        cap <<= 2; mask = cap - 1
+        slots = new Array[Long](cap)
+        var j = 0
+        while (j < old.length) {
+          val key = old(j)
+          if (key != 0L) {
+            var i = mix(key) & mask
+            while (slots(i) != 0L) i = (i + 1) & mask
+            slots(i) = key
+          }
+          j += 1
+        }
+      }
+      var counts = new Array[Long](1024)
+      var maxGid = -1
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.isNullAt(0)) throw new IllegalStateException(
+          "distinctCountByGid: null packed key — pack invariant violated")
+        val gk = row.getLong(0)
+        if (gk <= 0L) throw new IllegalStateException(
+          s"distinctCountByGid: key $gk — pack invariant requires keys > 0")
+        // open-addressing add; 0 = empty sentinel (keys are > 0)
+        var i = mix(gk) & mask
+        var fresh = false
+        var done = false
+        while (!done) {
+          val s = slots(i)
+          if (s == gk) done = true
+          else if (s == 0L) {
+            slots(i) = gk; n += 1; fresh = true
+            if (n * 10L >= cap * 7L) grow() // 0.7 load factor
+            done = true
+          } else i = (i + 1) & mask
+        }
+        if (fresh) {
+          val gid = (gk / packBase).toInt
+          if (gid >= counts.length) {
+            val bigger = new Array[Long](java.lang.Integer.highestOneBit(gid) << 1)
+            System.arraycopy(counts, 0, bigger, 0, counts.length)
+            counts = bigger
+          }
+          counts(gid) += 1L
+          if (gid > maxGid) maxGid = gid
+        }
+      }
+      val cF = counts; val mG = maxGid
+      (0 to mG).iterator.filter(cF(_) > 0L).map { gid =>
+        new GenericInternalRow(Array[Any](gid, cF(gid))): InternalRow
+      }
+    }
+    Bridge.ofRows(packed.sparkSession, SinglePassAggNode(
+      plan, Seq(plan.output.head), Some(width),
+      Seq(attr("gid", IntegerType), attr("cnt", LongType)),
+      "distinctCountByGid", kernel))
+  }
+
+  /** q18's per-key rollup collapsed to one pass: sum an integer value per
+    * long key within hash(key) partitions (AQE-sized), keep keys whose
+    * total exceeds `minTotal`. Emits `(key long, total double)` — only
+    * the sliver that survives the HAVING leaves the stage. The long sum
+    * is exact for integer-valued inputs under any accumulation order
+    * (q18's l_quantity is integral — FixturesSpec pins the contract), so
+    * the emitted double is bit-equal to the two-phase plan's and the
+    * oracle's. */
+  def sumIntByKeyFiltered(df: DataFrame, minTotal: Long,
+      keyName: String, totalName: String): DataFrame = {
+    require(df.schema.length == 2 &&
+      df.schema(0).dataType == LongType && df.schema(1).dataType == IntegerType,
+      s"sumIntByKeyFiltered expects (LongType, IntegerType), got ${df.schema}")
+    val plan = Bridge.analyzedPlan(df)
+    val kernel = (it: Iterator[InternalRow]) => {
+      var cap = 1 << 17
+      var mask = cap - 1
+      var keys = new Array[Long](cap)
+      var sums = new Array[Long](cap)
+      var n = 0
+      def grow(): Unit = {
+        val ok = keys; val os = sums
+        cap <<= 2; mask = cap - 1
+        keys = new Array[Long](cap); sums = new Array[Long](cap)
+        var j = 0
+        while (j < ok.length) {
+          val k = ok(j)
+          if (k != 0L) {
+            var i = mix(k) & mask
+            while (keys(i) != 0L) i = (i + 1) & mask
+            keys(i) = k; sums(i) = os(j)
+          }
+          j += 1
+        }
+      }
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.isNullAt(0) || row.isNullAt(1)) throw new IllegalStateException(
+          "sumIntByKeyFiltered: null key/value — fixture contract violated")
+        val k0 = row.getLong(0)
+        if (k0 < 0L) throw new IllegalStateException(
+          s"sumIntByKeyFiltered: key $k0 — keys must be >= 0")
+        val k = k0 + 1L // slot sentinel is 0; fixture keys are 0-based
+        val v = row.getInt(1).toLong
+        var i = mix(k) & mask
+        var done = false
+        while (!done) {
+          val s = keys(i)
+          if (s == k) { sums(i) += v; done = true }
+          else if (s == 0L) {
+            keys(i) = k; sums(i) = v; n += 1
+            if (n * 10L >= cap * 7L) grow()
+            done = true
+          } else i = (i + 1) & mask
+        }
+      }
+      val capF = cap; val keysF = keys; val sumsF = sums; val t = minTotal
+      (0 until capF).iterator
+        .filter(i => keysF(i) != 0L && sumsF(i) > t)
+        .map { i =>
+          new GenericInternalRow(
+            Array[Any](keysF(i) - 1L, sumsF(i).toDouble)): InternalRow
+        }
+    }
+    Bridge.ofRows(df.sparkSession, SinglePassAggNode(
+      plan, Seq(plan.output.head), None,
+      Seq(attr(keyName, LongType), attr(totalName, DoubleType)),
+      "sumIntByKeyFiltered", kernel))
+  }
+
+  /** Generic per-key double sum in one pass: `(key long, val double)` →
+    * `(keyName long, sumName double)` within hash(key) partitions
+    * (AQE-sized). For streams whose map-side partial aggregate collapses
+    * ~nothing (q9's (suppkey, year) groups see ~96% of their domain in
+    * EVERY map task — the r14 stage dump's 1.3 GB partial output vs
+    * 120M-row input), the partial pass is a full extra hash pass bought
+    * for a few percent of shuffle bytes; this trades it back. Caller
+    * packs composite keys into one positive long (collision-free by
+    * construction) and unpacks with integer arithmetic after. Double
+    * accumulation re-associates exactly like the two-phase plan does
+    * (per-partition partial order is plan-dependent in both). */
+  def sumDoubleByKey(df: DataFrame, keyName: String, sumName: String): DataFrame = {
+    require(df.schema.length == 2 &&
+      df.schema(0).dataType == LongType && df.schema(1).dataType == DoubleType,
+      s"sumDoubleByKey expects (LongType, DoubleType), got ${df.schema}")
+    val plan = Bridge.analyzedPlan(df)
+    val kernel = (it: Iterator[InternalRow]) => {
+      var cap = 1 << 17
+      var mask = cap - 1
+      var keys = new Array[Long](cap)
+      var sums = new Array[Double](cap)
+      var n = 0
+      def grow(): Unit = {
+        val ok = keys; val os = sums
+        cap <<= 2; mask = cap - 1
+        keys = new Array[Long](cap); sums = new Array[Double](cap)
+        var j = 0
+        while (j < ok.length) {
+          val k = ok(j)
+          if (k != 0L) {
+            var i = mix(k) & mask
+            while (keys(i) != 0L) i = (i + 1) & mask
+            keys(i) = k; sums(i) = os(j)
+          }
+          j += 1
+        }
+      }
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.isNullAt(0) || row.isNullAt(1)) throw new IllegalStateException(
+          "sumDoubleByKey: null key/value — caller contract violated")
+        val k0 = row.getLong(0)
+        if (k0 < 0L) throw new IllegalStateException(
+          s"sumDoubleByKey: key $k0 — keys must be >= 0")
+        val k = k0 + 1L // slot sentinel is 0; keys may be 0-based
+        val v = row.getDouble(1)
+        var i = mix(k) & mask
+        var done = false
+        while (!done) {
+          val s = keys(i)
+          if (s == k) { sums(i) += v; done = true }
+          else if (s == 0L) {
+            keys(i) = k; sums(i) = v; n += 1
+            if (n * 10L >= cap * 7L) grow()
+            done = true
+          } else i = (i + 1) & mask
+        }
+      }
+      val capF = cap; val keysF = keys; val sumsF = sums
+      (0 until capF).iterator
+        .filter(i => keysF(i) != 0L)
+        .map { i =>
+          new GenericInternalRow(Array[Any](keysF(i) - 1L, sumsF(i))): InternalRow
+        }
+    }
+    Bridge.ofRows(df.sparkSession, SinglePassAggNode(
+      plan, Seq(plan.output.head), None,
+      Seq(attr(keyName, LongType), attr(sumName, DoubleType)),
+      "sumDoubleByKey", kernel))
+  }
+
+  /** Distinct (k1, k2) pairs counted per k1 in one pass, clustered by k1
+    * (AQE-sized exchange). The r15 clean-host TPC-DS timing exposed
+    * best_cust's `groupBy(l_partkey).agg(size(collect_set(l_orderkey)))`
+    * at 406.6 s @ bw 49.3 (k=1000): partkeys are SCATTERED across the
+    * lineitem scan, so the ObjectHashAggregate partial collapses ~nothing
+    * yet wraps every row in a per-key set object, and past the sort-based
+    * fallback threshold every map task silently becomes a SORT of its
+    * whole input. This kernel exchanges raw 16-byte pairs instead and
+    * counts first-seen pairs per k1 with two primitive open-address maps
+    * — no objects, no sort, one pass. Emits `(keyName long, cntName
+    * long)` — one row per distinct k1 per task (k1-clustered, so globally
+    * one row per k1). Keys must be ≥ 0 (0-based fixture keys; stored
+    * shifted). */
+  def distinctPairCountByKey(df: DataFrame,
+      keyName: String, cntName: String): DataFrame = {
+    require(df.schema.length == 2 &&
+      df.schema(0).dataType == LongType && df.schema(1).dataType == LongType,
+      s"distinctPairCountByKey expects (LongType, LongType), got ${df.schema}")
+    val plan = Bridge.analyzedPlan(df)
+    val kernel = (it: Iterator[InternalRow]) => {
+      // pair set (k1+1, k2) — parallel arrays, 0-in-first = empty slot
+      var cap = 1 << 17
+      var mask = cap - 1
+      var a1 = new Array[Long](cap)
+      var a2 = new Array[Long](cap)
+      var n = 0
+      def grow(): Unit = {
+        val o1 = a1; val o2 = a2
+        cap <<= 2; mask = cap - 1
+        a1 = new Array[Long](cap); a2 = new Array[Long](cap)
+        var j = 0
+        while (j < o1.length) {
+          if (o1(j) != 0L) {
+            var i = mix(o1(j) * 0x9e3779b97f4a7c15L + o2(j)) & mask
+            while (a1(i) != 0L) i = (i + 1) & mask
+            a1(i) = o1(j); a2(i) = o2(j)
+          }
+          j += 1
+        }
+      }
+      // k1 -> distinct-pair count
+      val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.isNullAt(0) || row.isNullAt(1)) throw new IllegalStateException(
+          "distinctPairCountByKey: null key — caller contract violated")
+        val k0 = row.getLong(0)
+        if (k0 < 0L) throw new IllegalStateException(
+          s"distinctPairCountByKey: key $k0 — keys must be >= 0")
+        val k1 = k0 + 1L
+        val k2 = row.getLong(1)
+        var i = mix(k1 * 0x9e3779b97f4a7c15L + k2) & mask
+        var done = false
+        while (!done) {
+          if (a1(i) == k1 && a2(i) == k2) done = true
+          else if (a1(i) == 0L) {
+            a1(i) = k1; a2(i) = k2; n += 1
+            if (n * 10L >= cap * 7L) grow()
+            counts.merge(k0, 1L, (x, y) => x + y)
+            done = true
+          } else i = (i + 1) & mask
+        }
+      }
+      val entries = counts.entrySet().iterator()
+      new Iterator[InternalRow] {
+        def hasNext: Boolean = entries.hasNext
+        def next(): InternalRow = {
+          val e = entries.next()
+          new GenericInternalRow(
+            Array[Any](e.getKey.longValue(), e.getValue.longValue()))
+        }
+      }
+    }
+    Bridge.ofRows(df.sparkSession, SinglePassAggNode(
+      plan, Seq(plan.output.head), None,
+      Seq(attr(keyName, LongType), attr(cntName, LongType)),
+      "distinctPairCountByKey", kernel))
+  }
+
+  /** multi_supp's per-order rollup in one pass: for rows
+    * `(lk long, ls long, isR int, rev long)` clustered by lk, computes
+    * per order the distinct supplier count, the any-returned flag and the
+    * exact long revenue sum, and emits `(lk, rev)` ONLY for orders with
+    * ≥ minDistinct suppliers and a returned line — the sliver the
+    * downstream orders join consumes. Replaces
+    * `groupBy(l_orderkey).agg(size(collect_set), max(when), sum)` whose
+    * ObjectHashAggregate measured 253.9 s @ bw 53.0 at k=1000 (clean
+    * host, r15) — the set objects + sort-based fallback, same disease as
+    * [[distinctPairCountByKey]]. */
+  def q95OrderStats(df: DataFrame, minDistinct: Int,
+      keyName: String, revName: String): DataFrame = {
+    require(df.schema.length == 4 &&
+      df.schema(0).dataType == LongType && df.schema(1).dataType == LongType &&
+      df.schema(2).dataType == IntegerType && df.schema(3).dataType == LongType,
+      s"q95OrderStats expects (Long, Long, Int, Long), got ${df.schema}")
+    val plan = Bridge.analyzedPlan(df)
+    val kernel = (it: Iterator[InternalRow]) => {
+      // pair set (lk+1, ls): distinct suppliers per order
+      var cap = 1 << 17
+      var mask = cap - 1
+      var a1 = new Array[Long](cap)
+      var a2 = new Array[Long](cap)
+      var n = 0
+      def grow(): Unit = {
+        val o1 = a1; val o2 = a2
+        cap <<= 2; mask = cap - 1
+        a1 = new Array[Long](cap); a2 = new Array[Long](cap)
+        var j = 0
+        while (j < o1.length) {
+          if (o1(j) != 0L) {
+            var i = mix(o1(j) * 0x9e3779b97f4a7c15L + o2(j)) & mask
+            while (a1(i) != 0L) i = (i + 1) & mask
+            a1(i) = o1(j); a2(i) = o2(j)
+          }
+          j += 1
+        }
+      }
+      // lk -> [ns, hr, rev] packed in a 3-slot array per order
+      val stats = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2) || row.isNullAt(3))
+          throw new IllegalStateException(
+            "q95OrderStats: null input — caller contract violated")
+        val lk0 = row.getLong(0)
+        if (lk0 < 0L) throw new IllegalStateException(
+          s"q95OrderStats: key $lk0 — keys must be >= 0")
+        val lk = lk0 + 1L
+        val ls = row.getLong(1)
+        val isR = row.getInt(2)
+        val rev = row.getLong(3)
+        val st = stats.computeIfAbsent(lk0, _ => new Array[Long](3))
+        st(1) |= isR.toLong
+        st(2) += rev
+        var i = mix(lk * 0x9e3779b97f4a7c15L + ls) & mask
+        var done = false
+        while (!done) {
+          if (a1(i) == lk && a2(i) == ls) done = true
+          else if (a1(i) == 0L) {
+            a1(i) = lk; a2(i) = ls; n += 1
+            if (n * 10L >= cap * 7L) grow()
+            st(0) += 1L
+            done = true
+          } else i = (i + 1) & mask
+        }
+      }
+      val md = minDistinct.toLong
+      val entries = stats.entrySet().iterator()
+      new Iterator[InternalRow] {
+        private var nextRow: InternalRow = _
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && entries.hasNext) {
+            val e = entries.next()
+            val st = e.getValue
+            if (st(0) >= md && st(1) == 1L)
+              nextRow = new GenericInternalRow(
+                Array[Any](e.getKey.longValue(), st(2)))
+          }
+        }
+        advance()
+        def hasNext: Boolean = nextRow != null
+        def next(): InternalRow = {
+          val r = nextRow; advance(); r
+        }
+      }
+    }
+    Bridge.ofRows(df.sparkSession, SinglePassAggNode(
+      plan, Seq(plan.output.head), None,
+      Seq(attr(keyName, LongType), attr(revName, LongType)),
+      "q95OrderStats", kernel))
+  }
+
+  /** q21's pair-rollup + per-order window + culprit filter collapsed to
+    * one pass. Input: raw joined rows `(lk long, ls long, lateF int)`
+    * (order, supplier, 1 = this line shipped late), clustered by lk —
+    * EnsureRequirements adds no exchange when the upstream join already
+    * hash(lk)-partitions the stream, so the kernel fuses onto the join
+    * stage. The two-phase shape paid: (a) partial+final HashAggregate
+    * over the ~near-distinct (lk, ls) pairs (~1.3:1 collapse — mostly
+    * wasted double hashing), (b) a full Tungsten sort of every pair for
+    * WindowExec's partition-by-lk walk, (c) WindowExec itself
+    * (row-at-a-time, no codegen). One open-address (lk, ls)→flag-bits
+    * pass replaces (a); a per-lk on-time count over the deduped entries
+    * replaces (b)+(c); the culprit test — pair was late AND its order has
+    * an on-time DIFFERENT supplier, i.e. `n_ontime(lk) − own_ontime > 0`
+    * — folds into per-supplier partial counts `(ls, cnt)`, so each task
+    * emits ≤|its culprit suppliers| rows instead of every culprit pair.
+    * Downstream: `groupBy(ls).sum(cnt)` = numwait, then the supplier
+    * join. Per-task state is two open maps over the partition's pairs —
+    * same order of footprint as the hash-aggregate + sort buffers it
+    * replaces, sized by AQE's advisory partitioning. */
+  def q21CulpritCounts(df: DataFrame): DataFrame = {
+    require(df.schema.length == 3 &&
+      df.schema(0).dataType == LongType && df.schema(1).dataType == LongType &&
+      df.schema(2).dataType == IntegerType,
+      s"q21CulpritCounts expects (LongType, LongType, IntegerType), got ${df.schema}")
+    val plan = Bridge.analyzedPlan(df)
+    val kernel = (it: Iterator[InternalRow]) => {
+      // (lk, ls) -> flags (bit0 = some line late, bit1 = some line
+      // on time); lk = 0 marks an empty slot (fixture keys are 1-based)
+      var cap = 1 << 17
+      var mask = cap - 1
+      var kLk = new Array[Long](cap)
+      var kLs = new Array[Long](cap)
+      var fl = new Array[Byte](cap)
+      var n = 0
+      def grow(): Unit = {
+        val oLk = kLk; val oLs = kLs; val oF = fl
+        cap <<= 2; mask = cap - 1
+        kLk = new Array[Long](cap); kLs = new Array[Long](cap)
+        fl = new Array[Byte](cap)
+        var j = 0
+        while (j < oLk.length) {
+          if (oLk(j) != 0L) {
+            var i = mix(oLk(j) * 0x9e3779b97f4a7c15L + oLs(j)) & mask
+            while (kLk(i) != 0L) i = (i + 1) & mask
+            kLk(i) = oLk(j); kLs(i) = oLs(j); fl(i) = oF(j)
+          }
+          j += 1
+        }
+      }
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2))
+          throw new IllegalStateException(
+            "q21CulpritCounts: null key/flag — join output contract violated")
+        val lk0 = row.getLong(0)
+        if (lk0 < 0L) throw new IllegalStateException(
+          s"q21CulpritCounts: key $lk0 — keys must be >= 0")
+        val lk = lk0 + 1L // slot sentinel is 0; fixture keys are 0-based
+        val ls = row.getLong(1)
+        val bit = if (row.getInt(2) == 1) 1 else 2 // late : on time
+        var i = mix(lk * 0x9e3779b97f4a7c15L + ls) & mask
+        var done = false
+        while (!done) {
+          if (kLk(i) == lk && kLs(i) == ls) {
+            fl(i) = (fl(i) | bit).toByte; done = true
+          } else if (kLk(i) == 0L) {
+            kLk(i) = lk; kLs(i) = ls; fl(i) = bit.toByte; n += 1
+            if (n * 10L >= cap * 7L) grow()
+            done = true
+          } else i = (i + 1) & mask
+        }
+      }
+      // per-lk on-time supplier count over the DEDUPED pairs
+      val ontime = new java.util.HashMap[java.lang.Long, Integer]()
+      var j = 0
+      while (j < cap) {
+        if (kLk(j) != 0L && (fl(j) & 2) != 0)
+          ontime.merge(kLk(j), 1, (a, b) => a + b)
+        j += 1
+      }
+      // culprit pairs folded to per-supplier partial counts
+      val bySupp = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      j = 0
+      while (j < cap) {
+        if (kLk(j) != 0L && (fl(j) & 1) != 0) {
+          val tot = ontime.getOrDefault(kLk(j), 0)
+          val others = tot - (if ((fl(j) & 2) != 0) 1 else 0)
+          if (others > 0) bySupp.merge(kLs(j), 1L, (a, b) => a + b)
+        }
+        j += 1
+      }
+      val entries = bySupp.entrySet().iterator()
+      new Iterator[InternalRow] {
+        def hasNext: Boolean = entries.hasNext
+        def next(): InternalRow = {
+          val e = entries.next()
+          new GenericInternalRow(
+            Array[Any](e.getKey.longValue(), e.getValue.longValue()))
+        }
+      }
+    }
+    Bridge.ofRows(df.sparkSession, SinglePassAggNode(
+      plan, Seq(plan.output.head), None,
+      Seq(attr("ls", LongType), attr("cnt", LongType)),
+      "q21CulpritCounts", kernel))
+  }
+}

@@ -630,11 +630,29 @@ object Tpcds {
     // (see revL — the first decimal cut cost 356.9 s vs r13's 63.5-71.5 s
     // band at k=1000: the decimal(38,8) per-order sums knocked the 150M-
     // group ObjectHashAggregate onto BigDecimal objects)
-    val po = tt.lineitem.groupBy("l_orderkey").agg(
-        size(collect_set(col("l_suppkey"))).as("__ns"),
-        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("__hr"),
-        sum(revL).as("__rev"))
-      .filter(col("__ns") >= 2 && col("__hr") === 1)
+    // r15: the r15 clean-host timing exposed the collect_set shape at
+    // 253.9 s @ bw 53.0 (k=1000) — NOT weather (the r13 63.5 s record was
+    // never reproduced on a certified-clean host). The ObjectHashAggregate
+    // wraps every row in per-order set objects and, past the sort-based
+    // fallback threshold (spark.sql.objectHashAggregate.sortBased.
+    // fallbackThreshold, default 128 keys), every map task silently SORTS
+    // its whole input. The single-pass kernel exchanges raw 28-byte rows
+    // and computes ns/hr/rev with primitive open maps in one pass — A/B
+    // in OPTIMIZATION_r15.md; toggle restores the collect_set shape.
+    val po =
+      if (sys.env.get("SPARK_GRAFT_Q95_COLLECTSET").contains("1"))
+        tt.lineitem.groupBy("l_orderkey").agg(
+            size(collect_set(col("l_suppkey"))).as("__ns"),
+            max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("__hr"),
+            sum(revL).as("__rev"))
+          .filter(col("__ns") >= 2 && col("__hr") === 1)
+          .select(col("l_orderkey"), col("__rev"))
+      else
+        graft.ops.SinglePass.q95OrderStats(
+          tt.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+            when(col("l_returnflag") === "R", 1).otherwise(0).as("__isR"),
+            revL.as("__rev")),
+          minDistinct = 2, "l_orderkey", "__rev")
     po.join(tt.orders.filter(col("o_orderstatus") === "F")
           .select("o_orderkey").hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
@@ -671,8 +689,19 @@ object Tpcds {
     // second full exchange lost; a partkey pre-repartition + codegen
     // two-step lost too at 129.9 s vs 120.7 s — raw-fact repartition
     // forfeits partial aggregation, same lesson as multiSuppReturned)
-    val pc = Caches.lease(tt.lineitem.groupBy("l_partkey")
-      .agg(size(collect_set(col("l_orderkey"))).as("__cnt")))
+    // r15: clean-host timing exposed this collect_set at 406.6 s @ bw
+    // 49.3 (k=1000) — partkeys are SCATTERED across the scan, so the
+    // partial collapses ~nothing while paying set objects + the
+    // sort-based fallback (see multiSuppReturned). The kernel exchanges
+    // raw 16-byte pairs and counts first-seen pairs per partkey in one
+    // pass; A/B in OPTIMIZATION_r15.md, toggle restores the old shape.
+    val pc = Caches.lease(
+      if (sys.env.get("SPARK_GRAFT_Q23_COLLECTSET").contains("1"))
+        tt.lineitem.groupBy("l_partkey")
+          .agg(size(collect_set(col("l_orderkey"))).as("__cnt"))
+      else
+        graft.ops.SinglePass.distinctPairCountByKey(
+          tt.lineitem.select("l_partkey", "l_orderkey"), "l_partkey", "__cnt"))
     val fp = pc.crossJoin(broadcast(pc.agg(avg("__cnt").as("__avg"))))
       .filter(col("__cnt") > col("__avg") * 1.1)
       .select("l_partkey")

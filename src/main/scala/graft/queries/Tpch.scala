@@ -493,12 +493,34 @@ object Tpch {
     // 5-column cache materialization plus the 54 MB filter build/merge
     // dwarf the orders-shuffle saving; the un-leased streaming pipeline
     // (scan → probe → SHJ build) is what keeps q9 cheap.
-    val perSupp = liPart.hint("shuffle_hash")
+    val joined = liPart.hint("shuffle_hash")
       .join(tt.orders.select(col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_suppkey"), col("o_year"))
-      .agg(sum("amount").as("amt"))
+    // r15 A/B (guide §1.2 per-task work): the eager aggregate's partial
+    // pass collapses ~nothing here — (suppkey, year) has ~7M distinct
+    // combinations and every map task sees ~1M rows of random orderkeys,
+    // so the r14 stage dump shows 1.3 GB of partial output from the
+    // 120M-row input (~4% collapse) — a full extra hash pass bought for a
+    // few percent of shuffle bytes. The single-pass variant packs
+    // (suppkey, year) into one positive long (suppkey*8192 + yr − 1024;
+    // collision-free for any year() of a sane date and the remapped
+    // suppkey domain ≤ 1.1e11 — packed ≤ 9.0e14 < 2^63) and sums once
+    // after the exchange. Toggle SPARK_GRAFT_Q9_TWOPHASE=1 restores the
+    // two-phase aggregate; numbers in OPTIMIZATION_r15.md.
+    val perSupp =
+      if (sys.env.get("SPARK_GRAFT_Q9_TWOPHASE").contains("1"))
+        joined
+          .groupBy(col("l_suppkey"), col("o_year"))
+          .agg(sum("amount").as("amt"))
+      else
+        graft.ops.SinglePass.sumDoubleByKey(
+            joined.select(
+              (col("l_suppkey") * 8192L + col("o_year") - 1024L).as("pk"),
+              col("amount")),
+            "pk", "amt")
+          .select(expr("pk div 8192").as("l_suppkey"),
+            (col("pk") % 8192 + 1024L).as("o_year"), col("amt"))
     perSupp
       .join(tt.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))

@@ -296,7 +296,20 @@ object Tpch2 {
     // radix sort buffers are just as bandwidth-bound as the maps. The
     // hash distinct stays; toggle kept for re-measurement:
     // SPARK_GRAFT_Q16_SORTDEDUP=1.
-    val deduped =
+    // r15 single-pass dedup+rollup (guide §1.2 per-task work): the shipped
+    // two-phase shape planned partial+final HashAggregate back-to-back
+    // above the explicit exchange — every one of the ~450M post-exchange
+    // rows hashed TWICE for a ~2% collapse, then a third partial pass for
+    // the gid count (r14 stage dumps: this one stage carried 0.9-1.3M
+    // cpu-ms of q16's 1.7-1.9M total). SinglePass.distinctCountByGid
+    // probes one open-address long set per row and folds the gid count
+    // into the same pass, emitting ~900 partial rows per task. Same
+    // exchange count, same exchange bytes, same per-task map footprint
+    // (dedupWidth unchanged) — only the redundant passes disappear.
+    // Old paths kept as toggles for re-measurement
+    // (SPARK_GRAFT_Q16_TWOPHASE=1 / SPARK_GRAFT_Q16_SORTDEDUP=1);
+    // A/B numbers recorded in OPTIMIZATION_r15.md.
+    val counted =
       if (sys.env.get("SPARK_GRAFT_Q16_SORTDEDUP").contains("1")) {
         import s.implicits._
         packed.repartition(dedupWidth(s, dir), col("gk"))
@@ -307,12 +320,18 @@ object Tpch2 {
             it.filter { x => val keep = x != prev; prev = x; keep }
           }
           .toDF("gk")
-      } else {
+          .select(expr(s"gk div $packBase").cast("int").as("gid"))
+          .groupBy("gid").agg(count(lit(1)).as("supplier_cnt"))
+      } else if (sys.env.get("SPARK_GRAFT_Q16_TWOPHASE").contains("1")) {
         packed.repartition(dedupWidth(s, dir), col("gk")).distinct()
+          .select(expr(s"gk div $packBase").cast("int").as("gid"))
+          .groupBy("gid").agg(count(lit(1)).as("supplier_cnt"))
+      } else {
+        graft.ops.SinglePass
+          .distinctCountByGid(packed, dedupWidth(s, dir), packBase)
+          .groupBy("gid").agg(sum("cnt").as("supplier_cnt"))
       }
-    deduped
-      .select(expr(s"gk div $packBase").cast("int").as("gid")) // integer div: exact unpack
-      .groupBy("gid").agg(count(lit(1)).as("supplier_cnt"))
+    counted
       .join(broadcast(dim), Seq("gid"))
       .select(col("p_brand"), col("p_type"), col("size_band"), col("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_type").asc,
@@ -350,8 +369,14 @@ object Tpch2 {
       "l_partkey", brandParts, "p_partkey"))
     val avgQty = liPruned.groupBy(col("l_partkey").as("ap"))
       .agg((avg("l_quantity") * 0.5).as("half_avg"))
+    // r15 A/B: SMJ sorted the leased brand sliver against unique-keyed
+    // brandParts — the q12/q14/q19 SHJ rule candidate. Toggle measures
+    // it; numbers in OPTIMIZATION_r15.md.
+    val q17Hint =
+      if (sys.env.get("SPARK_GRAFT_Q17_SMJ").contains("1")) "shuffle_merge"
+      else "shuffle_hash"
     liPruned
-      .join(brandParts.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
+      .join(brandParts.hint(q17Hint), col("l_partkey") === col("p_partkey"))
       .join(avgQty, col("l_partkey") === col("ap"))
       .filter(col("l_quantity") < col("half_avg"))
       .agg((sum("l_extendedprice") / 7.0).as("avg_yearly"))
@@ -376,12 +401,31 @@ object Tpch2 {
     // SF100-equivalent tier. Shuffling raw (orderkey, qty) rows first
     // moves the same bytes but lands BOTH agg phases on AQE-coalesced
     // (advisory-sized) partitions: zero-spill maps.
-    val bigOrders = graft.ops.Caches.lease(tt.lineitem
-      .select("l_orderkey", "l_quantity")
-      .repartition(col("l_orderkey"))
-      .groupBy("l_orderkey")
-      .agg(sum("l_quantity").as("total_qty"))
-      .filter(col("total_qty") > 300))
+    // r15 single-pass rollup (guide §1.2 per-task work + §2.3 narrower
+    // types): the two-phase shape hashed every post-exchange row twice
+    // (partial+final above the exchange) for a ~4:1 collapse, and the
+    // exchange carried l_quantity as a DOUBLE. l_quantity is
+    // integer-valued (FixturesSpec pins the fixture contract; covPairing
+    // already sums it as long), so it ships as an INT — 12 bytes/row
+    // instead of 16 before compression — and the per-order sum runs in
+    // ONE open-address long→long pass whose long total is bit-exact under
+    // any accumulation order; the emitted double equals the two-phase
+    // plan's and the oracle's. Only orders passing the HAVING leave the
+    // stage. Toggle SPARK_GRAFT_Q18_TWOPHASE=1 restores the old shape;
+    // A/B numbers in OPTIMIZATION_r15.md.
+    val bigOrders = graft.ops.Caches.lease(
+      if (sys.env.get("SPARK_GRAFT_Q18_TWOPHASE").contains("1"))
+        tt.lineitem
+          .select("l_orderkey", "l_quantity")
+          .repartition(col("l_orderkey"))
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("total_qty"))
+          .filter(col("total_qty") > 300)
+      else
+        graft.ops.SinglePass.sumIntByKeyFiltered(
+          tt.lineitem.select(col("l_orderkey"),
+            col("l_quantity").cast("int").as("__q")),
+          300L, "l_orderkey", "total_qty"))
     // join the SELECTIVE reduction first: qty > 300 keeps a sliver of
     // orders, so orders⋈bigOrders shrinks the customer join input by
     // orders of magnitude (the old customer⋈orders-first shape shuffled
@@ -483,9 +527,16 @@ object Tpch2 {
     // then an exact shuffle semi join (leased: one part scan)
     val redParts = graft.ops.Caches.lease(
       tt.part.filter(col("p_name").contains("red")).select("p_partkey"))
+    // r15 A/B: the semi's SMJ sorts the ~120M-row bloomed lineitem stream
+    // against a unique-keyed part sliver — the q12/q14/q19 SHJ rule says
+    // the sort is pure overhead. Toggle measures it; numbers in
+    // OPTIMIZATION_r15.md.
+    val q20Hint =
+      if (sys.env.get("SPARK_GRAFT_Q20_SMJ").contains("1")) "shuffle_merge"
+      else "shuffle_hash"
     val bigSuppliers = graft.ops.Prune.bloomSemiPrefilter(
         tt.lineitem, "l_partkey", redParts, "p_partkey")
-      .join(redParts.hint("shuffle_merge"),
+      .join(redParts.hint(q20Hint),
         col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_suppkey")
       .agg(sum("l_quantity").as("qty"))
@@ -542,26 +593,49 @@ object Tpch2 {
     // is exactly the ls =!= os exists condition on distinct pairs.
     // Flags are projected BEFORE the aggregate so the date arithmetic
     // runs once per line in codegen, not inside both agg phases.
-    val pairs = li
+    val flagged = li
       .select(
         col("l_orderkey").as("lk"), col("l_suppkey").as("ls"),
         when(col("l_shipdate") > date_add(col("o_orderdate"), 90), 1)
           .otherwise(0).as("lateF"))
-      .groupBy("lk", "ls")
-      .agg(
-        max(col("lateF")).as("late"),
-        // a line is on time iff it is not late: 1 - min(lateF)
-        (lit(1) - min(col("lateF"))).as("ontime"))
-    val culprits = pairs
-      .withColumn("n_ontime",
-        sum("ontime").over(Window.partitionBy(col("lk"))))
-      .filter(col("late") === 1 && col("n_ontime") - col("ontime") > 0)
-    culprits
-      .join(tt.supplier, col("ls") === col("s_suppkey"))
-      .groupBy(col("s_name"), col("s_suppkey"))
-      .agg(count(lit(1)).as("numwait"))
-      .orderBy(col("numwait").desc, col("s_suppkey").asc)
-      .limit(25)
+    if (sys.env.get("SPARK_GRAFT_Q21_WINDOW").contains("1")) {
+      // pre-r15 shape, kept as a toggle: pair HashAggregate (partial+final
+      // above the join's exchange) + WindowExec per-order on-time count.
+      // A/B numbers in OPTIMIZATION_r15.md.
+      val pairs = flagged
+        .groupBy("lk", "ls")
+        .agg(
+          max(col("lateF")).as("late"),
+          // a line is on time iff it is not late: 1 - min(lateF)
+          (lit(1) - min(col("lateF"))).as("ontime"))
+      val culprits = pairs
+        .withColumn("n_ontime",
+          sum("ontime").over(Window.partitionBy(col("lk"))))
+        .filter(col("late") === 1 && col("n_ontime") - col("ontime") > 0)
+      culprits
+        .join(tt.supplier, col("ls") === col("s_suppkey"))
+        .groupBy(col("s_name"), col("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey").asc)
+        .limit(25)
+    } else {
+      // r15 single-pass culprit rollup (guide §1.2 per-task work): the
+      // pair dedup, the per-order on-time count and the "another supplier
+      // was on time" filter all run in ONE partition-local pass over the
+      // join output (hash(lk) partitioning makes every order
+      // partition-local) — removing the pair HashAggregate's redundant
+      // second hashing, the full-fact Tungsten sort that WindowExec
+      // demanded, and WindowExec's row-at-a-time walk. The pass emits
+      // per-supplier partial counts, so the supplier join consumes a
+      // supplier-domain aggregate instead of every culprit pair.
+      val perSupp = graft.ops.SinglePass.q21CulpritCounts(flagged)
+        .groupBy("ls").agg(sum("cnt").as("numwait"))
+      perSupp
+        .join(tt.supplier, col("ls") === col("s_suppkey"))
+        .select(col("s_name"), col("s_suppkey"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey").asc)
+        .limit(25)
+    }
   }
 
   val q21Sql =

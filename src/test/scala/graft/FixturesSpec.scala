@@ -119,4 +119,20 @@ class FixturesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("l_quantity is integer-valued (int-narrowing contract)") {
+    // r15: q18 ships l_quantity across its exchange as an INT and sums it
+    // in exact longs (queries/Tpch2.scala bigOrders single-pass);
+    // covPairing already casts it to long for exact moments. Both are
+    // correct ONLY while the fixture quantity is integral — a fractional
+    // regen would silently truncate in the int cast and diverge from the
+    // oracle's double sum. Same guard pattern as the cents contract.
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val worst = li.agg(
+      max(abs(col("l_quantity") - round(col("l_quantity"))))).head().getDouble(0)
+    assert(worst < 1e-9,
+      s"lineitem.l_quantity is no longer integer-valued (worst off-grid " +
+        s"error $worst) — q18's int-narrowed exchange and covPairing's long " +
+        "moments silently truncate; revisit before trusting hashes")
+  }
 }

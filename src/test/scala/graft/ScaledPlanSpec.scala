@@ -215,6 +215,11 @@ class ScaledPlanSpec extends AnyFunSuite {
     val p = planFull("q16")
     assert(p.contains("ShuffledHashJoin"),
       s"q16: part join must be a shuffled hash join:\n$p")
+    // r15: dedup + gid rollup collapsed into the one-pass kernel (the
+    // pinned-width gk exchange is Catalyst's, from the node's required
+    // distribution)
+    assert(p.contains("SinglePassAgg(distinctCountByGid)"),
+      s"q16: single-pass dedup kernel dropped:\n$p")
     val offending = p.linesIterator
       .filter(_.contains("BroadcastHashJoin"))
       .filter(l => l.contains("[l_partkey#") || l.contains("[p_partkey#"))
@@ -229,15 +234,20 @@ class ScaledPlanSpec extends AnyFunSuite {
       s"q16: fact-side sort reintroduced:\n${factSorts.mkString("\n")}")
   }
 
-  test("q18 shuffles raw rows before its order-count-group aggregate") {
-    // r8: without the explicit pre-agg repartition the partial-agg hash
-    // maps build on scan-sized tasks (~3.6M entries each) and spilled
-    // 7.0 GB at the SF100-equivalent tier — the q16 disease. The
-    // REPARTITION_BY_COL exchange is the shape that keeps both agg
-    // phases on AQE-advisory-sized partitions.
+  test("q18 shuffles raw rows into the single-pass order rollup") {
+    // r8: without a pre-agg shuffle the partial-agg hash maps build on
+    // scan-sized tasks (~3.6M entries each) and spilled 7.0 GB at the
+    // SF100-equivalent tier — the q16 disease. r15: the rollup is the
+    // SinglePassAgg node whose required distribution makes Catalyst
+    // insert the (AQE-sized) orderkey exchange, and the redundant
+    // partial+final double pass is gone — the pin is the node plus its
+    // exchange on l_orderkey.
     val p = plan("q18")
-    assert(p.contains("REPARTITION_BY_COL"),
-      s"q18: pre-aggregate repartition dropped:\n$p")
+    assert(p.contains("SinglePassAgg(sumIntByKeyFiltered)"),
+      s"q18: single-pass order rollup dropped:\n$p")
+    val ex = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey")).toSeq
+    assert(ex.nonEmpty, s"q18: no orderkey exchange below the rollup:\n$p")
   }
 
   test("injected optimizer rules stay plan-neutral on the curated corpus") {
@@ -330,14 +340,18 @@ class ScaledPlanSpec extends AnyFunSuite {
       s"q12: priority string crosses an exchange:\n${exchangesWithPriority.mkString("\n")}")
   }
 
-  test("q21 hash-joins the facts and adds no exchange between join and window") {
+  test("q21 hash-joins the facts and adds no exchange between join and rollup") {
     // The r7 shape: lineitem SHJ orders (build side = unique-keyed orders,
     // no skew, bounded build) replaced an SMJ whose two fact sorts spilled
     // 29.9 GB at the SF100-equivalent tier (238 s -> 94.5 s, zero spill).
-    // Pair agg, per-order window, and rollup all reuse the join's
-    // hash(l_orderkey) partitioning: exactly 3 exchanges total — the two
-    // fact shuffles and the final ~10k-row rollup.
+    // r15: the pair agg + per-order window + culprit filter collapsed
+    // into the SinglePassAgg kernel, which still rides the join's
+    // hash(l_orderkey) partitioning (its required distribution is
+    // satisfied, so Catalyst adds NO exchange): 3 exchanges total — the
+    // two fact shuffles and the supplier-domain numwait rollup.
     val p = plan("q21")
+    assert(p.contains("SinglePassAgg(q21CulpritCounts)"),
+      s"q21: single-pass culprit rollup dropped:\n$p")
     assert(p.contains("ShuffledHashJoin"),
       s"q21: fact join must be a shuffled hash join (SMJ sorts spill):\n$p")
     val factSorts = p.linesIterator
