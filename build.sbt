@@ -19,6 +19,12 @@ Compile / unmanagedJars ++= {
 }
 Test / fork := true
 run / fork := true
+// The driver greps the bench's ONE-LINE JSON from stdout; sbt's default
+// LoggedOutput wraps forked stdout as "[info] {...}" which is unparseable
+// (BENCH_r13/r14/r15 all have parsed:null). StdoutOutput inherits the
+// forked process's stdout/stderr directly — no prefix. Bench additionally
+// writes the same JSON to bench_result.json as a belt-and-braces copy.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -330,7 +330,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // Low-core scaling runs (the driver re-runs the bench at 8 cores to
+    // measure per-query scaling): the full 3-rep three-tier sweep cannot
+    // finish inside the driver's timeout at <16 cores (BENCH_r15_c8
+    // rc=124, died at q21/k=1000). Drop to 1 rep and skip the k=1000
+    // EXTENDED leg, and record both in the JSON ("skipped") so the cap is
+    // never silent. An explicit SPARK_GRAFT_BENCH_REPS still overrides.
+    val lowCore = cpus.toInt < 16
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
+      .getOrElse(if (lowCore) 1 else 3))
+    val skipped = scala.collection.mutable.Buffer[String]()
+    if (lowCore) skipped += "reps_reduced_to_1"
     val loadStart = loadAvg()
     // measurement harness: RAM-backed shuffle dirs for run-to-run
     // determinism — opt-in HERE, not in Engine.session, so library
@@ -481,7 +491,9 @@ object Bench {
       names.map { name =>
         var runs = Vector(runOnce(dir, name))
         var target = nReps
-        if (adapt && runs.head._2) {
+        // low-core mode never self-escalates reps — the whole point is to
+        // finish inside the driver's timeout (skip recorded in "skipped")
+        if (adapt && !lowCore && runs.head._2) {
           if (runs.head._1 > 10.0) target = math.max(target, 3)
           else if (runs.head._1 > 3.0) target = math.max(target, 2)
         }
@@ -661,6 +673,19 @@ object Bench {
       }
     }
 
+    // per-query contention witness (VERDICT r15 #6): a query measured ONLY
+    // next to provably-slow host readings — cpu-steal kernel >1.35× the
+    // run's demonstrated best, or memory bandwidth <0.65× best — or whose
+    // reps never converged (unstable). The judge/driver can discount these
+    // medians mechanically instead of reading weather as plan regressions.
+    def contendedNames(rs: Seq[QRes]): Seq[String] =
+      rs.filter(r => r.ok &&
+        ((bestCalib < Double.MaxValue && r.calib > 1.35 * bestCalib) ||
+         (bestBw > 0.0 && r.bw > 0.0 && r.bw < 0.65 * bestBw) ||
+         r.unstable)).map(_.name)
+    def jsonNames(ns: Seq[String]): String =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     def tierJson(label: String, k: Int, dir: String, res: Seq[QRes],
         ext: Seq[QRes] = Nil): String = {
       val gb = inputBytes(dir, tpchTables) / 1e9
@@ -671,7 +696,7 @@ object Bench {
       val extPart =
         if (ext.isEmpty) ""
         else f""","extended_total_sec":${okTotal(ext)}%.3f,"extended":${jsonQueries(ext)},"extended_failed":${jsonFailed(ext)}"""
-      f""","$label":{"k":$k,"input_gb":$gb%.3f,"total_sec":$tot%.3f,"sec_per_gb":${tot / math.max(gb, 1e-9)}%.2f,"reps":$reps,"queries":${jsonQueries(res)},"spread":${jsonSpread(res)},"unstable":${jsonUnstable(res)},"failed":${jsonFailed(res)},"over_budget":$overJson$extPart}"""
+      f""","$label":{"k":$k,"input_gb":$gb%.3f,"total_sec":$tot%.3f,"sec_per_gb":${tot / math.max(gb, 1e-9)}%.2f,"reps":$reps,"queries":${jsonQueries(res)},"spread":${jsonSpread(res)},"unstable":${jsonUnstable(res)},"failed":${jsonFailed(res)},"contended_queries":${jsonNames(contendedNames(res ++ ext))},"over_budget":$overJson$extPart}"""
     }
 
     // JVM/codegen warmup on the smallest SF so measured numbers reflect
@@ -716,13 +741,14 @@ object Bench {
         def runExtended(dir: String): Seq[QRes] = {
           // adapt=true (r13 #2): expensive extended queries self-select
           // into the headline rep/median machinery — see run()
+          val noisyReps = if (lowCore) 1 else 2
           val res = run(dir, extended.filterNot(extendedNoisy), nReps = 1,
               adapt = true) ++
-            run(dir, extended.filter(extendedNoisy), nReps = 2, adapt = true)
+            run(dir, extended.filter(extendedNoisy), nReps = noisyReps, adapt = true)
           // noisy queries keep 2 reps on the rescue pass too
           def reRun(d: String, names: Seq[String]): Seq[QRes] =
             names.flatMap(n =>
-              run(d, Seq(n), if (extendedNoisy(n)) 2 else 1, adapt = true))
+              run(d, Seq(n), if (extendedNoisy(n)) noisyReps else 1, adapt = true))
           val rescued = rescueByCalib(dir, res, reRun)
           extended.flatMap(n => rescued.find(_.name == n)) // report in q-order
         }
@@ -747,8 +773,9 @@ object Bench {
             freshTier()
             warm(sdir2)
             val t2Head = rescueByCalib(sdir2, runRescued(sdir2), reRunHead)
+            if (extOn && lowCore) skipped += "scaled2_extended"
             val t2Ext =
-              if (extOn) { freshTier(); warm(sdir2); runExtended(sdir2) }
+              if (extOn && !lowCore) { freshTier(); warm(sdir2); runExtended(sdir2) }
               else Nil
             tierJson("scaled2", k2, sdir2, t2Head, t2Ext)
           } else ""
@@ -783,8 +810,20 @@ object Bench {
        else f""","calib_best":${calibs.min}%.3f,"calib_worst":${calibs.max}%.3f""") +
       (if (bws.isEmpty) ""
        else f""","bw_best_gbps":${bws.max}%.1f,"bw_worst_gbps":${bws.min}%.1f""")
-    println(
-      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"spread":${jsonSpread(results)},"unstable":${jsonUnstable(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"contended":$contended,"local_dir":"$localDir","shm_free_gb":$shmFreeGb%.1f$calibPart,"over_budget":$overJson$scaledPart}""")
+    val jsonLine =
+      f"""{"metric":"tpch_q1_q10_total","value":$total%.3f,"unit":"sec","queries":${jsonQueries(results)},"spread":${jsonSpread(results)},"unstable":${jsonUnstable(results)},"failed":${jsonFailed(results)},"sf":"$sfDir","input_gb":$baseGb%.3f,"sec_per_gb":${total / math.max(baseGb, 1e-9)}%.2f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"contended":$contended,"contended_queries":${jsonNames(contendedNames(results))},"skipped":${jsonNames(skipped.toSeq)},"local_dir":"$localDir","shm_free_gb":$shmFreeGb%.1f$calibPart,"over_budget":$overJson$scaledPart}"""
+    println(jsonLine)
+    // belt-and-braces copy for the driver: sbt's logger historically
+    // prefixed the stdout line as "[info] {...}" (parsed:null in
+    // BENCH_r13..r15) — the file is immune to any log wrapping
+    val jsonFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_result.json")
+    try {
+      val w = new java.io.FileWriter(jsonFile)
+      try w.write(jsonLine + "\n") finally w.close()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $jsonFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -363,25 +363,60 @@ object Tpch {
       .join(broadcast(tt.region), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "EUROPE")
       .select("c_custkey"))
-    // narrow the fact rows before their shuffles (same as q9): volume is
-    // computed at the scan so the partkey/orderkey exchanges move one
-    // folded 8-byte column instead of extendedprice + discount
-    val liPromo = graft.ops.Prune.bloomSemiPrefilter(
-        tt.lineitem, "l_partkey", partPromo.select("p_partkey"), "p_partkey")
+    // r16 (guide §2.6, VERDICT r15 #5): q8's bloom preparation is TWO
+    // independent action chains — the part chain (partPromo count +
+    // filter build) and the customer/orders chain (custEur count + build
+    // → oF semi materialization → oF orderkey count + build). Serial
+    // submission paid their sum (~6 driver-blocking actions, ~4–6 s of
+    // pure latency at k=1000); concurrent submission from two driver
+    // threads pays only the longer chain, and the scheduler back-fills
+    // the shorter chain's tasks into the longer one's stragglers. Scoped
+    // to q8 ONLY (a Future inside this query function — every other
+    // query's measurement stays serial). SPARK_GRAFT_Q8_SERIAL=1 restores
+    // serial submission for A/B.
+    //
+    // Chain 1 — narrow the fact rows before their shuffles (same as q9):
+    // volume is computed at the scan so the partkey/orderkey exchanges
+    // move one folded 8-byte column instead of extendedprice + discount.
+    def partChain(): DataFrame => DataFrame =
+      graft.ops.Prune.bloomSemiFilterFor(
+        "l_partkey", partPromo.select("p_partkey"), "p_partkey")
+    // Chain 2 — orders join only EUROPE customers (1/5): bloom-prune the
+    // orders side of the big lineitem⋈orders shuffle too (customer-scale
+    // build). r8: the EXACT custkey semi is applied HERE, on orders,
+    // before the fact join — the r7 shape carried o_custkey through the
+    // lineitem join and re-shuffled the full joined stream by custkey;
+    // orders alone is ~4x narrower and the downstream stream drops a
+    // column. r10 stacked bloom (the q3 shape; interleaved A/B at k=1000:
+    // 23.7/26.4 s stacked vs 31.1 s without, same session): only ~1/5 of
+    // the promo-pruned rows survive the later EUROPE-orders join, so
+    // probing oF's orderkey bloom BEFORE the first exchange shrinks BOTH
+    // fact shuffles ~5x for one extra 32-byte load per surviving row. oF
+    // is leased: it feeds this bloom build and the exact join below.
+    def ordChain(): (DataFrame, DataFrame => DataFrame) = {
+      val oF = graft.ops.Caches.lease(graft.ops.Prune.bloomSemiPrefilter(
+          tt.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+          "o_custkey", custEur, "c_custkey")
+        .join(custEur.hint("shuffle_merge"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_orderdate"))
+      (oF, graft.ops.Prune.bloomSemiFilterFor(
+        "l_orderkey", oF.select("o_orderkey"), "o_orderkey"))
+    }
+    val (applyPart, (oF, applyOrd)) =
+      if (sys.env.get("SPARK_GRAFT_Q8_SERIAL").contains("1"))
+        (partChain(), ordChain())
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fPart = Future(partChain())
+        val fOrd = Future(ordChain())
+        (Await.result(fPart, Duration.Inf), Await.result(fOrd, Duration.Inf))
+      }
+    val liPromo = applyPart(tt.lineitem)
       .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
-    // orders join only EUROPE customers (1/5): bloom-prune the orders
-    // side of the big lineitem⋈orders shuffle too (customer-scale build).
-    // r8: the EXACT custkey semi is applied HERE, on orders, before the
-    // fact join — the r7 shape carried o_custkey through the lineitem
-    // join and re-shuffled the full joined stream by custkey; orders
-    // alone is ~4x narrower and the downstream stream drops a column.
-    val oF = graft.ops.Caches.lease(graft.ops.Prune.bloomSemiPrefilter(
-        tt.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-        "o_custkey", custEur, "c_custkey")
-      .join(custEur.hint("shuffle_merge"),
-        col("o_custkey") === col("c_custkey"), "left_semi")
-      .select("o_orderkey", "o_orderdate"))
     // EAGER AGGREGATION below the supplier join (r8, q3-profiled insight):
     // the final group is (o_year) and the supplier join only maps
     // l_suppkey → nation, so volume pre-aggregates by (l_suppkey, o_year)
@@ -391,14 +426,7 @@ object Tpch {
     // Join strategy (r8 A/B, same rationale as q9): SHUFFLE_HASH with the
     // slim side as build — partPromo is a key column, oF is two columns
     // post-semi (~4 MB/task builds) — skips every fact sort.
-    // r10 stacked bloom (the q3 shape; interleaved A/B at k=1000: 23.7/
-    // 26.4 s stacked vs 31.1 s without, same session): only ~1/5 of the
-    // promo-pruned rows survive the later EUROPE-orders join, so probing
-    // oF's orderkey bloom BEFORE the first exchange shrinks BOTH fact
-    // shuffles ~5x for one extra 32-byte load per surviving row. oF is
-    // leased: it feeds this bloom build and the exact join below.
-    val li = graft.ops.Prune.bloomSemiPrefilter(
-      liPromo, "l_orderkey", oF.select("o_orderkey"), "o_orderkey")
+    val li = applyOrd(liPromo)
     val perSupp = li
       .join(partPromo.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
       .join(oF.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
@@ -503,24 +531,39 @@ object Tpch {
     // so the r14 stage dump shows 1.3 GB of partial output from the
     // 120M-row input (~4% collapse) — a full extra hash pass bought for a
     // few percent of shuffle bytes. The single-pass variant packs
-    // (suppkey, year) into one positive long (suppkey*8192 + yr − 1024;
-    // collision-free for any year() of a sane date and the remapped
-    // suppkey domain ≤ 1.1e11 — packed ≤ 9.0e14 < 2^63) and sums once
-    // after the exchange. Toggle SPARK_GRAFT_Q9_TWOPHASE=1 restores the
-    // two-phase aggregate; numbers in OPTIMIZATION_r15.md.
+    // (suppkey, year) into one positive long and sums once after the
+    // exchange. r16 pack-invariant hardening (r15 ADVICE: the old
+    // suppkey-major pack `suppkey*8192 + yr − 1024` had no runtime domain
+    // guard — a year > 9215 would silently merge distinct groups):
+    // year-MAJOR packing with the q16 packBase. The suppkey leg is
+    // validated on the SMALL supplier dim below (one tiny action; TPC-H
+    // referential integrity covers the fact side, exactly the q16 guard),
+    // and the year leg can NEVER overflow by a type-level argument:
+    // year() of any representable Spark DateType value is ≤ 5,883,516
+    // (2^31−1 days from epoch), so pk ≤ 5.9e6×1e12 + 1e12 < 2^63; a
+    // negative year gives pk < 0 and fails the kernel's loud key ≥ 0
+    // check. Toggle SPARK_GRAFT_Q9_TWOPHASE=1 restores the two-phase
+    // aggregate; numbers in OPTIMIZATION_r15.md.
     val perSupp =
       if (sys.env.get("SPARK_GRAFT_Q9_TWOPHASE").contains("1"))
         joined
           .groupBy(col("l_suppkey"), col("o_year"))
           .agg(sum("amount").as("amt"))
-      else
+      else {
+        val packBase = 1000000000000L // > any remapped l_suppkey (q16)
+        val sb = tt.supplier
+          .agg(min("s_suppkey").as("lo"), max("s_suppkey").as("hi")).head()
+        require(sb.isNullAt(0) || (sb.getLong(0) >= 0L && sb.getLong(1) < packBase),
+          s"q9 pack invariant: s_suppkey domain [${sb.get(0)}, ${sb.get(1)}] " +
+            s"outside [0, $packBase)")
         graft.ops.SinglePass.sumDoubleByKey(
             joined.select(
-              (col("l_suppkey") * 8192L + col("o_year") - 1024L).as("pk"),
+              (col("o_year") * packBase + col("l_suppkey")).as("pk"),
               col("amount")),
             "pk", "amt")
-          .select(expr("pk div 8192").as("l_suppkey"),
-            (col("pk") % 8192 + 1024L).as("o_year"), col("amt"))
+          .select((col("pk") % packBase).as("l_suppkey"),
+            expr(s"pk div $packBase").as("o_year"), col("amt"))
+      }
     perSupp
       .join(tt.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))

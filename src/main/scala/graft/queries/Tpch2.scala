@@ -423,8 +423,12 @@ object Tpch2 {
           .filter(col("total_qty") > 300)
       else
         graft.ops.SinglePass.sumIntByKeyFiltered(
+          // round-then-cast (r15 ADVICE): a bare cast("int") truncates
+          // toward zero, but the FixturesSpec integrality guard tolerates
+          // |q − round(q)| < 1e-9 — round() makes the cast agree with the
+          // guard for a value like 5 − 1e-12
           tt.lineitem.select(col("l_orderkey"),
-            col("l_quantity").cast("int").as("__q")),
+            round(col("l_quantity")).cast("int").as("__q")),
           300L, "l_orderkey", "total_qty"))
     // join the SELECTIVE reduction first: qty > 300 keeps a sliver of
     // orders, so orders⋈bigOrders shrinks the customer join input by
