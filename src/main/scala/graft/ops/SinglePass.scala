@@ -36,6 +36,29 @@ import graft.plans.SinglePassAggNode
   */
 object SinglePass {
 
+  /** Loud per-task entry cap (VERDICT r15 #3 — spill safety). The
+    * two-phase HashAggregate these kernels replace would SORT-SPILL when a
+    * partition's per-task state outgrew execution memory; the kernels hold
+    * state in heap arrays and would OOM the executor instead. A partition
+    * whose distinct-entry count crosses the cap now fails FAST with sizing
+    * guidance rather than degrading the whole executor. Default 1<<26
+    * entries ≈ 1–2 GB of parallel-array state per task depending on kernel
+    * — ~50× the largest per-task load any timed tier produces (q16 k=1000:
+    * ~450M distinct keys over a 32-wide pinned exchange ≈ 14M/task).
+    * Deployments with coarser partitioning raise it via
+    * SPARK_GRAFT_SINGLEPASS_MAX_ENTRIES (each executor reads its own env).
+    * `var` so the cap-trip unit test can force it low in local mode. */
+  private[graft] var maxEntries: Int =
+    sys.env.get("SPARK_GRAFT_SINGLEPASS_MAX_ENTRIES").map(_.toInt)
+      .getOrElse(1 << 26)
+
+  @inline private def checkCap(n: Int, kernel: String): Unit =
+    if (n >= maxEntries) throw new IllegalStateException(
+      s"$kernel: per-task distinct-entry count reached $n >= cap $maxEntries " +
+        "— partition too large for in-memory single-pass aggregation; raise " +
+        "the exchange's partition count (AQE advisory size / pinned width) " +
+        "or raise SPARK_GRAFT_SINGLEPASS_MAX_ENTRIES")
+
   /** splitmix64 finalizer — q16's packed keys are highly structured
     * (gid*1e12 + suppkey); a raw mask would collide entire key ranges. */
   @inline private def mix(x0: Long): Int = {
@@ -73,6 +96,7 @@ object SinglePass {
       def grow(): Unit = {
         val old = slots
         cap <<= 2; mask = cap - 1
+        require(cap > 0, "SinglePass.grow: hash table capacity overflow")
         slots = new Array[Long](cap)
         var j = 0
         while (j < old.length) {
@@ -103,6 +127,7 @@ object SinglePass {
           if (s == gk) done = true
           else if (s == 0L) {
             slots(i) = gk; n += 1; fresh = true
+            checkCap(n, "distinctCountByGid")
             if (n * 10L >= cap * 7L) grow() // 0.7 load factor
             done = true
           } else i = (i + 1) & mask
@@ -152,6 +177,7 @@ object SinglePass {
       def grow(): Unit = {
         val ok = keys; val os = sums
         cap <<= 2; mask = cap - 1
+        require(cap > 0, "SinglePass.grow: hash table capacity overflow")
         keys = new Array[Long](cap); sums = new Array[Long](cap)
         var j = 0
         while (j < ok.length) {
@@ -180,6 +206,7 @@ object SinglePass {
           if (s == k) { sums(i) += v; done = true }
           else if (s == 0L) {
             keys(i) = k; sums(i) = v; n += 1
+            checkCap(n, "sumIntByKeyFiltered")
             if (n * 10L >= cap * 7L) grow()
             done = true
           } else i = (i + 1) & mask
@@ -224,6 +251,7 @@ object SinglePass {
       def grow(): Unit = {
         val ok = keys; val os = sums
         cap <<= 2; mask = cap - 1
+        require(cap > 0, "SinglePass.grow: hash table capacity overflow")
         keys = new Array[Long](cap); sums = new Array[Double](cap)
         var j = 0
         while (j < ok.length) {
@@ -252,6 +280,7 @@ object SinglePass {
           if (s == k) { sums(i) += v; done = true }
           else if (s == 0L) {
             keys(i) = k; sums(i) = v; n += 1
+            checkCap(n, "sumDoubleByKey")
             if (n * 10L >= cap * 7L) grow()
             done = true
           } else i = (i + 1) & mask
@@ -299,6 +328,7 @@ object SinglePass {
       def grow(): Unit = {
         val o1 = a1; val o2 = a2
         cap <<= 2; mask = cap - 1
+        require(cap > 0, "SinglePass.grow: hash table capacity overflow")
         a1 = new Array[Long](cap); a2 = new Array[Long](cap)
         var j = 0
         while (j < o1.length) {
@@ -327,6 +357,7 @@ object SinglePass {
           if (a1(i) == k1 && a2(i) == k2) done = true
           else if (a1(i) == 0L) {
             a1(i) = k1; a2(i) = k2; n += 1
+            checkCap(n, "distinctPairCountByKey")
             if (n * 10L >= cap * 7L) grow()
             counts.merge(k0, 1L, (x, y) => x + y)
             done = true
@@ -376,6 +407,7 @@ object SinglePass {
       def grow(): Unit = {
         val o1 = a1; val o2 = a2
         cap <<= 2; mask = cap - 1
+        require(cap > 0, "SinglePass.grow: hash table capacity overflow")
         a1 = new Array[Long](cap); a2 = new Array[Long](cap)
         var j = 0
         while (j < o1.length) {
@@ -410,6 +442,7 @@ object SinglePass {
           if (a1(i) == lk && a2(i) == ls) done = true
           else if (a1(i) == 0L) {
             a1(i) = lk; a2(i) = ls; n += 1
+            checkCap(n, "q95OrderStats")
             if (n * 10L >= cap * 7L) grow()
             st(0) += 1L
             done = true
@@ -470,7 +503,8 @@ object SinglePass {
     val plan = Bridge.analyzedPlan(df)
     val kernel = (it: Iterator[InternalRow]) => {
       // (lk, ls) -> flags (bit0 = some line late, bit1 = some line
-      // on time); lk = 0 marks an empty slot (fixture keys are 1-based)
+      // on time); lk = 0 marks an empty slot (0-based fixture keys are
+      // stored shifted +1, matching the lk0 + 1 below)
       var cap = 1 << 17
       var mask = cap - 1
       var kLk = new Array[Long](cap)
@@ -480,6 +514,7 @@ object SinglePass {
       def grow(): Unit = {
         val oLk = kLk; val oLs = kLs; val oF = fl
         cap <<= 2; mask = cap - 1
+        require(cap > 0, "SinglePass.grow: hash table capacity overflow")
         kLk = new Array[Long](cap); kLs = new Array[Long](cap)
         fl = new Array[Byte](cap)
         var j = 0
@@ -510,6 +545,7 @@ object SinglePass {
             fl(i) = (fl(i) | bit).toByte; done = true
           } else if (kLk(i) == 0L) {
             kLk(i) = lk; kLs(i) = ls; fl(i) = bit.toByte; n += 1
+            checkCap(n, "q21CulpritCounts")
             if (n * 10L >= cap * 7L) grow()
             done = true
           } else i = (i + 1) & mask
@@ -548,5 +584,242 @@ object SinglePass {
       plan, Seq(plan.output.head), None,
       Seq(attr("ls", LongType), attr("cnt", LongType)),
       "q21CulpritCounts", kernel))
+  }
+
+  /** priceChain's per-(part, year) unit-price rollup + consecutive-year
+    * drop detection collapsed to one pass (OPTIMIZATION r16). Input: raw
+    * joined rows `(pk long, yr int, p long cents, q double)` clustered by
+    * hash(pk) — ALL years of a part land in one task, so the cross-year
+    * comparison is a local probe instead of the shipped shape's leased
+    * self-join (materialize part×years twice + SHJ build over the full
+    * fact-derived frame). The (pk, yr) partial aggregate it replaces
+    * collapsed ~nothing (120M joined rows over a ~0.85×-domain of
+    * (part, yr) groups — the q9 disease), so the exchange bytes are the
+    * same and the partial hash pass was pure waste. Packing:
+    * `(pk+1) << 12 | yr` with yr ∈ [1, 4094] (loud guard) — the packed
+    * key is always > 0 (0 stays the empty-slot sentinel) and the previous
+    * year's slot is literally `key - 1`. Price math replicates the
+    * two-phase plan's exact IEEE sequence: psum is an exact long of
+    * cents, qsum a sum of integral doubles (exact under any order), and
+    * the filter compares `(psum.toDouble/100.0)/qsum <
+    * ((ppsum.toDouble/100.0)/pqsum) * dropRatio` — bit-identical to
+    * `money2(sum)/sum` division in the Spark shape and the oracle. Emits
+    * `(pk long, yr int)` drop pairs; output column 0 carries the
+    * clustering key unchanged, so the node is key-preserving and the
+    * downstream part join reuses the exchange. */
+  def priceDropPairs(df: DataFrame, dropRatio: Double): DataFrame = {
+    require(df.schema.length == 4 &&
+      df.schema(0).dataType == LongType && df.schema(1).dataType == IntegerType &&
+      df.schema(2).dataType == LongType && df.schema(3).dataType == DoubleType,
+      s"priceDropPairs expects (Long, Int, Long, Double), got ${df.schema}")
+    val plan = Bridge.analyzedPlan(df)
+    val ratio = dropRatio
+    val kernel = (it: Iterator[InternalRow]) => {
+      var cap = 1 << 17
+      var mask = cap - 1
+      var keys = new Array[Long](cap)   // (pk+1)<<12 | yr; 0 = empty
+      var ps = new Array[Long](cap)     // exact cents sum
+      var qs = new Array[Double](cap)   // integral-double quantity sum
+      var n = 0
+      def grow(): Unit = {
+        val ok = keys; val op = ps; val oq = qs
+        cap <<= 2; mask = cap - 1
+        require(cap > 0, "SinglePass.grow: hash table capacity overflow")
+        keys = new Array[Long](cap); ps = new Array[Long](cap)
+        qs = new Array[Double](cap)
+        var j = 0
+        while (j < ok.length) {
+          val k = ok(j)
+          if (k != 0L) {
+            var i = mix(k) & mask
+            while (keys(i) != 0L) i = (i + 1) & mask
+            keys(i) = k; ps(i) = op(j); qs(i) = oq(j)
+          }
+          j += 1
+        }
+      }
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2) || row.isNullAt(3))
+          throw new IllegalStateException(
+            "priceDropPairs: null input — caller contract violated")
+        val pk0 = row.getLong(0)
+        if (pk0 < 0L || pk0 >= (1L << 51) - 1L) throw new IllegalStateException(
+          s"priceDropPairs: partkey $pk0 outside packable domain [0, 2^51-1)")
+        val yr = row.getInt(1)
+        if (yr < 1 || yr > 4094) throw new IllegalStateException(
+          s"priceDropPairs: year $yr outside [1, 4094] — pack invariant violated")
+        val k = (pk0 + 1L) << 12 | yr.toLong
+        val p = row.getLong(2)
+        val q = row.getDouble(3)
+        var i = mix(k) & mask
+        var done = false
+        while (!done) {
+          val s = keys(i)
+          if (s == k) { ps(i) += p; qs(i) += q; done = true }
+          else if (s == 0L) {
+            keys(i) = k; ps(i) = p; qs(i) = q; n += 1
+            checkCap(n, "priceDropPairs")
+            if (n * 10L >= cap * 7L) grow()
+            done = true
+          } else i = (i + 1) & mask
+        }
+      }
+      // drop pass: for each (pk, yr) entry the previous year's slot is
+      // key-1; a yr=1 probe targets yr=0 which is never inserted (guard),
+      // so it misses — exactly the inner self-join's semantics
+      val capF = cap; val maskF = mask
+      val keysF = keys; val psF = ps; val qsF = qs
+      def probe(k: Long): Int = {
+        var i = mix(k) & maskF
+        while (true) {
+          val s = keysF(i)
+          if (s == k) return i
+          if (s == 0L) return -1
+          i = (i + 1) & maskF
+        }
+        -1
+      }
+      (0 until capF).iterator.flatMap { j =>
+        val k = keysF(j)
+        if (k == 0L) Iterator.empty
+        else {
+          val pi = probe(k - 1L)
+          if (pi < 0) Iterator.empty
+          else {
+            val cur = (psF(j).toDouble / 100.0) / qsF(j)
+            val prev = (psF(pi).toDouble / 100.0) / qsF(pi)
+            if (cur < prev * ratio)
+              Iterator.single(new GenericInternalRow(
+                Array[Any]((k >> 12) - 1L, (k & 0xfffL).toInt)): InternalRow)
+            else Iterator.empty
+          }
+        }
+      }
+    }
+    Bridge.ofRows(df.sparkSession, SinglePassAggNode(
+      plan, Seq(plan.output.head), None,
+      Seq(attr("l_partkey", LongType), attr("yr", IntegerType)),
+      "priceDropPairs", kernel, keyPreserving = true))
+  }
+
+  /** threeChannelYoy's (custkey, year) channel merge + consecutive-year
+    * grower pairing collapsed to one pass (OPTIMIZATION r16). Input: raw
+    * union rows `(ck long, yr int, net long, osum long)` clustered by
+    * hash(ck) — the shipped shape paid a (ck, yr) exchange whose partial
+    * pass collapsed ~nothing (map tasks see ~1 row per (ck, yr) key),
+    * then a SECOND ck exchange into `collect_list` (ObjectHashAggregate:
+    * per-customer boxed struct arrays, sort-based fallback under
+    * pressure) + sort_array + explode + filter. One hash(ck) exchange of
+    * the same raw rows feeds this kernel instead: per-(ck, yr) exact long
+    * sums in an open-address map (packed `(ck+1) << 12 | yr`, previous
+    * year = key−1, same invariants as [[priceDropPairs]]), then a local
+    * grower test per entry — `money4(net) > money4(pnet) * growth` and
+    * `money4(pnet) > 0` with the identical IEEE op sequence — folded into
+    * per-year partial accumulators. Emits `(yr int, n long, nets long,
+    * osums long)` — ≤ |year domain| rows per task; downstream sums the
+    * exact longs and applies money4/money2 once, so the result is
+    * bit-equal to the two-phase shape and the oracle. */
+  def yoyGrowerStats(df: DataFrame, growth: Double): DataFrame = {
+    require(df.schema.length == 4 &&
+      df.schema(0).dataType == LongType && df.schema(1).dataType == IntegerType &&
+      df.schema(2).dataType == LongType && df.schema(3).dataType == LongType,
+      s"yoyGrowerStats expects (Long, Int, Long, Long), got ${df.schema}")
+    val plan = Bridge.analyzedPlan(df)
+    val g = growth
+    val kernel = (it: Iterator[InternalRow]) => {
+      var cap = 1 << 17
+      var mask = cap - 1
+      var keys = new Array[Long](cap)   // (ck+1)<<12 | yr; 0 = empty
+      var nets = new Array[Long](cap)   // exact scale-1e4 long sum
+      var osums = new Array[Long](cap)  // exact scale-1e2 long sum
+      var n = 0
+      def grow(): Unit = {
+        val ok = keys; val on = nets; val oo = osums
+        cap <<= 2; mask = cap - 1
+        require(cap > 0, "SinglePass.grow: hash table capacity overflow")
+        keys = new Array[Long](cap); nets = new Array[Long](cap)
+        osums = new Array[Long](cap)
+        var j = 0
+        while (j < ok.length) {
+          val k = ok(j)
+          if (k != 0L) {
+            var i = mix(k) & mask
+            while (keys(i) != 0L) i = (i + 1) & mask
+            keys(i) = k; nets(i) = on(j); osums(i) = oo(j)
+          }
+          j += 1
+        }
+      }
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2) || row.isNullAt(3))
+          throw new IllegalStateException(
+            "yoyGrowerStats: null input — caller contract violated")
+        val ck0 = row.getLong(0)
+        if (ck0 < 0L || ck0 >= (1L << 51) - 1L) throw new IllegalStateException(
+          s"yoyGrowerStats: custkey $ck0 outside packable domain [0, 2^51-1)")
+        val yr = row.getInt(1)
+        if (yr < 1 || yr > 4094) throw new IllegalStateException(
+          s"yoyGrowerStats: year $yr outside [1, 4094] — pack invariant violated")
+        val k = (ck0 + 1L) << 12 | yr.toLong
+        val net = row.getLong(2)
+        val o = row.getLong(3)
+        var i = mix(k) & mask
+        var done = false
+        while (!done) {
+          val s = keys(i)
+          if (s == k) { nets(i) += net; osums(i) += o; done = true }
+          else if (s == 0L) {
+            keys(i) = k; nets(i) = net; osums(i) = o; n += 1
+            checkCap(n, "yoyGrowerStats")
+            if (n * 10L >= cap * 7L) grow()
+            done = true
+          } else i = (i + 1) & mask
+        }
+      }
+      // grower pass: probe each entry's previous year (key-1) locally and
+      // fold qualifying (ck, yr) rows into per-year partials
+      val capF = cap; val maskF = mask
+      val keysF = keys; val netsF = nets; val osumsF = osums
+      def probe(k: Long): Int = {
+        var i = mix(k) & maskF
+        while (true) {
+          val s = keysF(i)
+          if (s == k) return i
+          if (s == 0L) return -1
+          i = (i + 1) & maskF
+        }
+        -1
+      }
+      val ng = new Array[Long](4096)
+      val netS = new Array[Long](4096)
+      val osumS = new Array[Long](4096)
+      var j = 0
+      while (j < capF) {
+        val k = keysF(j)
+        if (k != 0L) {
+          val pi = probe(k - 1L)
+          if (pi >= 0) {
+            val netD = netsF(j).toDouble / 10000.0
+            val pnetD = netsF(pi).toDouble / 10000.0
+            if (netD > pnetD * g && pnetD > 0) {
+              val yr = (k & 0xfffL).toInt
+              ng(yr) += 1L; netS(yr) += netsF(j); osumS(yr) += osumsF(j)
+            }
+          }
+        }
+        j += 1
+      }
+      (0 until 4096).iterator.filter(ng(_) > 0L).map { yr =>
+        new GenericInternalRow(
+          Array[Any](yr, ng(yr), netS(yr), osumS(yr))): InternalRow
+      }
+    }
+    Bridge.ofRows(df.sparkSession, SinglePassAggNode(
+      plan, Seq(plan.output.head), None,
+      Seq(attr("yr", IntegerType), attr("n", LongType),
+        attr("nets", LongType), attr("osums", LongType)),
+      "yoyGrowerStats", kernel))
   }
 }

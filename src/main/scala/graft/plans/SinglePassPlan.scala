@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, HashPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Planner-integrated single-pass per-partition aggregation (OPTIMIZATION
@@ -31,7 +31,13 @@ case class SinglePassAggNode(
     requiredNumPartitions: Option[Int],
     output: Seq[Attribute],
     label: String,
-    kernel: Iterator[InternalRow] => Iterator[InternalRow]) extends UnaryNode {
+    kernel: Iterator[InternalRow] => Iterator[InternalRow],
+    // r16: a kernel whose FIRST output column carries the clustering key's
+    // value unchanged (priceDropPairs) preserves the child's hash
+    // partitioning — declaring it lets a downstream join on that key
+    // reuse the exchange instead of re-shuffling the kernel output
+    // (guide §2.4 "two operations keyed the same way share one exchange")
+    keyPreserving: Boolean = false) extends UnaryNode {
   // the output attrs are PRODUCED here (fresh exprIds), not referenced
   // from the child — without this, CheckAnalysis reads them as missing
   // inputs
@@ -46,8 +52,9 @@ case class SinglePassAggNode(
 
 object SinglePassStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case SinglePassAggNode(child, keys, parts, out, label, kernel) =>
-      SinglePassAggExec(planLater(child), keys, parts, out, label, kernel) :: Nil
+    case SinglePassAggNode(child, keys, parts, out, label, kernel, keyPres) =>
+      SinglePassAggExec(planLater(child), keys, parts, out, label, kernel,
+        keyPres) :: Nil
     case _ => Nil
   }
 }
@@ -58,7 +65,8 @@ case class SinglePassAggExec(
     requiredNumPartitions: Option[Int],
     output: Seq[Attribute],
     label: String,
-    kernel: Iterator[InternalRow] => Iterator[InternalRow]) extends UnaryExecNode {
+    kernel: Iterator[InternalRow] => Iterator[InternalRow],
+    keyPreserving: Boolean = false) extends UnaryExecNode {
 
   override def nodeName: String = s"SinglePassAgg($label)"
 
@@ -73,10 +81,17 @@ case class SinglePassAggExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(Nil)
 
-  // the kernel re-keys its output (gid / supplier partials), so the
-  // child's clustering does not survive
-  override def outputPartitioning: Partitioning =
-    UnknownPartitioning(child.outputPartitioning.numPartitions)
+  // most kernels re-key their output (gid / supplier partials), so the
+  // child's clustering does not survive; a keyPreserving kernel emits the
+  // single clustering key's value unchanged as output column 0, so the
+  // child's hash partitioning maps 1:1 onto the output attribute and a
+  // downstream join/aggregate on it needs no new exchange
+  override def outputPartitioning: Partitioning = child.outputPartitioning match {
+    case h: HashPartitioning if keyPreserving && keys.length == 1 &&
+        h.expressions.length == 1 && h.expressions.head.semanticEquals(keys.head) =>
+      HashPartitioning(Seq(output.head), h.numPartitions)
+    case p => UnknownPartitioning(p.numPartitions)
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val k = kernel

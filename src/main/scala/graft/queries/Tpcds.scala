@@ -824,18 +824,46 @@ object Tpcds {
     * alternative was A/B'd and rejected (see body). */
   def priceChain(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
-    val perPartYr = tt.lineitem.select(col("l_orderkey"), col("l_partkey"),
+    lazy val perPartYr = tt.lineitem.select(col("l_orderkey"), col("l_partkey"),
         cents(col("l_extendedprice")).as("__p"),
         col("l_quantity"))
       .join(tt.orders.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_partkey"), year(col("o_orderdate")).cast("int").as("yr"))
       .agg(money2(sum("__p")).as("__psum"), sum("l_quantity").as("__qsum"))
-    if (!sys.env.get("SPARK_GRAFT_PRICECHAIN_WINDOW").contains("1")) {
-      // SHIPPED: leased self-join. The "obvious" Spark-first alternative —
-      // lag() over (partition by partkey order by yr), one pass, no lease
-      // — was A/B'd at k=1000 and REJECTED: 477.9 s @ bw 16.4 vs this
-      // shape's 179.4 s @ bw 24.1 (~2× worse after weather-normalizing).
+    if (!sys.env.get("SPARK_GRAFT_PRICECHAIN_WINDOW").contains("1") &&
+        !sys.env.get("SPARK_GRAFT_PRICECHAIN_TWOPHASE").contains("1")) {
+      // r16 SHIPPED: single-pass kernel. The r15 shape below (TWOPHASE
+      // toggle) paid (a) a partial+final HashAggregate over (partkey, yr)
+      // groups that collapse ~nothing map-side (the q9 disease — partkeys
+      // are scattered across the joined stream), (b) a LEASE
+      // materialization of the part×years frame, and (c) an SHJ of the
+      // frame against itself for the consecutive-year pair. One hash(pk)
+      // exchange of the same raw rows feeds priceDropPairs instead: all
+      // years of a part land in one task, so the rollup AND the cross-
+      // year drop test happen in a single local pass; the kernel output
+      // keeps the child's hash(l_partkey) partitioning (keyPreserving),
+      // so the part join below adds no exchange on the fact side.
+      // Numbers + plan diff in OPTIMIZATION_r16.md.
+      val joined = tt.lineitem.select(col("l_orderkey"), col("l_partkey"),
+          cents(col("l_extendedprice")).as("__p"),
+          col("l_quantity"))
+        .join(tt.orders.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey"), year(col("o_orderdate")).cast("int").as("yr"),
+          col("__p"), col("l_quantity"))
+      graft.ops.SinglePass.priceDropPairs(joined, 0.95)
+        .join(tt.part.select("p_partkey", "p_brand").hint("shuffle_hash"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "yr")
+        .agg(count(lit(1)).as("n_cheaper"))
+        .select("p_brand", "yr", "n_cheaper")
+    } else if (!sys.env.get("SPARK_GRAFT_PRICECHAIN_WINDOW").contains("1")) {
+      // r15 shape (TWOPHASE toggle): leased self-join. The "obvious"
+      // Spark-first alternative — lag() over (partition by partkey order
+      // by yr), one pass, no lease — was A/B'd at k=1000 and REJECTED:
+      // 477.9 s @ bw 16.4 vs this shape's 179.4 s @ bw 24.1 (~2× worse
+      // after weather-normalizing).
       // WindowExec is row-at-a-time (no whole-stage codegen) and its
       // 140M-row sort-and-walk costs far more than the lease
       // materialization + codegen SHJ it replaces. Lesson: windows win
@@ -922,14 +950,40 @@ object Tpcds {
         lit(0L).as("__o"))
     val chanOrd = tt.orders.select(col("o_custkey"), yrCol,
       lit(0L).as("__s"), lit(0L).as("__r"), priceL.as("__o"))
-    // channel MERGE AS A UNION feeding one (custkey, yr) aggregate — the
-    // first cut merged two separately-aggregated channels with an outer
-    // join over a leased 105M-row frame and self-joined it for the YoY
-    // pair: 275 s at k=1000 on a CLEAN host (bw 44.7) — the lease
-    // materialization + prev-side re-exchange + 105M-row SHJ build were
-    // the whole cost. The union pays ONE exchange of slim tagged rows
-    // with map-side combine and needs no outer join (absent channels sum
-    // to 0 = the oracle's coalesce).
+    if (!sys.env.get("SPARK_GRAFT_YOY_TWOPHASE").contains("1")) {
+      // r16 SHIPPED: single-pass kernel. The r15 shape below (TWOPHASE
+      // toggle) paid a (custkey, yr) exchange whose partial pass collapsed
+      // ~nothing (map tasks see ~1 row per (ck, yr) key — the q9
+      // disease), then a SECOND ck exchange into collect_list
+      // (ObjectHashAggregate: boxed per-customer struct arrays, sort-based
+      // fallback under pressure) + sort_array + explode HOFs. One
+      // hash(ck) exchange of the same raw union rows feeds yoyGrowerStats
+      // instead: the (ck, yr) rollup AND the consecutive-year grower test
+      // run in a single local pass, emitting per-year partials (≤ |year
+      // domain| rows per task) for a tiny final rollup. Exact long sums
+      // and the identical money4/money2 IEEE sequence keep the result
+      // bit-equal. Numbers + plan diff in OPTIMIZATION_r16.md.
+      val merged = chanLi
+        .select(col("o_custkey"), col("yr"),
+          (col("__s") - col("__r")).as("__net"), col("__o"))
+        .unionByName(chanOrd.select(col("o_custkey"), col("yr"),
+          (col("__s") - col("__r")).as("__net"), col("__o")))
+      graft.ops.SinglePass.yoyGrowerStats(merged, 1.1)
+        .groupBy("yr")
+        .agg(sum("n").as("n_growers"),
+          money4(sum("nets")).as("grower_net"),
+          money2(sum("osums")).as("grower_spend"))
+        .select("yr", "n_growers", "grower_net", "grower_spend")
+    } else {
+    // r15 shape (TWOPHASE toggle): channel MERGE AS A UNION feeding one
+    // (custkey, yr) aggregate — the first cut merged two
+    // separately-aggregated channels with an outer join over a leased
+    // 105M-row frame and self-joined it for the YoY pair: 275 s at k=1000
+    // on a CLEAN host (bw 44.7) — the lease materialization + prev-side
+    // re-exchange + 105M-row SHJ build were the whole cost. The union
+    // pays ONE exchange of slim tagged rows with map-side combine and
+    // needs no outer join (absent channels sum to 0 = the oracle's
+    // coalesce).
     val perCY = chanLi.unionByName(chanOrd)
       .groupBy("o_custkey", "yr")
       .agg((sum("__s") - sum("__r")).as("__net"), sum("__o").as("__osum"))
@@ -963,6 +1017,7 @@ object Tpcds {
         money4(sum("__net")).as("grower_net"),
         money2(sum("__osum")).as("grower_spend"))
       .select("yr", "n_growers", "grower_net", "grower_spend")
+    }
   }
 
   val threeChannelYoySql =
@@ -1207,7 +1262,9 @@ object Tpcds {
     val rows = tt.lineitem
       .filter(year(col("l_shipdate")) === 1995 && month(col("l_shipdate")).isin(1, 2))
       .select(col("l_suppkey"), month(col("l_shipdate")).as("mo"),
-        col("l_quantity").cast("long").as("q"))
+        // round-then-cast (r15 ADVICE): agree with the integrality
+        // guard's round-based tolerance instead of truncating toward zero
+        round(col("l_quantity")).cast("long").as("q"))
     def moments(m: Int) = Seq(
       count(when(col("mo") === m, lit(1))).as(s"n$m"),
       sum(when(col("mo") === m, col("q"))).as(s"s$m"),

@@ -184,6 +184,137 @@ class SinglePassSpec extends AnyFunSuite {
     assert(q18.map(_.toSeq) == ref18.map(_.toSeq))
   }
 
+  test("priceDropPairs matches the grouped self-join drop detection") {
+    val rnd = new scala.util.Random(13)
+    // ~6k parts × ≤6 years with integral cents/quantities and year gaps
+    // (a missing prev year must NOT pair) — several rows per (part, year)
+    // so the in-kernel sums actually accumulate
+    val rows = Seq.fill(120000) {
+      val pk = rnd.nextInt(6000).toLong
+      val yr = 1992 + rnd.nextInt(6)
+      (pk, yr, (100 + rnd.nextInt(99000)).toLong, (1 + rnd.nextInt(50)).toDouble)
+    }.filter { case (pk, yr, _, _) => (pk + yr) % 7 != 0 } // year gaps
+    val df = rows.toDF("pk", "yr", "p", "q")
+      .select(col("pk"), col("yr").cast("int"), col("p"), col("q"))
+    val got = graft.ops.SinglePass.priceDropPairs(df, 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val ppy = df.groupBy("pk", "yr")
+      .agg((sum("p").cast("double") / 100.0).as("ps"), sum("q").as("qs"))
+    val cur = ppy.select(col("pk"), col("yr"), (col("ps") / col("qs")).as("cp"))
+    val prev = ppy.select(col("pk"), (col("yr") + 1).as("yr"),
+      (col("ps") / col("qs")).as("pp"))
+    val want = cur.join(prev, Seq("pk", "yr"))
+      .filter(col("cp") < col("pp") * 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("yoyGrowerStats matches the grouped self-join grower rollup") {
+    val rnd = new scala.util.Random(17)
+    // customers × years with positive and NEGATIVE nets (pnet > 0 gate)
+    // and zero-osum channel rows, several rows per (ck, yr)
+    val rows = Seq.fill(150000) {
+      val ck = rnd.nextInt(8000).toLong
+      val yr = 1992 + rnd.nextInt(6)
+      (ck, yr, (rnd.nextInt(400000) - 50000).toLong,
+        if (rnd.nextBoolean()) rnd.nextInt(100000).toLong else 0L)
+    }.filter { case (ck, yr, _, _) => (ck + yr) % 5 != 0 } // year gaps
+    val df = rows.toDF("ck", "yr", "net", "osum")
+      .select(col("ck"), col("yr").cast("int"), col("net"), col("osum"))
+    val got = graft.ops.SinglePass.yoyGrowerStats(df, 1.1)
+      .groupBy("yr")
+      .agg(sum("n").as("n"), (sum("nets").cast("double") / 10000.0).as("gn"),
+        (sum("osums").cast("double") / 100.0).as("gs"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val cy = df.groupBy("ck", "yr")
+      .agg(sum("net").as("net"), sum("osum").as("osum"))
+    val cur = cy.select(col("ck"), col("yr"), col("net"), col("osum"))
+    val prev = cy.select(col("ck"), (col("yr") + 1).as("yr"),
+      col("net").as("pnet"))
+    val want = cur.join(prev, Seq("ck", "yr"))
+      .filter((col("net").cast("double") / 10000.0) >
+          (col("pnet").cast("double") / 10000.0) * 1.1 &&
+        (col("pnet").cast("double") / 10000.0) > 0)
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n"),
+        (sum("net").cast("double") / 10000.0).as("gn"),
+        (sum("osum").cast("double") / 100.0).as("gs"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("price_chain/three_channel_yoy single-pass equal the r15 two-phase shapes at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val pc = queries.Tpcds.queries("tpcds_price_chain")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val yoy = queries.Tpcds.queries("tpcds_three_channel_yoy")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    graft.ops.Caches.releaseAll()
+    val tt = Tables(spark, dir)
+    // price_chain reference: the r15 leased self-join shape, inlined
+    val ppy = tt.lineitem.select(col("l_orderkey"), col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("__p"),
+        col("l_quantity"))
+      .join(tt.orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"), year(col("o_orderdate")).cast("int").as("yr"))
+      .agg((sum("__p").cast("double") / 100.0).as("ps"), sum("l_quantity").as("qs"))
+    val cur = ppy.select(col("l_partkey"), col("yr"), (col("ps") / col("qs")).as("cp"))
+    val prev = ppy.select(col("l_partkey"), (col("yr") + 1).as("yr"),
+      (col("ps") / col("qs")).as("pp"))
+    val refPc = cur.join(prev, Seq("l_partkey", "yr"))
+      .filter(col("cp") < col("pp") * 0.95)
+      .join(tt.part.select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "yr").agg(count(lit(1)).as("n_cheaper"))
+      .collect().map(_.toSeq).toSet
+    assert(pc == refPc && pc.nonEmpty)
+    // three_channel_yoy reference: the oracle's outer-join CTE shape
+    def revL = (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long")))
+    val li = tt.lineitem.select(col("l_orderkey"),
+        when(col("l_returnflag") === "R", lit(0L)).otherwise(revL).as("__s"),
+        when(col("l_returnflag") === "R", revL).otherwise(lit(0L)).as("__r"))
+      .join(tt.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("ck"),
+        year(col("o_orderdate")).cast("int").as("yr"))
+      .agg((sum("__s") - sum("__r")).as("net"))
+    val ord = tt.orders.groupBy(col("o_custkey").as("ck"),
+        year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("osum"))
+    val cy = ord.join(li, Seq("ck", "yr"), "left")
+      .select(col("ck"), col("yr"),
+        coalesce(col("net"), lit(0L)).as("net"), col("osum"))
+    val refYoy = cy.join(
+        cy.select(col("ck"), (col("yr") + 1).as("yr"), col("net").as("pnet")),
+        Seq("ck", "yr"))
+      .filter((col("net").cast("double") / 10000.0) >
+          (col("pnet").cast("double") / 10000.0) * 1.1 &&
+        (col("pnet").cast("double") / 10000.0) > 0)
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_growers"),
+        (sum("net").cast("double") / 10000.0).as("grower_net"),
+        (sum("osum").cast("double") / 100.0).as("grower_spend"))
+      .collect().map(_.toSeq).toSet
+    assert(yoy == refYoy && yoy.nonEmpty)
+  }
+
+  test("per-task entry cap fails loudly when forced low") {
+    val saved = graft.ops.SinglePass.maxEntries
+    try {
+      graft.ops.SinglePass.maxEntries = 16
+      val df = (1L to 1000L).map(k => (k, 1.0)).toDF("k", "v")
+      val e = intercept[Exception] {
+        graft.ops.SinglePass.sumDoubleByKey(df, "k", "s").collect()
+      }
+      def rootMsg(t: Throwable): String =
+        if (t.getCause != null) rootMsg(t.getCause)
+        else String.valueOf(t.getMessage)
+      assert(rootMsg(e).contains("SPARK_GRAFT_SINGLEPASS_MAX_ENTRIES"))
+    } finally graft.ops.SinglePass.maxEntries = saved
+  }
+
   test("q21 single-pass culprit rollup equals the window shape at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val q21 = queries.Tpch2.q21(spark, dir).collect().toSeq
