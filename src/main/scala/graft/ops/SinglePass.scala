@@ -603,15 +603,19 @@ object SinglePass {
     * cents, qsum a sum of integral doubles (exact under any order), and
     * the filter compares `(psum.toDouble/100.0)/qsum <
     * ((ppsum.toDouble/100.0)/pqsum) * dropRatio` — bit-identical to
-    * `money2(sum)/sum` division in the Spark shape and the oracle. Emits
-    * `(pk long, yr int)` drop pairs; output column 0 carries the
-    * clustering key unchanged, so the node is key-preserving and the
-    * downstream part join reuses the exchange. */
+    * `money2(sum)/sum` division in the Spark shape and the oracle (cents
+    * and quantities arrive as 4-byte ints — guide §2.3 narrower exchange
+    * types; both sums accumulate in exact longs, and a sum of integral
+    * values converts to double exactly, so the division sequence is the
+    * same IEEE ops as the two-phase plan's `money2(sum(long)) /
+    * sum(double)`). Emits `(pk long, yr int)` drop pairs; output column 0
+    * carries the clustering key unchanged, so the node is key-preserving
+    * and the downstream part join reuses the exchange. */
   def priceDropPairs(df: DataFrame, dropRatio: Double): DataFrame = {
     require(df.schema.length == 4 &&
       df.schema(0).dataType == LongType && df.schema(1).dataType == IntegerType &&
-      df.schema(2).dataType == LongType && df.schema(3).dataType == DoubleType,
-      s"priceDropPairs expects (Long, Int, Long, Double), got ${df.schema}")
+      df.schema(2).dataType == IntegerType && df.schema(3).dataType == IntegerType,
+      s"priceDropPairs expects (Long, Int, Int, Int), got ${df.schema}")
     val plan = Bridge.analyzedPlan(df)
     val ratio = dropRatio
     val kernel = (it: Iterator[InternalRow]) => {
@@ -619,14 +623,14 @@ object SinglePass {
       var mask = cap - 1
       var keys = new Array[Long](cap)   // (pk+1)<<12 | yr; 0 = empty
       var ps = new Array[Long](cap)     // exact cents sum
-      var qs = new Array[Double](cap)   // integral-double quantity sum
+      var qs = new Array[Long](cap)     // exact integral quantity sum
       var n = 0
       def grow(): Unit = {
         val ok = keys; val op = ps; val oq = qs
         cap <<= 2; mask = cap - 1
         require(cap > 0, "SinglePass.grow: hash table capacity overflow")
         keys = new Array[Long](cap); ps = new Array[Long](cap)
-        qs = new Array[Double](cap)
+        qs = new Array[Long](cap)
         var j = 0
         while (j < ok.length) {
           val k = ok(j)
@@ -650,8 +654,8 @@ object SinglePass {
         if (yr < 1 || yr > 4094) throw new IllegalStateException(
           s"priceDropPairs: year $yr outside [1, 4094] — pack invariant violated")
         val k = (pk0 + 1L) << 12 | yr.toLong
-        val p = row.getLong(2)
-        val q = row.getDouble(3)
+        val p = row.getInt(2).toLong
+        val q = row.getInt(3).toLong
         var i = mix(k) & mask
         var done = false
         while (!done) {
@@ -687,8 +691,8 @@ object SinglePass {
           val pi = probe(k - 1L)
           if (pi < 0) Iterator.empty
           else {
-            val cur = (psF(j).toDouble / 100.0) / qsF(j)
-            val prev = (psF(pi).toDouble / 100.0) / qsF(pi)
+            val cur = (psF(j).toDouble / 100.0) / qsF(j).toDouble
+            val prev = (psF(pi).toDouble / 100.0) / qsF(pi).toDouble
             if (cur < prev * ratio)
               Iterator.single(new GenericInternalRow(
                 Array[Any]((k >> 12) - 1L, (k & 0xfffL).toInt)): InternalRow)
@@ -701,6 +705,80 @@ object SinglePass {
       plan, Seq(plan.output.head), None,
       Seq(attr("l_partkey", LongType), attr("yr", IntegerType)),
       "priceDropPairs", kernel, keyPreserving = true))
+  }
+
+  /** Per-key exact long sum in one pass: `(key long ≥ 0, v long)` →
+    * `(keyName long, sumName long)` within hash(key) partitions
+    * (AQE-sized). threeChannelYoy's per-order rollup motivated it
+    * (OPTIMIZATION r16): the scaled fixture's round-robin file layout
+    * scatters orderkeys across every file, so the two-phase plan's
+    * partial HashAggregate saw ~1 row per key per map task — it collapsed
+    * ~nothing, built a multi-million-entry per-task table anyway, and
+    * SPILLED 63 GB at k=1000 (sort-based fallback re-emitting partial
+    * groups). This exchanges the raw slim rows instead and sums once.
+    * Output column 0 carries the clustering key unchanged, so the node is
+    * key-preserving: a downstream join on the same key (the orders SHJ)
+    * fuses into the kernel's stage with no new exchange. */
+  def sumLongByKey(df: DataFrame, keyName: String, sumName: String): DataFrame = {
+    require(df.schema.length == 2 &&
+      df.schema(0).dataType == LongType && df.schema(1).dataType == LongType,
+      s"sumLongByKey expects (LongType, LongType), got ${df.schema}")
+    val plan = Bridge.analyzedPlan(df)
+    val kernel = (it: Iterator[InternalRow]) => {
+      var cap = 1 << 17
+      var mask = cap - 1
+      var keys = new Array[Long](cap)
+      var sums = new Array[Long](cap)
+      var n = 0
+      def grow(): Unit = {
+        val ok = keys; val os = sums
+        cap <<= 2; mask = cap - 1
+        require(cap > 0, "SinglePass.grow: hash table capacity overflow")
+        keys = new Array[Long](cap); sums = new Array[Long](cap)
+        var j = 0
+        while (j < ok.length) {
+          val k = ok(j)
+          if (k != 0L) {
+            var i = mix(k) & mask
+            while (keys(i) != 0L) i = (i + 1) & mask
+            keys(i) = k; sums(i) = os(j)
+          }
+          j += 1
+        }
+      }
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.isNullAt(0) || row.isNullAt(1)) throw new IllegalStateException(
+          "sumLongByKey: null key/value — caller contract violated")
+        val k0 = row.getLong(0)
+        if (k0 < 0L) throw new IllegalStateException(
+          s"sumLongByKey: key $k0 — keys must be >= 0")
+        val k = k0 + 1L // slot sentinel is 0; fixture keys are 0-based
+        val v = row.getLong(1)
+        var i = mix(k) & mask
+        var done = false
+        while (!done) {
+          val s = keys(i)
+          if (s == k) { sums(i) += v; done = true }
+          else if (s == 0L) {
+            keys(i) = k; sums(i) = v; n += 1
+            checkCap(n, "sumLongByKey")
+            if (n * 10L >= cap * 7L) grow()
+            done = true
+          } else i = (i + 1) & mask
+        }
+      }
+      val capF = cap; val keysF = keys; val sumsF = sums
+      (0 until capF).iterator
+        .filter(i => keysF(i) != 0L)
+        .map { i =>
+          new GenericInternalRow(Array[Any](keysF(i) - 1L, sumsF(i))): InternalRow
+        }
+    }
+    Bridge.ofRows(df.sparkSession, SinglePassAggNode(
+      plan, Seq(plan.output.head), None,
+      Seq(attr(keyName, LongType), attr(sumName, LongType)),
+      "sumLongByKey", kernel, keyPreserving = true))
   }
 
   /** threeChannelYoy's (custkey, year) channel merge + consecutive-year

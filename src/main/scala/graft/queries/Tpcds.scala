@@ -843,15 +843,21 @@ object Tpcds {
       // years of a part land in one task, so the rollup AND the cross-
       // year drop test happen in a single local pass; the kernel output
       // keeps the child's hash(l_partkey) partitioning (keyPreserving),
-      // so the part join below adds no exchange on the fact side.
+      // so the part join below adds no exchange on the fact side. Both
+      // fact exchanges ship 4-byte ints for cents and quantity (§2.3
+      // narrower types): extendedprice cents ≤ ~1.1e7 ≪ 2^31 (prices
+      // don't scale with k — only keys shift) and l_quantity is integral
+      // ≤ 50 (FixturesSpec contract; round-then-cast per the q18 advice);
+      // the kernel accumulates both in exact longs, so the unit-price
+      // doubles are bit-equal to the two-phase shape's.
       // Numbers + plan diff in OPTIMIZATION_r16.md.
       val joined = tt.lineitem.select(col("l_orderkey"), col("l_partkey"),
-          cents(col("l_extendedprice")).as("__p"),
-          col("l_quantity"))
+          cents(col("l_extendedprice")).cast("int").as("__p"),
+          round(col("l_quantity")).cast("int").as("__q"))
         .join(tt.orders.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_partkey"), year(col("o_orderdate")).cast("int").as("yr"),
-          col("__p"), col("l_quantity"))
+          col("__p"), col("__q"))
       graft.ops.SinglePass.priceDropPairs(joined, 0.95)
         .join(tt.part.select("p_partkey", "p_brand").hint("shuffle_hash"),
           col("l_partkey") === col("p_partkey"))
@@ -962,10 +968,22 @@ object Tpcds {
       // run in a single local pass, emitting per-year partials (≤ |year
       // domain| rows per task) for a tiny final rollup. Exact long sums
       // and the identical money4/money2 IEEE sequence keep the result
-      // bit-equal. Numbers + plan diff in OPTIMIZATION_r16.md.
-      val merged = chanLi
-        .select(col("o_custkey"), col("yr"),
-          (col("__s") - col("__r")).as("__net"), col("__o"))
+      // bit-equal. The per-order pass is ALSO single-pass: the scaled
+      // fixture's round-robin file layout scatters orderkeys across every
+      // file, so the r15 partial HashAggregate collapsed ~nothing yet
+      // spilled 63 GB at k=1000 (stage dump in OPTIMIZATION_r16.md);
+      // sumLongByKey exchanges the raw ±revenue lines once and its
+      // key-preserving output fuses the orders SHJ into the same stage.
+      // Per-line net = s − r folds to ±revL (exact longs, order-free).
+      val chanLiK = graft.ops.SinglePass.sumLongByKey(
+          tt.lineitem.select(col("l_orderkey"),
+            when(col("l_returnflag") === "R", -revL).otherwise(revL).as("__nl")),
+          "l_orderkey", "__net")
+        .join(tt.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+            .hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), yrCol, col("__net"), lit(0L).as("__o"))
+      val merged = chanLiK
         .unionByName(chanOrd.select(col("o_custkey"), col("yr"),
           (col("__s") - col("__r")).as("__net"), col("__o")))
       graft.ops.SinglePass.yoyGrowerStats(merged, 1.1)

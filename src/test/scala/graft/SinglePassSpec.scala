@@ -184,6 +184,19 @@ class SinglePassSpec extends AnyFunSuite {
     assert(q18.map(_.toSeq) == ref18.map(_.toSeq))
   }
 
+  test("sumLongByKey matches groupBy(key).sum(value), negatives included") {
+    val rnd = new scala.util.Random(23)
+    // signed values (the ±revL per-line nets) over keys including 0
+    val rows = Seq.fill(200000)((rnd.nextInt(50000).toLong,
+      (rnd.nextInt(2000000) - 500000).toLong))
+    val df = rows.toDF("k", "v")
+    val got = graft.ops.SinglePass.sumLongByKey(df, "k", "s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("k").agg(sum("v").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("priceDropPairs matches the grouped self-join drop detection") {
     val rnd = new scala.util.Random(13)
     // ~6k parts × ≤6 years with integral cents/quantities and year gaps
@@ -192,10 +205,11 @@ class SinglePassSpec extends AnyFunSuite {
     val rows = Seq.fill(120000) {
       val pk = rnd.nextInt(6000).toLong
       val yr = 1992 + rnd.nextInt(6)
-      (pk, yr, (100 + rnd.nextInt(99000)).toLong, (1 + rnd.nextInt(50)).toDouble)
+      (pk, yr, 100 + rnd.nextInt(99000), 1 + rnd.nextInt(50))
     }.filter { case (pk, yr, _, _) => (pk + yr) % 7 != 0 } // year gaps
     val df = rows.toDF("pk", "yr", "p", "q")
-      .select(col("pk"), col("yr").cast("int"), col("p"), col("q"))
+      .select(col("pk"), col("yr").cast("int"),
+        col("p").cast("int"), col("q").cast("int"))
     val got = graft.ops.SinglePass.priceDropPairs(df, 0.95)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     val ppy = df.groupBy("pk", "yr")
