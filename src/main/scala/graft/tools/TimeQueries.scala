@@ -49,7 +49,15 @@ object TimeQueries {
     val ks = sys.env.getOrElse("TIME_K", "100,1000")
       .split(",").map(_.trim.toInt).toSeq
     val reps = sys.env.getOrElse("TIME_REPS", "2").toInt
-    val names = graft.SparkEntry.queries.keys.filter(_.startsWith(prefix)).toSeq.sorted
+    // TIME_EXCLUDE: comma list of names to skip, for queries whose tables
+    // the scaled fixture does not synthesize (cb_regex_extract reads
+    // documents.parquet — base-SF-only). Loud, never silent.
+    val excluded = sys.env.get("TIME_EXCLUDE")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    if (excluded.nonEmpty)
+      System.err.println(s"[time] excluding: ${excluded.toSeq.sorted.mkString(", ")}")
+    val names = graft.SparkEntry.queries.keys.filter(_.startsWith(prefix))
+      .filterNot(excluded).toSeq.sorted
     if (names.isEmpty) { // ADVICE r13: bws.max below throws on an empty match
       System.err.println(s"[time] no queries match TIME_PREFIX=$prefix")
       return
