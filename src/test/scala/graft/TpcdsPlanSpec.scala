@@ -160,31 +160,49 @@ class TpcdsPlanSpec extends AnyFunSuite {
       s"brand filter should reach the part side:\n$p")
   }
 
-  test("tpcds_price_chain: leased per-(part,yr) aggregate feeds both self-join sides") {
-    // the q64-class chain must collapse the fact ONCE — two independent
-    // fact scans for cur/prev would double the heavy work; and the
-    // cross-year + part joins must stay shuffle-hash (part-domain frames
+  test("tpcds_price_chain: single-pass drop kernel on a key-preserving exchange") {
+    // r16: the per-(part,yr) rollup + cross-year drop test run in ONE
+    // kernel pass over a hash(l_partkey) exchange — no lease, no
+    // self-join, no partial+final HashAggregate pair over the fact (the
+    // r15 two-phase shape spilled 74 GB at k=1000); the kernel's
+    // key-preserving output must feed the part SHJ with NO exchange
+    // between them, and all joins stay shuffle-hash (part-domain frames
     // are fact-derived, never broadcast)
     val p = plan("tpcds_price_chain")
-    assert(p.linesIterator.count(_.contains("InMemoryRelation")) >= 2,
-      s"expected the leased per-(part,yr) aggregate on BOTH sides:\n$p")
+    assert(p.contains("SinglePassAgg(priceDropPairs)"),
+      s"expected the single-pass drop kernel:\n$p")
+    assert(!p.contains("InMemoryRelation"),
+      s"no lease in the kernel shape (the r15 self-join needed one):\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"all joins should be shuffle-hash at this tier:\n$p")
+    // key-preserving: no Exchange line between the part join and the
+    // kernel node (tree order: join line appears above the kernel line,
+    // with the part side's own exchange BELOW the kernel subtree)
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l => l.contains("ShuffledHashJoin") &&
+      l.contains("p_partkey"))
+    val kernelIdx = lines.indexWhere(_.contains("SinglePassAgg(priceDropPairs)"))
+    assert(joinIdx >= 0 && kernelIdx > joinIdx &&
+      !lines.slice(joinIdx + 1, kernelIdx).exists(_.contains("Exchange")),
+      s"the part join must consume the kernel's preserved partitioning:\n$p")
   }
 
-  test("tpcds_three_channel_yoy: per-order pass + union channel merge") {
-    // the ~4:1 per-order collapse must happen before anything joins — a
-    // raw lineitem⋈orders join would move the full fact through the
-    // custkey exchange; and the channel merge must be the UNION feeding
-    // one (custkey, yr) aggregate (the rejected first cut materialized a
-    // 105M-row lease and self-joined it: 275 s at k=1000 on a clean host)
+  test("tpcds_three_channel_yoy: single-pass per-order and grower kernels, union merge") {
+    // r16: the per-order pass is a single-pass kernel (the two-phase
+    // partial HashAggregate collapsed ~nothing over the round-robin file
+    // layout yet spilled 63 GB at k=1000) whose key-preserving output
+    // fuses the orders SHJ; the channel merge is the UNION feeding the
+    // yoyGrowerStats kernel over ONE hash(custkey) exchange — no
+    // collect_list ObjectHashAggregate, no lease
     val p = plan("tpcds_three_channel_yoy")
-    assert(p.linesIterator.exists(l =>
-      l.matches(".*\\b(HashAggregate|ObjectHashAggregate)\\b.*") &&
-        l.contains("keys=[l_orderkey")),
-      s"expected the per-order aggregate pass:\n$p")
+    assert(p.contains("SinglePassAgg(sumLongByKey)"),
+      s"expected the single-pass per-order kernel:\n$p")
+    assert(p.contains("SinglePassAgg(yoyGrowerStats)"),
+      s"expected the single-pass grower kernel:\n$p")
     assert(p.contains("Union"),
       s"expected the union channel merge:\n$p")
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("collect_list"),
+      s"no boxed collect_list pairing in the kernel shape:\n$p")
     assert(!p.contains("InMemoryRelation"),
       s"no lease in the union shape (the rejected self-join needed one):\n$p")
   }
