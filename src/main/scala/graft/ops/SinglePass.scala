@@ -71,6 +71,69 @@ object SinglePass {
   private def attr(name: String, dt: DataType) =
     AttributeReference(name, dt, nullable = false)()
 
+  /** Minimal open-address long→long accumulator map (0 = empty-slot
+    * sentinel; callers shift 0-based keys +1). r15 shipped the per-key
+    * stats legs of distinctPairCountByKey / q95OrderStats /
+    * q21CulpritCounts as boxed `java.util.HashMap` — one `java.lang.Long`
+    * allocation (often two) per distinct key, pure GC pressure on the
+    * heavies (best_cust touches one entry per distinct (part, order)
+    * pair). Entry counts are bounded by the kernel's capped pair set, so
+    * no separate cap is needed here. */
+  private final class LongLongMap(initialCap: Int) {
+    private var cap = initialCap
+    private var mask = cap - 1
+    private var ks = new Array[Long](cap)
+    private var vs = new Array[Long](cap)
+    private var n = 0
+    private def grow(): Unit = {
+      val ok = ks; val ov = vs
+      cap <<= 2; mask = cap - 1
+      require(cap > 0, "LongLongMap.grow: hash table capacity overflow")
+      ks = new Array[Long](cap); vs = new Array[Long](cap)
+      var j = 0
+      while (j < ok.length) {
+        val k = ok(j)
+        if (k != 0L) {
+          var i = mix(k) & mask
+          while (ks(i) != 0L) i = (i + 1) & mask
+          ks(i) = k; vs(i) = ov(j)
+        }
+        j += 1
+      }
+    }
+    /** vs(k) += delta, inserting on first touch. k must be != 0. */
+    def add(k: Long, delta: Long): Unit = {
+      var i = mix(k) & mask
+      var done = false
+      while (!done) {
+        val s = ks(i)
+        if (s == k) { vs(i) += delta; done = true }
+        else if (s == 0L) {
+          ks(i) = k; vs(i) = delta; n += 1
+          if (n * 10L >= cap * 7L) grow()
+          done = true
+        } else i = (i + 1) & mask
+      }
+    }
+    def get(k: Long, absent: Long): Long = {
+      var i = mix(k) & mask
+      while (true) {
+        val s = ks(i)
+        if (s == k) return vs(i)
+        if (s == 0L) return absent
+        i = (i + 1) & mask
+      }
+      absent
+    }
+    def size: Int = n
+    /** Iterate occupied entries (unordered — downstream consumers are
+      * order-free aggregates/joins, same as HashMap iteration was). */
+    def entryIterator: Iterator[(Long, Long)] = {
+      val capF = cap; val ksF = ks; val vsF = vs
+      (0 until capF).iterator.filter(ksF(_) != 0L).map(i => (ksF(i), vsF(i)))
+    }
+  }
+
   /** q16's dedup+rollup collapsed to one pass: distinct packed keys
     * (`gid * packBase + suppkey`, all > 0) counted per dense gid, within
     * hash(gk) partitions of pinned `width` (the caller's cache-sized
@@ -340,8 +403,9 @@ object SinglePass {
           j += 1
         }
       }
-      // k1 -> distinct-pair count
-      val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      // k1 -> distinct-pair count (primitive map — r16, VERDICT r15 #5:
+      // the boxed HashMap allocated a Long per distinct pair)
+      val counts = new LongLongMap(1 << 16)
       while (it.hasNext) {
         val row = it.next()
         if (row.isNullAt(0) || row.isNullAt(1)) throw new IllegalStateException(
@@ -359,19 +423,13 @@ object SinglePass {
             a1(i) = k1; a2(i) = k2; n += 1
             checkCap(n, "distinctPairCountByKey")
             if (n * 10L >= cap * 7L) grow()
-            counts.merge(k0, 1L, (x, y) => x + y)
+            counts.add(k1, 1L)
             done = true
           } else i = (i + 1) & mask
         }
       }
-      val entries = counts.entrySet().iterator()
-      new Iterator[InternalRow] {
-        def hasNext: Boolean = entries.hasNext
-        def next(): InternalRow = {
-          val e = entries.next()
-          new GenericInternalRow(
-            Array[Any](e.getKey.longValue(), e.getValue.longValue()))
-        }
+      counts.entryIterator.map { case (k, c) =>
+        new GenericInternalRow(Array[Any](k - 1L, c)): InternalRow
       }
     }
     Bridge.ofRows(df.sparkSession, SinglePassAggNode(
@@ -419,8 +477,48 @@ object SinglePass {
           j += 1
         }
       }
-      // lk -> [ns, hr, rev] packed in a 3-slot array per order
-      val stats = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      // lk -> (ns, hr, rev) — parallel primitive arrays (r16, VERDICT r15
+      // #5: was a boxed HashMap holding a fresh Array[Long](3) per order)
+      var sCap = 1 << 16
+      var sMask = sCap - 1
+      var sk = new Array[Long](sCap)
+      var sNs = new Array[Long](sCap)
+      var sHr = new Array[Long](sCap)
+      var sRev = new Array[Long](sCap)
+      var sN = 0
+      def sGrow(): Unit = {
+        val ok = sk; val oNs = sNs; val oHr = sHr; val oRev = sRev
+        sCap <<= 2; sMask = sCap - 1
+        require(sCap > 0, "q95OrderStats.sGrow: hash table capacity overflow")
+        sk = new Array[Long](sCap); sNs = new Array[Long](sCap)
+        sHr = new Array[Long](sCap); sRev = new Array[Long](sCap)
+        var j = 0
+        while (j < ok.length) {
+          val k = ok(j)
+          if (k != 0L) {
+            var i = mix(k) & sMask
+            while (sk(i) != 0L) i = (i + 1) & sMask
+            sk(i) = k; sNs(i) = oNs(j); sHr(i) = oHr(j); sRev(i) = oRev(j)
+          }
+          j += 1
+        }
+      }
+      // slot index for key k (nonzero), inserting an empty entry on first
+      // touch; grows BEFORE insertion so the returned index stays valid
+      def sIdx(k: Long): Int = {
+        var i = mix(k) & sMask
+        while (true) {
+          val s = sk(i)
+          if (s == k) return i
+          if (s == 0L) {
+            if ((sN + 1) * 10L >= sCap * 7L) { sGrow(); return sIdx(k) }
+            sk(i) = k; sN += 1
+            return i
+          }
+          i = (i + 1) & sMask
+        }
+        -1
+      }
       while (it.hasNext) {
         val row = it.next()
         if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2) || row.isNullAt(3))
@@ -433,9 +531,9 @@ object SinglePass {
         val ls = row.getLong(1)
         val isR = row.getInt(2)
         val rev = row.getLong(3)
-        val st = stats.computeIfAbsent(lk0, _ => new Array[Long](3))
-        st(1) |= isR.toLong
-        st(2) += rev
+        val si = sIdx(lk)
+        sHr(si) |= isR.toLong
+        sRev(si) += rev
         var i = mix(lk * 0x9e3779b97f4a7c15L + ls) & mask
         var done = false
         while (!done) {
@@ -444,31 +542,19 @@ object SinglePass {
             a1(i) = lk; a2(i) = ls; n += 1
             checkCap(n, "q95OrderStats")
             if (n * 10L >= cap * 7L) grow()
-            st(0) += 1L
+            sNs(si) += 1L
             done = true
           } else i = (i + 1) & mask
         }
       }
       val md = minDistinct.toLong
-      val entries = stats.entrySet().iterator()
-      new Iterator[InternalRow] {
-        private var nextRow: InternalRow = _
-        private def advance(): Unit = {
-          nextRow = null
-          while (nextRow == null && entries.hasNext) {
-            val e = entries.next()
-            val st = e.getValue
-            if (st(0) >= md && st(1) == 1L)
-              nextRow = new GenericInternalRow(
-                Array[Any](e.getKey.longValue(), st(2)))
-          }
+      val sCapF = sCap; val skF = sk
+      val sNsF = sNs; val sHrF = sHr; val sRevF = sRev
+      (0 until sCapF).iterator
+        .filter(i => skF(i) != 0L && sNsF(i) >= md && sHrF(i) == 1L)
+        .map { i =>
+          new GenericInternalRow(Array[Any](skF(i) - 1L, sRevF(i))): InternalRow
         }
-        advance()
-        def hasNext: Boolean = nextRow != null
-        def next(): InternalRow = {
-          val r = nextRow; advance(); r
-        }
-      }
     }
     Bridge.ofRows(df.sparkSession, SinglePassAggNode(
       plan, Seq(plan.output.head), None,
@@ -551,33 +637,29 @@ object SinglePass {
           } else i = (i + 1) & mask
         }
       }
-      // per-lk on-time supplier count over the DEDUPED pairs
-      val ontime = new java.util.HashMap[java.lang.Long, Integer]()
+      // per-lk on-time supplier count over the DEDUPED pairs (primitive
+      // maps — r16, VERDICT r15 #5: were boxed HashMaps; lk is already
+      // stored shifted +1 so nonzero, ls shifts +1 here)
+      val ontime = new LongLongMap(1 << 16)
       var j = 0
       while (j < cap) {
         if (kLk(j) != 0L && (fl(j) & 2) != 0)
-          ontime.merge(kLk(j), 1, (a, b) => a + b)
+          ontime.add(kLk(j), 1L)
         j += 1
       }
       // culprit pairs folded to per-supplier partial counts
-      val bySupp = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      val bySupp = new LongLongMap(1 << 12)
       j = 0
       while (j < cap) {
         if (kLk(j) != 0L && (fl(j) & 1) != 0) {
-          val tot = ontime.getOrDefault(kLk(j), 0)
-          val others = tot - (if ((fl(j) & 2) != 0) 1 else 0)
-          if (others > 0) bySupp.merge(kLs(j), 1L, (a, b) => a + b)
+          val tot = ontime.get(kLk(j), 0L)
+          val others = tot - (if ((fl(j) & 2) != 0) 1L else 0L)
+          if (others > 0) bySupp.add(kLs(j) + 1L, 1L)
         }
         j += 1
       }
-      val entries = bySupp.entrySet().iterator()
-      new Iterator[InternalRow] {
-        def hasNext: Boolean = entries.hasNext
-        def next(): InternalRow = {
-          val e = entries.next()
-          new GenericInternalRow(
-            Array[Any](e.getKey.longValue(), e.getValue.longValue()))
-        }
+      bySupp.entryIterator.map { case (k, c) =>
+        new GenericInternalRow(Array[Any](k - 1L, c)): InternalRow
       }
     }
     Bridge.ofRows(df.sparkSession, SinglePassAggNode(
